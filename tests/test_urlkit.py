@@ -1,0 +1,109 @@
+"""Unit tests for the vectorized URL toolkit vs the reference's ``URL``
+object semantics (/root/reference/kryptone/utils/urls.py)."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from kryptone_ray.utils import urlkit
+from kryptone_ray.utils.urlkit import (
+    as_path_suffix,
+    decompose_path,
+    join_relative,
+    origin_of,
+    parse_batch,
+    path_suffix,
+    rebuild_query,
+    remove_fragment,
+    url_query,
+)
+
+
+def test_path_suffix_matches_pathlib():
+    cases = [
+        "a.jpg", "a", ".hidden", "a.", "a.b.c", "a..b", "dir/x.png",
+        "http://example.com/a.jpg", "http://example.com", "", "x.tar.gz",
+    ]
+    for c in cases:
+        expected = pathlib.PurePosixPath(c).suffix if c else ""
+        assert path_suffix(c) == expected, c
+
+
+def test_as_path_suffix_query_vs_full():
+    # urls.py:263-278 — with a query only the path is considered.
+    assert as_path_suffix("http://e.com/a.jpg?x=1", "/a.jpg", "x=1") == ".jpg"
+    # without a query, the full raw url (netloc dot counts as suffix source).
+    assert as_path_suffix("http://example.com", "", "") == ".com"
+    assert as_path_suffix("http://e.com/a.png", "/a.png", "") == ".png"
+
+
+def test_parse_batch_handles_none_and_numbers():
+    f = parse_batch([None, 56, "http://example.com/a"])
+    assert f.raw[0] == ""
+    assert f.raw[1] == "56"
+    assert f.netloc[2] == "example.com"
+    assert f.is_empty().tolist() == [True, False, False]
+
+
+def test_parse_batch_survives_malformed_ipv6():
+    f = parse_batch(["http://[::1:2::3]:8080/", "http://example.com/"])
+    assert len(f) == 2  # no exception; components empty for the bad row
+    assert f.netloc[1] == "example.com"
+
+
+def test_predicates():
+    f = parse_batch(
+        [
+            "http://example.com/a#x",
+            "https://example.com/b",
+            "/rel",
+            "",
+            "http://example.com/i.png",
+            "http://facebook.com/page",
+        ]
+    )
+    assert f.has_fragment().tolist() == [True, False, False, False, False, False]
+    assert f.is_path().tolist() == [False, False, True, False, False, False]
+    assert f.is_valid().tolist() == [True, True, False, False, True, True]
+    assert f.is_secured().tolist() == [False, True, False, False, False, False]
+    assert f.is_image().tolist() == [False, False, False, False, True, False]
+    assert f.is_social_link().tolist() == [False, False, False, False, False, True]
+    assert f.is_same_domain("http://example.com/").tolist() == [
+        True, True, False, False, True, False,
+    ]
+
+
+def test_test_path_and_url():
+    f = parse_batch(["http://example.com/product/123", "http://example.com/legal"])
+    assert f.test_path(r"/product/").tolist() == [True, False]
+    assert f.test_url(r"example").tolist() == [True, True]
+    assert f.multi_test_path([r"/product/", r"123$"], "and").tolist() == [True, False]
+    assert f.multi_test_path([r"/product/", r"legal"], "or").tolist() == [True, True]
+    with pytest.raises(ValueError):
+        f.multi_test_path([r"x"], "xor")
+
+
+def test_origin_and_join():
+    # base.py:341-356, 611-616.
+    assert origin_of("http://example.com/deep/path?q=1") == "http://example.com"
+    assert join_relative("http://example.com", "/a%20b") == "http://example.com/a b"
+    assert join_relative("http://example.com", " /x ") == "http://example.com/x"
+
+
+def test_remove_fragment():
+    # urls.py:474-492 — only rebuilt when a fragment exists.
+    assert remove_fragment("http://example.com/a#frag") == "http://example.com/a"
+    assert remove_fragment("http://example.com/a#") == "http://example.com/a"
+    assert remove_fragment("http://example.com/a?q=1") == "http://example.com/a?q=1"
+
+
+def test_rebuild_query_merges_existing_over_new():
+    # urls.py:333-358 — existing query values win over supplied ones.
+    out = rebuild_query("http://e.com/p?a=1", a="9", b="2")
+    assert url_query(out) == {"a": ["1"], "b": ["2"]}
+
+
+def test_decompose_path():
+    assert decompose_path("http://example.com/a/b/") == ["a", "b"]
+    assert decompose_path("http://example.com/a/b", exclude=["a"]) == ["b"]
