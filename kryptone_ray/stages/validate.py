@@ -112,6 +112,11 @@ class ValidationConfig:
     # `ignore_queries` is declared in the reference Meta but never enforced
     # (base.py:68-69,158) — kept for parity as a declared no-op.
     ignore_queries: bool = False
+    # Scale extension (NOT reference behavior, which is single-domain:
+    # base.py:694-696): when set, a URL passes the domain check iff its
+    # netloc is in this whitelist ("*" = any non-empty netloc). None →
+    # reference parity: netloc equality vs the start URL.
+    allowed_hosts: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
         self._gather_pats = tuple(re.compile(r) for r in self.gather_ignore_regexes)
@@ -176,7 +181,14 @@ def validate_batch(
         undecided &= ~hit
 
     # step 5 — domain (reference order: before the empty test).
-    settle(~frame.is_same_domain(cfg.start_url), CROSS_DOMAIN)
+    if cfg.allowed_hosts is None:
+        domain_ok = frame.is_same_domain(cfg.start_url)
+    elif "*" in cfg.allowed_hosts:
+        domain_ok = frame.netloc != ""
+    else:
+        allowed = frozenset(cfg.allowed_hosts)
+        domain_ok = np.array([nl in allowed for nl in frame.netloc], dtype=bool)
+    settle(~domain_ok, CROSS_DOMAIN)
     # step 6 — empty.
     settle(frame.is_empty(), EMPTY)
     # step 7 — fragment.
