@@ -1,0 +1,251 @@
+"""Host-aware frontier scheduler — the distributed replacement for the
+reference's ``urls_to_visit`` set + politeness gate.
+
+Reference semantics replaced (file:line into /root/reference/kryptone):
+- ``urls_to_visit.pop()`` — arbitrary set order (base.py:1080) → the
+  DOCUMENTED deterministic tie-break: priority = (depth at first
+  discovery, url lexicographic)  (SURVEY.md §4).
+- politeness busy-wait ``next_execution_date`` (base.py:1075-1078,
+  1185-1194; WAIT_TIME=25 conf/base.py:30) → a VIRTUAL clock advancing
+  ``wait_time`` per released batch; optional ``host_delay`` serializes
+  same-host fetches (at most one URL per host per batch, host eligible
+  again when clock >= next_ok[host]).
+- the batch-of-k-then-barrier shape mirrors ``boost_start``
+  (base.py:1281-1469).
+
+Scale design: per-host heaps with out-of-core spill — when a host's heap
+exceeds ``spill_threshold`` the WORST half (largest (depth, url)) is
+written to sorted Parquet "generations" under ``spill_dir`` and reloaded
+only when the in-memory head drains; the frontier is thus RAM-bounded by
+(hosts × threshold), not by total frontier size (SURVEY.md §4 "memory
+pressure"). One scheduler actor suffices per ~10^8 frontier URLs; the
+engine can run several, sharded by host hash, since all operations are
+keyed by host (hot hosts stay in one shard — politeness serializes them
+anyway, so a hot host is throughput-bounded by the clock, not the actor).
+"""
+
+from __future__ import annotations
+
+import heapq
+import pathlib
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+class FrontierSchedulerLocal:
+    def __init__(
+        self,
+        batch_size: int = 1,
+        wait_time: float = 25.0,
+        host_delay: float = 0.0,
+        spill_dir: str | None = None,
+        spill_threshold: int = 100_000,
+    ):
+        self.batch_size = batch_size
+        self.wait_time = wait_time
+        self.host_delay = host_delay
+        self.spill_dir = pathlib.Path(spill_dir) if spill_dir else None
+        self.spill_threshold = spill_threshold
+        self.heaps: dict[str, list[tuple[int, str]]] = {}
+        self.spilled: dict[str, list[str]] = {}  # host → spill files
+        self.spilled_counts: dict[str, int] = {}
+        self.spilled_min: dict[str, tuple[int, str]] = {}  # best spilled entry
+        self.next_ok: dict[str, float] = {}
+        self.clock = 0.0
+        self.visit_counter = 0
+        self.batch_counter = 0
+        self.total = 0
+
+    # --- ingestion ----------------------------------------------------
+    def add(self, urls: list[str], hosts: list[str], depths) -> int:
+        """Enqueue already-deduplicated frontier URLs (the seen anti-join
+        guarantees first-time); returns the new frontier size."""
+        for url, host, depth in zip(urls, hosts, depths):
+            heap = self.heaps.setdefault(host, [])
+            heapq.heappush(heap, (int(depth), url))
+            self.total += 1
+            if self.spill_dir is not None and len(heap) > self.spill_threshold:
+                self._spill(host)
+        return self.total
+
+    def _spill(self, host: str) -> None:
+        """Write the worst half of a host heap to sorted Parquet."""
+        heap = self.heaps[host]
+        heap.sort()
+        keep = len(heap) // 2
+        tail = heap[keep:]
+        self.heaps[host] = heap[:keep]
+        heapq.heapify(self.heaps[host])
+        self.spill_dir.mkdir(parents=True, exist_ok=True)
+        fname = self.spill_dir / f"gen-{host}-{uuid.uuid4().hex}.parquet"
+        t = pa.table(
+            {
+                "depth": pa.array([d for d, _ in tail], type=pa.int32()),
+                "url": pa.array([u for _, u in tail], type=pa.string()),
+            }
+        )
+        pq.write_table(t, fname)
+        self.spilled.setdefault(host, []).append(str(fname))
+        self.spilled_counts[host] = self.spilled_counts.get(host, 0) + len(tail)
+        cur_min = self.spilled_min.get(host)
+        if cur_min is None or tail[0] < cur_min:
+            self.spilled_min[host] = tail[0]
+
+    def _unspill(self, host: str) -> None:
+        """Merge spilled generations with the in-memory heap; keep the best
+        entries in memory and re-spill the tail as one compacted
+        generation."""
+        files = self.spilled.pop(host, [])
+        if not files:
+            return
+        entries: list[tuple[int, str]] = list(self.heaps.get(host, []))
+        for f in files:
+            t = pq.read_table(f)
+            entries.extend(zip(t["depth"].to_pylist(), t["url"].to_pylist()))
+            pathlib.Path(f).unlink()
+        self.spilled_counts.pop(host, None)
+        self.spilled_min.pop(host, None)
+        entries.sort()
+        if len(entries) > self.spill_threshold:
+            keep = max(1, self.spill_threshold // 2)
+            self.heaps[host] = entries[:keep]
+            heapq.heapify(self.heaps[host])
+            # re-spill the remainder as one generation
+            tail = entries[keep:]
+            fname = self.spill_dir / f"gen-{host}-{uuid.uuid4().hex}.parquet"
+            t = pa.table(
+                {
+                    "depth": pa.array([d for d, _ in tail], type=pa.int32()),
+                    "url": pa.array([u for _, u in tail], type=pa.string()),
+                }
+            )
+            pq.write_table(t, fname)
+            self.spilled[host] = [str(fname)]
+            self.spilled_counts[host] = len(tail)
+            self.spilled_min[host] = tail[0]
+        else:
+            self.heaps[host] = entries
+            heapq.heapify(self.heaps[host])
+
+    def _host_head(self, host: str):
+        heap = self.heaps.get(host)
+        smin = self.spilled_min.get(host)
+        if smin is not None and (not heap or heap[0] > smin):
+            self._unspill(host)
+            heap = self.heaps.get(host)
+        elif not heap and (host in self.spilled):
+            self._unspill(host)
+            heap = self.heaps.get(host)
+        return heap[0] if heap else None
+
+    # --- release ------------------------------------------------------
+    def pop_batch(self):
+        """Release the next politeness window.
+
+        Returns (urls, depths, visit_indices, virtual_ts, batch_index) —
+        empty lists when the frontier is exhausted. Selection rule is
+        identical to GoldenSimulator.run: among eligible hosts take the k
+        best heads by (depth, url), one per host when host_delay > 0.
+        """
+        # drop empty hosts
+        for h in [h for h, hp in self.heaps.items() if not hp]:
+            if h in self.spilled:
+                self._unspill(h)
+            if not self.heaps.get(h):
+                self.heaps.pop(h, None)
+
+        if self.total <= 0 or not self.heaps:
+            return [], [], [], self.clock, self.batch_counter
+
+        if self.host_delay > 0:
+            eligible = [h for h in self.heaps if self.next_ok.get(h, 0.0) <= self.clock]
+            if not eligible:
+                self.clock = max(
+                    self.clock, min(self.next_ok.get(h, 0.0) for h in self.heaps)
+                )
+                eligible = [
+                    h for h in self.heaps if self.next_ok.get(h, 0.0) <= self.clock
+                ]
+            heads = []
+            for h in eligible:
+                head = self._host_head(h)
+                if head is not None:
+                    heads.append((head[0], head[1], h))
+            heads.sort()
+            chosen = heads[: self.batch_size]
+            batch = []
+            for depth, url, h in chosen:
+                heapq.heappop(self.heaps[h])
+                self.next_ok[h] = self.clock + self.host_delay
+                batch.append((depth, url))
+        else:
+            # k globally-best entries across all hosts
+            heads = []
+            for h in list(self.heaps):
+                head = self._host_head(h)
+                if head is not None:
+                    heads.append((head[0], head[1], h))
+            heapq.heapify(heads)
+            batch = []
+            while heads and len(batch) < self.batch_size:
+                depth, url, h = heapq.heappop(heads)
+                heapq.heappop(self.heaps[h])
+                batch.append((depth, url))
+                nxt = self._host_head(h)
+                if nxt is not None:
+                    heapq.heappush(heads, (nxt[0], nxt[1], h))
+
+        urls = [u for _, u in batch]
+        depths = [d for d, _ in batch]
+        ts = self.clock
+        idxs = list(range(self.visit_counter, self.visit_counter + len(batch)))
+        self.visit_counter += len(batch)
+        self.total -= len(batch)
+        bidx = self.batch_counter
+        self.batch_counter += 1
+        self.clock += self.wait_time
+        return urls, depths, idxs, ts, bidx
+
+    # --- introspection / checkpoint -----------------------------------
+    def size(self) -> int:
+        return self.total
+
+    def state_table(self) -> pa.Table:
+        """Full frontier (memory + spill) as Arrow — checkpoint source."""
+        depths, urls = [], []
+        for h, heap in self.heaps.items():
+            for d, u in heap:
+                depths.append(d)
+                urls.append(u)
+        for h, files in self.spilled.items():
+            for f in files:
+                t = pq.read_table(f)
+                depths.extend(t["depth"].to_pylist())
+                urls.extend(t["url"].to_pylist())
+        return pa.table(
+            {
+                "depth": pa.array(depths, type=pa.int32()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    def clock_state(self) -> dict:
+        return {
+            "clock": self.clock,
+            "visit_counter": self.visit_counter,
+            "batch_counter": self.batch_counter,
+            "next_ok": dict(self.next_ok),
+        }
+
+    def restore_clock(self, state: dict) -> None:
+        self.clock = state["clock"]
+        self.visit_counter = state["visit_counter"]
+        self.batch_counter = state["batch_counter"]
+        self.next_ok = dict(state["next_ok"])
+
+
+FrontierScheduler = ray.remote(FrontierSchedulerLocal)

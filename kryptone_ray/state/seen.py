@@ -1,0 +1,192 @@
+"""Sharded URL-seen set — the distributed replacement for the reference's
+process-global ``list_of_seen_urls`` (/root/reference/kryptone/base.py:295,
+updated at base.py:744-745).
+
+``SeenShard`` actors are keyed by ``url_hash = xxh64(canonical_url)``;
+shard = ``url_hash % num_shards``. Each shard holds a cuckoo filter (the
+at-scale membership structure) plus an exact uint64 hash set (authoritative;
+~8 B/key in-python — at 10^10 keys only the filter + the Parquet snapshots
+remain authoritative, mode='cuckoo').
+
+``check_and_add`` is the frontier anti-join: it reports which hashes were
+UNSEEN before the call and marks every input hash seen — the batched,
+order-free equivalent of check_urls steps 10/11 + the seen-set union
+(order-free because within one validation pass the reference's updates are
+idempotent set unions; see stages/validate.py docstring).
+
+Snapshots: each shard dumps (url_hash, url) sorted by url to Parquet; the
+union of shard snapshots sorted lexicographically reproduces the
+reference's ``seen_urls.csv`` contract (base.py:577-588, sort order
+urls.py:110-113).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+
+from kryptone_ray.state.cuckoo import CuckooFilter
+
+
+class SeenShardLocal:
+    """The shard logic, usable in-process (tests/simulator cross-checks)
+    and wrapped as a Ray actor below."""
+
+    def __init__(self, capacity: int = 1 << 16, mode: str = "exact"):
+        assert mode in ("exact", "cuckoo")
+        self.mode = mode
+        self.filter = CuckooFilter(capacity)
+        self.exact: set[int] = set()
+        self.urls: dict[int, str] = {}  # hash → canonical url (snapshot source)
+
+    def check_and_add(self, hashes: np.ndarray, urls: list[str] | None = None) -> np.ndarray:
+        """Return is_new mask; then mark all inputs seen. Duplicates within
+        the call: only the first occurrence is new."""
+        h = hashes.astype(np.uint64, copy=False)
+        if self.mode == "exact":
+            is_new = np.fromiter(
+                (int(x) not in self.exact for x in h), count=len(h), dtype=bool
+            )
+        else:
+            is_new = ~self.filter.contains_batch(h)
+        # first-occurrence-only within the batch
+        _, first_idx = np.unique(h, return_index=True)
+        first_mask = np.zeros(len(h), dtype=bool)
+        first_mask[first_idx] = True
+        is_new &= first_mask
+        fresh = h[is_new]
+        if len(fresh):
+            self.filter.insert_batch(fresh)
+            if self.mode == "exact":
+                self.exact.update(int(x) for x in fresh)
+            if urls is not None:
+                for i in np.flatnonzero(is_new):
+                    self.urls[int(h[i])] = urls[i]
+        return is_new
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        if self.mode == "exact":
+            return np.fromiter(
+                (int(x) in self.exact for x in h), count=len(h), dtype=bool
+            )
+        return self.filter.contains_batch(h)
+
+    def size(self) -> int:
+        return len(self.exact) if self.mode == "exact" else self.filter.count
+
+    def snapshot_urls(self) -> list[str]:
+        return list(self.urls.values())
+
+    # --- checkpoint ---------------------------------------------------
+    def snapshot(self, path: str) -> int:
+        t = pa.table(
+            {
+                "url_hash": pa.array(list(self.urls.keys()), type=pa.uint64()),
+                "url": pa.array(list(self.urls.values()), type=pa.string()),
+            }
+        )
+        t = t.take(pc.sort_indices(t["url"]))
+        tmp = str(path) + ".tmp"
+        pq.write_table(t, tmp)
+        pathlib.Path(tmp).replace(path)
+        return len(t)
+
+    def restore(self, path: str) -> int:
+        t = pq.read_table(path)
+        h = t["url_hash"].to_numpy().astype(np.uint64)
+        self.filter.insert_batch(h)
+        if self.mode == "exact":
+            self.exact.update(int(x) for x in h)
+        self.urls.update(zip((int(x) for x in h), t["url"].to_pylist()))
+        return len(t)
+
+
+SeenShard = ray.remote(SeenShardLocal)
+
+
+class SeenSet:
+    """Driver-side handle over the shard actor pool."""
+
+    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 16,
+                 mode: str = "exact"):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.remote(capacity=capacity_per_shard, mode=mode)
+            for _ in range(num_shards)
+        ]
+
+    def _split(self, hashes: np.ndarray):
+        shard_of = hashes % np.uint64(self.num_shards)
+        return shard_of
+
+    def check_and_add(self, hashes: np.ndarray, urls: list[str] | None = None) -> np.ndarray:
+        """Batched anti-join across shards; preserves input order."""
+        h = hashes.astype(np.uint64, copy=False)
+        shard_of = self._split(h)
+        out = np.zeros(len(h), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == np.uint64(s))
+            if len(idx) == 0:
+                continue
+            sub_urls = [urls[i] for i in idx] if urls is not None else None
+            refs.append(self.shards[s].check_and_add.remote(h[idx], sub_urls))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        shard_of = self._split(h)
+        out = np.zeros(len(h), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == np.uint64(s))
+            if len(idx) == 0:
+                continue
+            refs.append(self.shards[s].contains.remote(h[idx]))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(refs)):
+            out[idx] = res
+        return out
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def snapshot(self, directory: str) -> int:
+        d = pathlib.Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        return sum(
+            ray.get(
+                [
+                    s.snapshot.remote(str(d / f"seen-{i:03d}.parquet"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def restore(self, directory: str) -> int:
+        d = pathlib.Path(directory)
+        return sum(
+            ray.get(
+                [
+                    s.restore.remote(str(d / f"seen-{i:03d}.parquet"))
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        )
+
+    def sorted_urls(self) -> list[str]:
+        """All seen URLs in lexicographic order — reproduces the
+        ``seen_urls.csv`` ordering contract (base.py:577-588)."""
+        import itertools
+
+        all_urls = ray.get([s.snapshot_urls.remote() for s in self.shards])
+        return sorted(itertools.chain.from_iterable(all_urls))

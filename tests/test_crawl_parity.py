@@ -1,0 +1,122 @@
+"""Golden-parity: the Ray engine must reproduce the reference state
+machine's visit order, seen set and final frontier exactly (north_rule;
+FIXTURES.md F4), under the documented tie-breaks, in both execution modes
+and with politeness on and off."""
+
+import pathlib
+
+import pytest
+
+from kryptone_ray.corpus.store import write_corpus
+from kryptone_ray.corpus.synth import CorpusSpec, make_corpus_table, row_index_of, seed_urls
+from kryptone_ray.engine.crawl import RayCrawler
+from kryptone_ray.sim.golden import CrawlSpec, GoldenSimulator
+
+
+def page_outlinks(spec: CorpusSpec):
+    """Out-links for an EXISTING corpus page; anything else (fetch miss)
+    yields no links — identical contract for simulator and engine."""
+
+    def fn(url: str):
+        i = row_index_of(url)
+        if i is None or not (0 <= i < spec.n_rows) or spec.url_of(i) != url:
+            return []
+        return spec.outlinks(i)
+
+    return fn
+
+
+@pytest.fixture(scope="module")
+def small_world(tmp_path_factory):
+    spec = CorpusSpec(n_rows=400, n_hosts=6, seed=42)
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(make_corpus_table(spec), d, num_shards=4, row_group_size=64)
+    return spec, d
+
+
+def run_pair(spec, corpus_dir, tmp_path, crawl_spec, mode="local", seeds=None):
+    seeds = seeds or seed_urls(spec, 12)
+    sim = GoldenSimulator(page_outlinks(spec), crawl_spec)
+    golden = sim.run(seeds)
+
+    eng = RayCrawler(
+        corpus_dir=str(corpus_dir),
+        outlinks_fn=page_outlinks(spec),
+        spec=crawl_spec,
+        run_dir=str(tmp_path / f"run-{mode}"),
+        num_seen_shards=4,
+        mode=mode,
+    )
+    eng.run(seeds=seeds)
+    return golden, eng
+
+
+def assert_parity(golden, eng):
+    vt = eng.visits_table()
+    if vt is None:
+        assert golden.visits == []
+        return
+    import pyarrow.compute as pc
+
+    vt = vt.take(pc.sort_indices(vt["visit_idx"]))
+    eng_visits = list(zip(vt["visit_idx"].to_pylist(), vt["url"].to_pylist(),
+                          vt["ts"].to_pylist()))
+    assert eng_visits == golden.visits, (
+        f"visit order diverged at "
+        f"{next((i for i, (a, b) in enumerate(zip(eng_visits, golden.visits)) if a != b), '?')}"
+    )
+    assert eng.seen.sorted_urls() == sorted(golden.seen)
+    eng_frontier = set(eng.sched.state_table()["url"].to_pylist())
+    assert eng_frontier == golden.frontier
+
+
+def test_parity_single_page_batches(small_world, tmp_path):
+    spec, d = small_world
+    cs = CrawlSpec(batch_size=1, wait_time=25.0, max_pages=60)
+    golden, eng = run_pair(spec, d, tmp_path, cs)
+    assert len(golden.visits) > 10
+    assert_parity(golden, eng)
+
+
+def test_parity_batched_with_filters(small_world, tmp_path):
+    spec, d = small_world
+    cs = CrawlSpec(
+        batch_size=8,
+        wait_time=25.0,
+        max_pages=80,
+        ignore_images=True,
+        gather_ignore_regexes=(r"/cat/",),
+        ignore_paths=("/item/",),
+    )
+    golden, eng = run_pair(spec, d, tmp_path, cs)
+    assert len(golden.visits) > 5
+    assert_parity(golden, eng)
+
+
+def test_parity_politeness_multi_host(small_world, tmp_path):
+    spec, d = small_world
+    cs = CrawlSpec(
+        batch_size=4,
+        wait_time=25.0,
+        host_delay=60.0,
+        max_pages=60,
+        allowed_hosts=("*",),
+    )
+    golden, eng = run_pair(spec, d, tmp_path, cs)
+    assert len({u.split("/")[2] for _, u, _ in golden.visits}) > 1, "multi-host expected"
+    assert_parity(golden, eng)
+
+
+def test_parity_crawl_to_exhaustion(small_world, tmp_path):
+    spec, d = small_world
+    cs = CrawlSpec(batch_size=16, wait_time=25.0)
+    golden, eng = run_pair(spec, d, tmp_path, cs)
+    assert golden.frontier == set()
+    assert_parity(golden, eng)
+
+
+def test_parity_ray_mode(small_world, tmp_path, ray_session):
+    spec, d = small_world
+    cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",), max_pages=120)
+    golden, eng = run_pair(spec, d, tmp_path, cs, mode="ray")
+    assert_parity(golden, eng)
