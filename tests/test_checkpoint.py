@@ -1,0 +1,84 @@
+"""Checkpoint/resume (FIXTURES.md F6; reference contract base.py:1213-1273):
+a killed run resumes from the last manifest, does NOT re-fetch completed
+batches, and finishes with results identical to an uninterrupted run."""
+
+import pyarrow.compute as pc
+import pytest
+
+from kryptone_ray.corpus.store import write_corpus
+from kryptone_ray.corpus.synth import CorpusSpec, make_corpus_table, seed_urls
+from kryptone_ray.engine.crawl import RayCrawler
+from kryptone_ray.sim.golden import CrawlSpec, GoldenSimulator
+from tests.test_crawl_parity import page_outlinks
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    spec = CorpusSpec(n_rows=300, n_hosts=4, seed=42)
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(make_corpus_table(spec), d, num_shards=4, row_group_size=64)
+    return spec, d
+
+
+def test_kill_and_resume_matches_golden(world, tmp_path):
+    spec, d = world
+    cs = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",), max_pages=96)
+    seeds = seed_urls(spec, 6)
+    golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
+
+    run_dir = tmp_path / "run"
+    # phase 1: crawl 6 batches with a checkpoint every 2, then "die"
+    eng1 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="local")
+    eng1.run(seeds=seeds, checkpoint_every=2, max_batches=6)
+    assert (run_dir / "checkpoint" / "manifest.json").exists()
+    ckpt_batches = eng1.sched.clock_state()["batch_counter"]
+    assert ckpt_batches == 6  # checkpoint at 6 (every 2)
+
+    # phase 2: fresh engine resumes and finishes
+    eng2 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="local")
+    eng2.resume(seeds)
+    assert eng2.sched.clock_state()["batch_counter"] == 6
+    eng2.run(seeds=None)
+
+    vt = eng2.visits_table().take(
+        pc.sort_indices(eng2.visits_table()["visit_idx"])
+    )
+    eng_visits = list(
+        zip(vt["visit_idx"].to_pylist(), vt["url"].to_pylist(), vt["ts"].to_pylist())
+    )
+    assert eng_visits == golden.visits
+    assert eng2.seen.sorted_urls() == sorted(golden.seen)
+    assert set(eng2.sched.state_table()["url"].to_pylist()) == golden.frontier
+
+    # no re-fetch: batches 0..5 ran only in phase 1 (their log files
+    # predate the resume and were not rewritten)
+    batch_ids = sorted(
+        int(f.stem.split("-")[1]) for f in (run_dir / "visits").glob("batch-*.parquet")
+    )
+    assert batch_ids == sorted(set(batch_ids)), "a batch was fetched twice"
+
+
+def test_resume_discards_post_checkpoint_logs(world, tmp_path):
+    spec, d = world
+    cs = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",), max_pages=80)
+    seeds = seed_urls(spec, 6)
+    run_dir = tmp_path / "run2"
+    eng1 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="local")
+    # checkpoint every 4 but run 6 batches → 2 uncheckpointed batches
+    eng1.run(seeds=seeds, checkpoint_every=4, max_batches=6)
+    orphan = [
+        int(f.stem.split("-")[1]) for f in (run_dir / "visits").glob("batch-*.parquet")
+        if int(f.stem.split("-")[1]) >= 4
+    ]
+    assert orphan  # logs beyond the checkpoint exist pre-resume
+
+    eng2 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="local")
+    eng2.resume(seeds)
+    left = [
+        int(f.stem.split("-")[1]) for f in (run_dir / "visits").glob("batch-*.parquet")
+    ]
+    assert max(left) == 3  # orphans pruned, completed batches kept
+    eng2.run(seeds=None)
+    # end state still golden
+    golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
+    assert eng2.seen.sorted_urls() == sorted(golden.seen)
