@@ -4,41 +4,128 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in kryptone_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: a crawl slice of the synthetic image+caption
+    corpus through the full engine (frontier → fetch → decode → expand →
+    validate → seen anti-join → scheduler), preceded by a read of the
+    sf0.001 tables. Returns the visits log (stable schema)."""
+    import ray.data as rd
+
+    from kryptone_ray.corpus.store import write_corpus
+    from kryptone_ray.corpus.synth import CorpusSpec, make_corpus_table, seed_urls
+    from kryptone_ray.engine.crawl import RayCrawler
+    from kryptone_ray.sim.golden import CrawlSpec
+    from tests.test_crawl_parity import page_outlinks
+
+    # smoke-read the driver tables (column-pruned)
+    n_docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+    ).count()
+    assert n_docs > 0
+
+    spec = CorpusSpec(n_rows=500, n_hosts=8, seed=42)
+    tmp = tempfile.mkdtemp(prefix="kr_entry_")
+    write_corpus(make_corpus_table(spec), f"{tmp}/corpus", num_shards=4)
+    cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",), max_pages=128)
+    eng = RayCrawler(
+        corpus_dir=f"{tmp}/corpus",
+        outlinks_fn=page_outlinks(spec),
+        spec=cs,
+        run_dir=f"{tmp}/run",
+        mode="local",
+    )
+    eng.run(seeds=seed_urls(spec, 8))
+    vt = eng.visits_table()
+    import pyarrow.compute as pc
+
+    return vt.take(pc.sort_indices(vt["visit_idx"]))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from kryptone_ray.pipelines import ann, dedup, events, multimodal, relational, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational (SURVEY §2 filters/aggregates/joins/top-k/distinct)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "filter_project": relational.q_filter_project,
+        "topk_orders": relational.q_topk_orders,
+        "distinct_segments": relational.q_distinct_segments,
+        "count_by_priority": relational.q_count_by_priority,
+        "customer_order_stats": relational.q_customer_order_stats,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_nation_volume": relational.q5_nation_volume,
+        "bucketed_join": relational.q_bucketed_join,
+        "part_type_stats": relational.q_part_type_stats,
+        # text analysis (SURVEY §2.3-2.4; training-data text ops)
+        "lang_distribution": textops.q_lang_distribution,
+        "token_counts": textops.q_token_counts,
+        "word_frequency": textops.q_word_frequency,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
+        "doc_quality": textops.q_doc_quality,
+        "lang_id_heuristic": textops.q_lang_id_heuristic,
+        "doc_fingerprints": textops.q_doc_fingerprints,
+        # dedup family (training-data ops)
+        "dedup_exact": dedup.q_dedup_exact,
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "simhash_clusters": dedup.q_simhash_clusters,
+        "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
+        "embedding_near_dups": dedup.q_embedding_near_dups,
+        # similarity search
+        "knn_bruteforce": ann.q_knn_bruteforce,
+        "knn_ivf": ann.q_knn_ivf,
+        # events / stream-shaped
+        "events_by_type": events.q_events_by_type,
+        "events_tumbling_1h": events.q_events_tumbling_1h,
+        "events_sessions": events.q_events_sessions,
+        "events_topk_users": events.q_events_topk_users,
+        "events_json_props": events.q_events_json_props,
+        # multimodal (actor-pool decode/resize over binary columns)
+        "image_decode_stats": multimodal.q_image_decode_stats,
+        "image_resize_thumbs": multimodal.q_image_resize_thumbs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kryptone_ray.pipelines import ann, dedup, events, relational, textops
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "filter_project": relational.Q_FILTER_PROJECT_SQL,
+        "topk_orders": relational.Q_TOPK_SQL,
+        "distinct_segments": relational.Q_DISTINCT_SQL,
+        "count_by_priority": relational.Q_COUNT_PRIORITY_SQL,
+        "customer_order_stats": relational.Q_CUST_ORDERS_SQL,
+        "q3_shipping_priority": relational.Q3_SQL,
+        "q5_nation_volume": relational.Q5_SQL,
+        "bucketed_join": relational.Q_BUCKETED_JOIN_SQL,
+        "part_type_stats": relational.Q_PART_TYPE_SQL,
+        "lang_distribution": textops.Q_LANG_SQL,
+        "token_counts": textops.Q_TOKEN_COUNTS_SQL,
+        "word_frequency": textops.Q_WORD_FREQ_SQL,
+        "tfidf_top_terms": textops.Q_TFIDF_SQL,
+        "doc_quality": textops.Q_DOC_QUALITY_SQL,
+        "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "knn_bruteforce": ann.Q_KNN_SQL,
+        "events_by_type": events.Q_EVENTS_BY_TYPE_SQL,
+        "events_tumbling_1h": events.Q_EVENTS_TUMBLING_SQL,
+        "events_sessions": events.Q_EVENTS_SESSIONS_SQL,
+        "events_topk_users": events.Q_EVENTS_TOPK_SQL,
+        "events_json_props": events.Q_EVENTS_JSON_SQL,
+        # rows-only (not SQL-expressible): lang_id_heuristic,
+        # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
+        # ngram_jaccard_dups, embedding_near_dups, knn_ivf,
+        # image_decode_stats, image_resize_thumbs
+    }

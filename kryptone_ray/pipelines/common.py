@@ -1,0 +1,54 @@
+"""Shared helpers for the driver-facing query pipelines.
+
+Conventions (driver correctness gate, __ray_entry__.py):
+- every computed/aggregate column is NAMED and the oracle SQL uses the
+  same name via ``AS``;
+- every float aggregate is ROUNDED identically on both sides (summation
+  order differs between numpy partials and DuckDB — rounding to a few
+  decimals makes the value-hash comparison deterministic);
+- reads prune columns (``columns=[...]``) so only needed data leaves
+  storage;
+- grouped aggregates pre-aggregate per batch inside ``map_batches``
+  (partial/combiner) before the small ``groupby`` shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def T(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = df[c].round(nd)
+    return df
+
+
+def partial_sum_count(ds, keys: list[str], sums: dict[str, str],
+                      count_name: str | None = None):
+    """Pre-aggregated groupby: per-batch partial sums/counts inside
+    ``map_batches`` (pandas groupby per batch), then a tiny global
+    ``groupby().sum()`` shuffle over one row per key per batch.
+
+    sums: {output_col: input_expr_col}; the caller must have materialized
+    any computed column already. Returns a pandas DataFrame.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False)
+        out = g[list(sums.values())].sum()
+        out.columns = list(sums.keys())
+        if count_name:
+            out[count_name] = g.size()
+        return out.reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    df = partials.to_pandas()  # one row per key per batch — tiny
+    g = df.groupby(keys, sort=False)
+    out = g[[c for c in df.columns if c not in keys]].sum().reset_index()
+    return out

@@ -1,0 +1,157 @@
+"""Stream-shaped pipelines over the ``events`` table.
+
+Ray Data has no event-time windows (ray_guide §streaming): windows are
+expressed as ``groupby(key).map_groups`` over ts-sorted groups — the
+same incremental-state shape as the reference's per-iteration counters
+(Performance, base.py:199-250) and its politeness clock
+(§2.7 streaming semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
+
+
+def _cents(df: pd.DataFrame) -> pd.DataFrame:
+    """value has exact 2 decimals → integer-cents sums are bit-identical
+    across engines (see relational.q1 note)."""
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    return df.drop(columns=["value"])
+
+
+def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = T(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(_cents, batch_format="pandas", batch_size=65536)
+    out = partial_sum_count(ds, keys=["event_type"], sums={"cents": "cents"},
+                            count_name="n")
+    out["total_value"] = out.pop("cents") / 100.0
+    out = out[["event_type", "total_value", "n"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENTS_BY_TYPE_SQL = """
+SELECT event_type, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_tumbling_1h(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per event type: window key computed
+    vectorized per batch (floor to hour), then partial-agg groupby —
+    windows never materialize per-row state."""
+    ds = T(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h")
+        df["cents"] = (df["value"] * 100).round().astype("int64")
+        return df[["event_type", "window_start", "cents"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
+    out = partial_sum_count(
+        ds, keys=["event_type", "window_start"],
+        sums={"cents": "cents"}, count_name="n",
+    )
+    out["total_value"] = out.pop("cents") / 100.0
+    out = out[["event_type", "window_start", "total_value", "n"]]
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+Q_EVENTS_TUMBLING_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value, count(*) AS n
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, window_start
+"""
+
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """Sessionization: per-user session count + max session length, a
+    session breaking on gaps > 30 min. ``groupby(user).map_groups`` over
+    ts-sorted groups (ordering assumption: sort inside the group — ties
+    on ts broken by event_id)."""
+    ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gaps.cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(sid.nunique())],
+                "max_session_events": [int(sizes.max())],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sized AS (
+  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
+       sum(n) AS n_events
+FROM sized GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_topk_users(sf_dir: str) -> pd.DataFrame:
+    ds = T(sf_dir, "events", columns=["user_id", "value"]) \
+        .map_batches(_cents, batch_format="pandas", batch_size=65536)
+    agg = partial_sum_count(ds, keys=["user_id"], sums={"cents": "cents"},
+                            count_name="n")
+    agg["total_value"] = agg.pop("cents") / 100.0
+    agg = agg[["user_id", "total_value", "n"]]
+    agg = agg.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
+    return agg.reset_index(drop=True)
+
+
+Q_EVENTS_TOPK_SQL = """
+SELECT user_id, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+def q_events_json_props(sf_dir: str) -> pd.DataFrame:
+    """JSON property extraction (the reference's dynamic dict payloads,
+    encoders.py:8-65 analog): parse props per batch, aggregate k by
+    type."""
+    ds = T(sf_dir, "events", columns=["event_type", "props"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import json
+
+        df["k"] = df["props"].map(lambda s: int(json.loads(s)["k"]))
+        return df[["event_type", "k"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
+    out = partial_sum_count(ds, keys=["event_type"], sums={"sum_k": "k"},
+                            count_name="n")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k, count(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -1,0 +1,379 @@
+"""Relational query pipelines over the driver's TPC-H-ish tables.
+
+These are the driver-harness operators of SURVEY.md §7 phase D: each maps
+a reference *capability* (filters/predicates urls.py:157-246; grouped
+aggregation seo.py:407-421; top-k; joins) onto the Ray Data primitive,
+with an equivalent DuckDB oracle in ``oracle_sql()``.
+
+Scale notes per query are in the docstrings; the common rules: prune at
+the read, pre-aggregate before shuffles, broadcast small dimension
+tables instead of shuffle-joining them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered scan → computed columns → grouped
+    aggregate with per-batch partials (SURVEY §2.4 word-frequency /
+    performance-counter analog)."""
+    ds = T(sf_dir, "lineitem",
+           columns=["l_returnflag", "l_linestatus", "l_quantity",
+                    "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    # Money columns carry exact 2-decimal values; all sums run in integer
+    # "cents" space (int64) so pipeline and SQL oracle are bit-identical
+    # regardless of summation order (float order differs between numpy
+    # partials and DuckDB). int64 headroom: cents(≈1e7)×1e4 scale ×1e7
+    # rows ≈ 1e18 < 2^63.
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 100).round().astype("int64")
+        tax_bp = (df["l_tax"] * 100).round().astype("int64")
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty": df["l_quantity"].round().astype("int64"),
+                "cents": cents,
+                "disc_e4": cents * (100 - disc_bp),
+                "charge_e6": cents * (100 - disc_bp) * (100 + tax_bp),
+            }
+        )
+        return out
+
+    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    out = partial_sum_count(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        sums={
+            "sum_qty_i": "qty",
+            "sum_cents": "cents",
+            "sum_disc_e4": "disc_e4",
+            "sum_charge_e6": "charge_e6",
+        },
+        count_name="count_order",
+    )
+    out["sum_qty"] = (out.pop("sum_qty_i")).astype("float64")
+    out["sum_base_price"] = out.pop("sum_cents") / 100.0
+    out["sum_disc_price"] = out.pop("sum_disc_e4") / 1e4
+    out["sum_charge"] = out.pop("sum_charge_e6") / 1e6
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
+    out["avg_price"] = out["sum_base_price"] / out["count_order"]
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "sum_charge", "count_order", "avg_qty", "avg_price"]]
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)          AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0       AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4       AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) / 1e6            AS sum_charge,
+       count(*)                                                        AS count_order,
+       sum(CAST(round(l_quantity) AS BIGINT)) / count(*)               AS avg_qty,
+       (sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0) / count(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(sf_dir: str):
+    """Vectorized filter + projection — the URL-predicate analog
+    (urls.py:157-246 as batch masks). Streams; no shuffle."""
+    ds = T(sf_dir, "lineitem",
+           columns=["l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice", "l_discount"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_quantity"] > 45.0]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 100).round().astype("int64")
+        df["revenue"] = cents * (100 - disc_bp) / 1e4  # exact 4-decimal
+        return df[["l_orderkey", "l_linenumber", "l_quantity", "revenue"]]
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+
+Q_FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       CAST(round(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(round(l_discount * 100) AS BIGINT)) / 1e4 AS revenue
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_topk_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k = sort desc + limit (seo.py:407-421 top-10 analog).
+    Ray sorts distributed; the limit prunes early."""
+    ds = T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    top = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    return top
+
+
+Q_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct — the seen-set/dedupe analog (base.py:728-730)."""
+    vals = T(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+
+def q_count_by_priority(sf_dir: str) -> pd.DataFrame:
+    ds = T(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        return df[["o_orderpriority", "cents"]]
+
+    out = partial_sum_count(
+        ds.map_batches(cents, batch_format="pandas", batch_size=65536),
+        keys=["o_orderpriority"],
+        sums={"cents": "cents"},
+        count_name="n_orders",
+    )
+    out["total_price"] = out.pop("cents") / 100.0
+    out = out[["o_orderpriority", "total_price", "n_orders"]]
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q_COUNT_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join: aggregate the big side (orders) first, then
+    map the small dimension (customer) over it driver-side — the
+    broadcast-small-side join pattern (SURVEY §2.6; no shuffle join)."""
+    ds = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        return df[["o_custkey", "cents"]]
+
+    agg = partial_sum_count(
+        ds.map_batches(cents, batch_format="pandas", batch_size=65536),
+        keys=["o_custkey"],
+        sums={"cents": "cents"},
+        count_name="n_orders",
+    )
+    agg["total_spent"] = agg.pop("cents") / 100.0
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+    out = cust.merge(agg, left_on="c_custkey", right_on="o_custkey", how="inner")
+    out = out[["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUST_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_spent
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: selective dimension filter broadcast into the fact
+    scan, partial-aggregated revenue, top-10."""
+    import ray
+
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    cutoff = pd.Timestamp("1998-03-15")
+    sel = orders[(orders["o_custkey"].isin(keys)) & (orders["o_orderdate"] < cutoff)]
+    okeys_ref = ray.put(set(sel["o_orderkey"]))
+    odate = dict(zip(sel["o_orderkey"], sel["o_orderdate"]))
+
+    ds = T(sf_dir, "lineitem",
+           columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        okeys = _ray.get(okeys_ref)
+        df = df[(df["l_shipdate"] > cutoff) & df["l_orderkey"].isin(okeys)]
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"], "rev_e4": cents * (100 - disc_bp)}
+        )
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
+    agg = partial_sum_count(ds, keys=["l_orderkey"], sums={"rev_e4": "rev_e4"})
+    agg["revenue"] = agg.pop("rev_e4") / 1e4
+    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
+    agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return agg[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+# exact integer-cents revenue for Q3 (see q1 note)
+Q3_SQL = """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4 AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q5_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: multi-dimension star join. All dimension maps
+    (region→nation→customer / supplier) are broadcast dicts; the fact
+    scan joins by lookup inside map_batches; one partial-agg shuffle."""
+    nation = T(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = T(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    cust = T(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = T(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+
+    nkeys = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
+    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    nation_name = dict(zip(nkeys["n_nationkey"], nkeys["n_name"]))
+
+    import ray
+
+    maps_ref = ray.put((cust_nation, supp_nation, order_cust, nation_name))
+
+    ds = T(sf_dir, "lineitem",
+           columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        cn, sn, oc, nn = _ray.get(maps_ref)
+        cust_n = df["l_orderkey"].map(oc).map(cn)  # vectorized dict lookups
+        supp_n = df["l_suppkey"].map(sn)
+        # Q5 semantics: customer and supplier in the SAME nation
+        keep = cust_n.notna() & (cust_n == supp_n) & cust_n.isin(nn.keys())
+        sub = df.loc[keep]
+        cents = (sub["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (sub["l_discount"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {"n_name": cust_n.loc[keep].map(nn), "rev_e4": cents * (100 - disc_bp)}
+        )
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
+    out = partial_sum_count(ds, keys=["n_name"], sums={"rev_e4": "rev_e4"})
+    out["revenue"] = out.pop("rev_e4") / 1e4
+    return out.sort_values(["revenue", "n_name"], ascending=[False, True]).reset_index(drop=True)
+
+
+Q5_SQL = """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE s_nationkey = c_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_bucketed_join(sf_dir: str):
+    """Partitioned hash join with BOTH sides large (ray_guide pattern):
+    bucket = key % B added to both sides, per-bucket pandas merge inside
+    ``map_groups``. Produces order line counts per order with totals."""
+    B = 16
+    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .add_column("bucket", lambda df: df["o_orderkey"] % B, batch_format="pandas")
+    line = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
+        .add_column("bucket", lambda df: df["l_orderkey"] % B, batch_format="pandas")
+
+    odf = orders.to_pandas()
+    import pandas as _pd
+
+    def join_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
+        b = int(g["bucket"].iloc[0])
+        right = odf[odf["bucket"] == b]
+        agg = g.groupby("l_orderkey", sort=False)["l_quantity"].agg(["sum", "size"])
+        agg.columns = ["sum_qty", "n_lines"]
+        out = agg.reset_index().merge(
+            right[["o_orderkey", "o_totalprice"]],
+            left_on="l_orderkey", right_on="o_orderkey", how="inner",
+        )
+        return out[["o_orderkey", "n_lines", "sum_qty", "o_totalprice"]]
+
+    joined = line.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    return joined
+
+
+Q_BUCKETED_JOIN_SQL = """
+SELECT o_orderkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty,
+       o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_totalprice
+"""
+
+
+def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """String-predicate filter + grouped stats (test_url/test_path regex
+    analog, urls.py:410-453)."""
+    ds = T(sf_dir, "part", columns=["p_type", "p_retailprice", "p_size"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["p_type"].str.match("^(ECONOMY|PROMO)")]
+        return pd.DataFrame(
+            {
+                "p_type": df["p_type"],
+                "cents": (df["p_retailprice"] * 100).round().astype("int64"),
+                "p_size": df["p_size"].astype("int64"),
+            }
+        )
+
+    ds = ds.map_batches(f, batch_format="pandas")
+    out = partial_sum_count(
+        ds, keys=["p_type"], sums={"cents": "cents", "total_size": "p_size"},
+        count_name="n_parts",
+    )
+    out["total_price"] = out.pop("cents") / 100.0
+    out = out[["p_type", "total_price", "total_size", "n_parts"]]
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+Q_PART_TYPE_SQL = """
+SELECT p_type, sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       sum(p_size) AS total_size, count(*) AS n_parts
+FROM part WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)')
+GROUP BY p_type ORDER BY p_type
+"""

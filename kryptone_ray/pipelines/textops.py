@@ -1,0 +1,189 @@
+"""Text-analysis pipelines over the ``documents`` table — the distributed
+re-expression of the reference's SEO/text operators
+(/root/reference/kryptone/contrib/seo.py; utils/text.py) plus the
+training-data-pipeline text ops (lang-id, quality scoring, token counts,
+fingerprints).
+
+Tokenization convention for ORACLE-CHECKED queries is plain
+``lower().split(' ')`` so the DuckDB side (``string_split``) is exactly
+equivalent; the richer reference tokenizer (stopwords, ≤30-char filter,
+accent folding — text/ops.py) powers the caption pipeline and rows-only
+entries.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
+from kryptone_ray.text import ops
+
+
+def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    out = partial_sum_count(
+        T(sf_dir, "documents", columns=["lang", "n_chars"]),
+        keys=["lang"], sums={"total_chars": "n_chars"}, count_name="n_docs",
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_LANG_SQL = """
+SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token count per doc (contrib/seo.py token pipeline
+    analog) aggregated per source; vectorized str ops per batch."""
+    ds = T(sf_dir, "documents", columns=["source", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_tokens"] = df["text"].str.lower().str.split(" ").map(len)
+        return df[["source", "n_tokens"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=8192)
+    out = partial_sum_count(ds, keys=["source"], sums={"total_tokens": "n_tokens"},
+                            count_name="n_docs")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+Q_TOKEN_COUNTS_SQL = """
+SELECT source, sum(len(string_split(lower(text), ' '))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_word_frequency(sf_dir: str) -> pd.DataFrame:
+    """Global top-10 word frequency — seo.py:407-421
+    ``calculate_word_frequency`` (FreqDist → sorted top-10), distributed:
+    per-batch partial token counts → tiny groupby → top-k with a
+    deterministic (count desc, token asc) tie-break."""
+    ds = T(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192).to_pandas()
+    agg = parts.groupby("token", sort=False)["n"].sum().reset_index()
+    agg = agg.sort_values(["n", "token"], ascending=[False, True]).head(10)
+    return agg.reset_index(drop=True)
+
+
+Q_WORD_FREQ_SQL = """
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, token LIMIT 10
+"""
+
+
+def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level TF-IDF ranking — the two-pass distributed shape of
+    ``TFIDFProcessor`` (seo.py:56-121): pass 1 computes per-token total
+    term count and document frequency as partial aggregates; pass 2
+    applies ``idf = ln(N / (1 + df))`` (the reference's exact formula,
+    seo.py:96-99) once per token. Deviation from the reference is
+    documented: the reference scores per-document tf = count/len; the
+    corpus-level ranking uses total counts so the score is a single
+    deterministic float op, reproducible bit-for-bit in SQL."""
+    ds = T(sf_dir, "documents", columns=["text"])
+    n_docs = T(sf_dir, "documents", columns=["doc_id"]).count()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        total = toks.explode().value_counts()
+        docfreq = toks.map(set).explode().value_counts()
+        out = pd.DataFrame({"token": total.index, "tc": total.to_numpy()})
+        d = pd.DataFrame({"token": docfreq.index, "df": docfreq.to_numpy()})
+        return out.merge(d, on="token", how="outer").fillna(0)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192).to_pandas()
+    agg = parts.groupby("token", sort=False)[["tc", "df"]].sum().reset_index()
+    agg["tfidf"] = (agg["tc"] * np.log(n_docs / (1.0 + agg["df"]))).round(6)
+    agg["tc"] = agg["tc"].astype("int64")
+    agg["df"] = agg["df"].astype("int64")
+    agg = agg.sort_values(["tfidf", "token"], ascending=[False, True]).head(15)
+    return agg[["token", "tc", "df", "tfidf"]].reset_index(drop=True)
+
+
+Q_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), stats AS (
+  SELECT token, count(*) AS tc, count(DISTINCT doc_id) AS df FROM toks GROUP BY token
+)
+SELECT token, tc, df,
+       round(tc * ln((SELECT count(*) FROM documents) / (1.0 + df)), 6) AS tfidf
+FROM stats ORDER BY tfidf DESC, token LIMIT 15
+"""
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality-score features per language: avg chars, avg whitespace
+    tokens, share of 'long' documents — length/stopword-style scoring
+    vectorized per batch, aggregated with partials."""
+    ds = T(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_tokens"] = df["text"].str.lower().str.split(" ").map(len)
+        df["is_long"] = (df["n_chars"] > 300).astype("int64")
+        return df[["lang", "n_chars", "n_tokens", "is_long"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=8192)
+    out = partial_sum_count(
+        ds, keys=["lang"],
+        sums={"sum_chars": "n_chars", "sum_tokens": "n_tokens", "n_long": "is_long"},
+        count_name="n_docs",
+    )
+    out["avg_chars"] = (out["sum_chars"] / out["n_docs"]).round(4)
+    out["avg_tokens"] = (out["sum_tokens"] / out["n_docs"]).round(4)
+    out = out[["lang", "n_docs", "n_long", "avg_chars", "avg_tokens"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_DOC_QUALITY_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_long,
+       round(sum(n_chars) / count(*), 4) AS avg_chars,
+       round(sum(len(string_split(lower(text), ' '))) / count(*), 4) AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_id_heuristic(sf_dir: str) -> pd.DataFrame:
+    """Function-word language-ID heuristic vs the labeled ``lang`` column:
+    confusion counts (predicted × labeled). The predictor
+    (text/ops.py lang_id) is deterministic; no SQL oracle (rows-only) —
+    the heuristic's marker loops are not reasonably SQL-expressible."""
+    ds = T(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["predicted"] = df["text"].map(ops.lang_id)
+        return df[["lang", "predicted"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=8192)
+    out = partial_sum_count(ds, keys=["lang", "predicted"], sums={}, count_name="n")
+    return out.sort_values(["lang", "predicted"]).reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprints (text/ops.py) — count of
+    distinct fingerprints per source. Rows-only (custom hash not in SQL)."""
+    ds = T(sf_dir, "documents", columns=["source", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["fp"] = df["text"].map(lambda t: ops.rolling_fingerprint(t))
+        return df[["source", "fp"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=4096)
+    df = ds.to_pandas()
+    out = df.groupby("source")["fp"].nunique().reset_index(name="n_distinct_fp")
+    return out.sort_values("source").reset_index(drop=True)
