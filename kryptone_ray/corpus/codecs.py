@@ -102,6 +102,11 @@ def decode_png(data: bytes, w: int | None = None, h: int | None = None) -> np.nd
             break
     raw = zlib.decompress(idat)
     stride = width * 3
+    # fast path: all filter bytes are 0 (what our encoder emits) — one
+    # vectorized strided view instead of a per-row loop
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if not arr[:, 0].any():
+        return arr[:, 1:].reshape(height, width, 3).copy()
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):

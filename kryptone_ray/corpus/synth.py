@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 
 from kryptone_ray.corpus import codecs
-from kryptone_ray.utils.xxh64 import xxh64
+from kryptone_ray.utils.xxh64 import content_hash64, xxh64
 
 _M = 0xFFFFFFFFFFFFFFFF
 _MIX1 = 0xFF51AFD7ED558CCD
@@ -74,10 +74,13 @@ class CorpusSpec:
     receives a large share of pages (exercises salting / politeness).
     """
 
-    def __init__(self, n_rows: int, n_hosts: int = 64, seed: int = 42, alpha: float = 1.2):
+    def __init__(self, n_rows: int, n_hosts: int = 64, seed: int = 42,
+                 alpha: float = 1.2, min_dim: int = 8, max_dim: int = 64):
         self.n_rows = n_rows
         self.n_hosts = n_hosts
         self.seed = seed
+        self.min_dim = min_dim
+        self.max_dim = max_dim
         self._cdf = _zipf_cdf(n_hosts, alpha)
 
     def host_index(self, i: int) -> int:
@@ -100,7 +103,8 @@ class CorpusSpec:
 
     def dims(self, i: int) -> tuple[int, int]:
         h = mix64(i * 5 + 2 + self.seed)
-        return 8 + (h % 57), 8 + ((h >> 8) % 57)  # w, h in [8, 64]
+        span = self.max_dim - self.min_dim + 1
+        return self.min_dim + (h % span), self.min_dim + ((h >> 8) % span)
 
     def fmt(self, i: int) -> str:
         return codecs.FORMATS[mix64(i * 7 + 3 + self.seed) % 3]
@@ -134,7 +138,7 @@ class CorpusSpec:
             "h": h,
             "fmt": fmt,
             "caption": self.caption(i),
-            "phash": np.int64(np.uint64(xxh64(px.tobytes())).astype(np.int64)),
+            "phash": np.int64(np.uint64(content_hash64(px.tobytes())).astype(np.int64)),
         }
 
     def synth_batch(self, indices) -> pa.Table:

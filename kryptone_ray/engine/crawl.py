@@ -50,6 +50,57 @@ from kryptone_ray.state.scheduler import FrontierSchedulerLocal
 from kryptone_ray.state.seen import SeenSet, SeenShardLocal
 
 
+_READER_CACHE: dict[str, CorpusReader] = {}
+
+
+def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
+                        nshards: int, run_dir: str) -> pa.Table:
+    """The full per-slice window stage (fetch → decode → log → expand →
+    validate) as a plain function — executed either by the map_batches
+    pipeline (mode='ray') or by `ray.remote` tasks (mode='tasks'). The
+    'tasks' mode exists because a NEW Dataset pipeline per politeness
+    window costs ~1-2 s of executor startup/teardown regardless of work
+    (measured in BASELINE.md) — an iterative bounded-window loop is the
+    one shape the streaming executor cannot amortize. The batch bodies
+    are identical Arrow-in/Arrow-out transforms either way."""
+    import uuid as _uuid
+
+    reader = _worker_reader(corpus_dir)
+    fetched = fetch_table(reader, t)
+    decoded = decode_table(fetched)
+    validated, lineage = expand_and_validate(decoded, outlinks_fn, vcfg, nshards)
+    bidx = int(t["batch_idx"][0].as_py())
+    tag = _uuid.uuid4().hex[:8]
+    pq.write_table(decoded, f"{run_dir}/visits/batch-{bidx:08d}-{tag}.parquet")
+    pq.write_table(lineage, f"{run_dir}/lineage/batch-{bidx:08d}-{tag}.parquet")
+    return validated
+
+
+def _worker_reader(corpus_dir: str) -> CorpusReader:
+    """Per-worker-process corpus reader cache: ray worker processes are
+    long-lived across batches, so footer parsing happens once per worker
+    (the stateful-stage contract without paying actor-pool re-creation
+    per politeness window)."""
+    r = _READER_CACHE.get(corpus_dir)
+    if r is None:
+        r = CorpusReader(corpus_dir)
+        _READER_CACHE[corpus_dir] = r
+    return r
+
+
+def _empty_validated() -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([], type=pa.string()),
+            "host": pa.array([], type=pa.string()),
+            "url_hash": pa.array([], type=pa.uint64()),
+            "verdict": pa.array([], type=pa.string()),
+            "depth": pa.array([], type=pa.int32()),
+            "min_iter": pa.array([], type=pa.int64()),
+        }
+    )
+
+
 class _LocalSeenSet:
     """Single-process stand-in for SeenSet (same semantics, no actors)."""
 
@@ -130,6 +181,8 @@ class RayCrawler:
             spill_dir=str(self.run_dir / "spill"),
         )
         self._reader: CorpusReader | None = None
+        self._stage_task = None
+        self._cfg_refs = None
         self.vcfg: ValidationConfig | None = None
         self.pages_visited = 0
         self.errors = 0
@@ -166,20 +219,24 @@ class RayCrawler:
         columns (url, host, url_hash, verdict, depth)."""
         if len(vt) == 0:
             return 0
+        import pyarrow.compute as pc
+
         hashes = vt["url_hash"].to_numpy().astype(np.uint64)
         urls = vt["url"].to_pylist()
         is_new = self.seen.check_and_add(hashes, urls)
-        verdicts = np.asarray(vt["verdict"].to_pylist(), dtype=object)
-        enqueue = is_new & (verdicts == CANDIDATE)
+        is_cand = pc.equal(vt["verdict"], pa.scalar(CANDIDATE)).to_numpy(
+            zero_copy_only=False
+        )
+        enqueue = is_new & is_cand
         if not enqueue.any():
             return 0
-        idx = np.flatnonzero(enqueue)
+        sub = vt.filter(pa.array(enqueue))
         self.sched.add(
-            [urls[i] for i in idx],
-            [vt["host"][int(i)].as_py() for i in idx],
-            [vt["depth"][int(i)].as_py() for i in idx],
+            sub["url"].to_pylist(),
+            sub["host"].to_pylist(),
+            sub["depth"].to_pylist(),
         )
-        return int(len(idx))
+        return len(sub)
 
     # --- main loop ----------------------------------------------------
     def run(self, seeds: list[str] | None = None, checkpoint_every: int = 0,
@@ -223,14 +280,16 @@ class RayCrawler:
                 }
             )
             if self.mode == "ray":
-                validated, lineage, visits = self._process_batch_ray(batch)
+                validated = self._process_batch_ray(batch)
+            elif self.mode == "tasks":
+                validated = self._process_batch_tasks(batch)
             else:
                 validated, lineage, visits = self._process_batch_local(batch)
+                self.errors += sum(1 for s in visits["status"].to_pylist() if s != "ok")
+                pq.write_table(visits, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
+                pq.write_table(lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
 
-            self.pages_visited += len(visits)
-            self.errors += sum(1 for s in visits["status"].to_pylist() if s != "ok")
-            pq.write_table(visits, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
-            pq.write_table(lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
+            self.pages_visited += len(urls)
             self._ingest_validated(validated)
             batches_done += 1
             if checkpoint_every and (bidx + 1) % checkpoint_every == 0:
@@ -247,50 +306,94 @@ class RayCrawler:
         )
         return validated, lineage, decoded
 
-    def _process_batch_ray(self, batch: pa.Table):
+    def _window_slices(self, batch: pa.Table) -> list[pa.Table]:
+        """Sort the window by url_hash so each slice's corpus take touches
+        a DISJOINT row-group range (the corpus is range-partitioned on the
+        same key) — without this every task reads nearly every row group.
+        Visit order is carried by the visit_idx column, so in-window row
+        order is free to change. Then cut zero-copy slices, ~1 per CPU."""
+        import pyarrow.compute as _pc
+        import ray as _ray
+
+        from kryptone_ray.utils.xxh64 import xxh64_batch as _xx
+
+        key = pa.array(_xx(batch["url"].to_pylist()), type=pa.uint64())
+        batch = batch.take(_pc.sort_indices(key))
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        n_tasks = max(1, min(len(batch) // 64 + 1, ncpu))
+        per = -(-len(batch) // n_tasks)
+        slices = [batch.slice(i * per, per) for i in range(n_tasks)]
+        return [s for s in slices if len(s)]
+
+    @staticmethod
+    def _merge_validated(parts: list[pa.Table]) -> pa.Table:
+        """Cross-slice dedupe: keep, per url, the row with the smallest
+        (min_iter, depth) — guard-off (iter 0) rows win, independent of
+        slice completion order."""
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return _empty_validated()
+        import pyarrow.compute as pc
+
+        validated = pa.concat_tables(parts).combine_chunks()
+        order = pc.sort_indices(
+            validated,
+            sort_keys=[("url", "ascending"), ("min_iter", "ascending"),
+                       ("depth", "ascending")],
+        )
+        srt = validated.take(order)
+        u = srt["url"]
+        n = len(srt)
+        if n <= 1:
+            return srt
+        neq = pc.not_equal(u.slice(1), u.slice(0, n - 1)).combine_chunks()
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = neq.to_numpy(zero_copy_only=False)
+        return srt.filter(pa.array(keep))
+
+    def _process_batch_ray(self, batch: pa.Table) -> pa.Table:
+        """One fused map_batches stage per politeness window: fetch
+        (per-worker cached corpus reader) → decode → visits/lineage log
+        writes (in-task, uniquely-named files) → expand+validate. Only
+        the metadata-sized validated rows return to the driver; image
+        bytes never cross a stage boundary."""
         import ray.data as rd
 
         outlinks_fn = self.outlinks_fn
         vcfg = self.vcfg
         nshards = self.num_seen_shards
+        corpus_dir = self.corpus_dir
+        run_dir = str(self.run_dir)
 
-        ds = rd.from_arrow(batch)
-        ds = ds.map_batches(
-            FetchActor,
-            fn_constructor_kwargs={"corpus_dir": self.corpus_dir},
-            batch_format="pyarrow",
-            batch_size=self.ray_batch_rows,
-            concurrency=self.fetch_concurrency,
-            num_cpus=1,
+        def full_stage(t: pa.Table) -> pa.Table:
+            return _window_slice_stage(t, corpus_dir, outlinks_fn, vcfg, nshards, run_dir)
+
+        ds = rd.from_arrow(self._window_slices(batch)).map_batches(
+            full_stage, batch_format="pyarrow", batch_size=None
         )
-        ds = ds.map_batches(decode_table, batch_format="pyarrow",
-                            batch_size=self.ray_batch_rows)
-        # decoded visits stream back to the driver; expansion+validation
-        # runs per sub-batch, outputs are metadata-sized.
-        visit_parts: list[pa.Table] = []
-        validated_parts: list[pa.Table] = []
-        lineage_parts: list[pa.Table] = []
-        for sub in ds.iter_batches(batch_size=self.ray_batch_rows, batch_format="pyarrow"):
-            visit_parts.append(sub.drop_columns([c for c in ("bytes",) if c in sub.schema.names]))
-            validated, lineage = expand_and_validate(sub, outlinks_fn, vcfg, nshards)
-            validated_parts.append(validated)
-            lineage_parts.append(lineage)
-        visits = pa.concat_tables(visit_parts) if visit_parts else batch
-        lineage = pa.concat_tables(lineage_parts)
-        validated = pa.concat_tables(validated_parts)
-        if len(validated):
-            # cross-sub-batch dedupe: keep, per url, the row with the
-            # smallest (min_iter, depth) — guard-off (iter 0) rows win,
-            # independent of sub-batch arrival order.
-            u = np.asarray(validated["url"].to_pylist(), dtype=object)
-            mi = validated["min_iter"].to_numpy()
-            dd = validated["depth"].to_numpy()
-            order = np.lexsort((dd, mi, u))
-            u_sorted = u[order]
-            keep_sorted = np.ones(len(u_sorted), dtype=bool)
-            keep_sorted[1:] = u_sorted[1:] != u_sorted[:-1]
-            validated = validated.take(pa.array(order[keep_sorted]))
-        return validated, lineage, visits
+        parts = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        return self._merge_validated(parts)
+
+    def _process_batch_tasks(self, batch: pa.Table) -> pa.Table:
+        """Same stage bodies as mode='ray', scheduled as plain ray tasks —
+        see _window_slice_stage docstring for why this mode exists."""
+        import ray as _ray
+
+        if self._stage_task is None:
+            self._stage_task = _ray.remote(_window_slice_stage)
+            self._cfg_refs = (
+                _ray.put(self.outlinks_fn),
+                _ray.put(self.vcfg),
+            )
+        ol_ref, vcfg_ref = self._cfg_refs
+        refs = [
+            self._stage_task.remote(
+                s, self.corpus_dir, ol_ref, vcfg_ref,
+                self.num_seen_shards, str(self.run_dir),
+            )
+            for s in self._window_slices(batch)
+        ]
+        return self._merge_validated(_ray.get(refs))
 
     # --- checkpoint / resume -----------------------------------------
     def checkpoint(self) -> None:
@@ -353,10 +456,21 @@ class RayCrawler:
         files = sorted((self.run_dir / "visits").glob("batch-*.parquet"))
         return pa.concat_tables([pq.read_table(f) for f in files]) if files else None
 
+    def count_errors(self) -> int:
+        """Fetch misses; in ray/tasks mode visit logs are written in-task,
+        so the count is derived from the logs on demand."""
+        if self.mode == "local":
+            return self.errors
+        n = 0
+        for f in (self.run_dir / "visits").glob("batch-*.parquet"):
+            t = pq.read_table(f, columns=["status"])
+            n += len(t) - t["status"].to_pandas().eq("ok").sum()
+        return int(n)
+
     def metrics(self) -> dict:
         return {
             "pages_visited": self.pages_visited,
-            "errors": self.errors,
+            "errors": self.count_errors(),
             "frontier_size": self.sched.size(),
             "seen_size": self.seen.size(),
             "batches": self.sched.batch_counter,

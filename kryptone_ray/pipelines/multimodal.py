@@ -110,9 +110,9 @@ class ImageResizeActor:
             xi = (np.arange(self.out_w) * w // self.out_w).astype(int)
             thumb = px[yi][:, xi]
             thumbs.append(codecs.encode_raw(thumb))
-            from kryptone_ray.utils.xxh64 import xxh64
+            from kryptone_ray.utils.xxh64 import content_hash64
 
-            hashes.append(np.uint64(xxh64(thumb.tobytes())).astype(np.int64))
+            hashes.append(np.uint64(content_hash64(thumb.tobytes())).astype(np.int64))
         return pa.table(
             {
                 "image_id": batch["image_id"],

@@ -17,7 +17,7 @@ import pyarrow.compute as pc
 
 from kryptone_ray.corpus import codecs
 from kryptone_ray.corpus.store import CorpusReader
-from kryptone_ray.utils.xxh64 import xxh64
+from kryptone_ray.utils.xxh64 import content_hash64
 
 FETCH_STATUS_OK = "ok"
 FETCH_STATUS_MISSING = "missing"  # reference: skip-and-continue on fetch
@@ -26,59 +26,55 @@ FETCH_STATUS_MISSING = "missing"  # reference: skip-and-continue on fetch
 
 def fetch_table(reader: CorpusReader, batch: pa.Table) -> pa.Table:
     """Join a released frontier batch (url, depth, visit_idx, ts, batch_idx)
-    with its corpus rows. Missing URLs produce status='missing' rows with
+    with its corpus rows — fully vectorized (``pc.index_in`` hash join on
+    the url strings). Missing URLs produce status='missing' rows with
     null payloads."""
-    urls = batch["url"].to_pylist()
-    hit = reader.take_urls(urls)
-    by_url = {}
-    if len(hit):
-        cols = hit.to_pydict()
-        for i, u in enumerate(cols["image_id"]):
-            by_url[u] = i
+    urls_col = batch["url"]
+    if isinstance(urls_col, pa.ChunkedArray):
+        urls_col = urls_col.combine_chunks()
+    hit = reader.take_urls(urls_col.to_pylist())
 
-    n = len(urls)
+    n = len(batch)
     out = {
-        "url": urls,
-        "depth": batch["depth"].to_pylist(),
-        "visit_idx": batch["visit_idx"].to_pylist(),
-        "ts": batch["ts"].to_pylist(),
-        "batch_idx": batch["batch_idx"].to_pylist(),
-        "status": [FETCH_STATUS_OK if u in by_url else FETCH_STATUS_MISSING for u in urls],
-        "bytes": [None] * n,
-        "w": [0] * n,
-        "h": [0] * n,
-        "fmt": [""] * n,
-        "caption": [None] * n,
-        "phash": [0] * n,
+        "url": urls_col,
+        "depth": batch["depth"],
+        "visit_idx": batch["visit_idx"],
+        "ts": batch["ts"],
+        "batch_idx": batch["batch_idx"],
     }
-    if by_url:
-        cols = hit.to_pydict()
-        for i, u in enumerate(urls):
-            j = by_url.get(u)
-            if j is None:
-                continue
-            out["bytes"][i] = cols["bytes"][j]
-            out["w"][i] = cols["w"][j]
-            out["h"][i] = cols["h"][j]
-            out["fmt"][i] = cols["fmt"][j]
-            out["caption"][i] = cols["caption"][j]
-            out["phash"][i] = cols["phash"][j]
-    return pa.table(
-        {
-            "url": pa.array(out["url"], type=pa.string()),
-            "depth": pa.array(out["depth"], type=pa.int32()),
-            "visit_idx": pa.array(out["visit_idx"], type=pa.int64()),
-            "ts": pa.array(out["ts"], type=pa.float64()),
-            "batch_idx": pa.array(out["batch_idx"], type=pa.int64()),
-            "status": pa.array(out["status"], type=pa.string()),
-            "bytes": pa.array(out["bytes"], type=pa.binary()),
-            "w": pa.array(out["w"], type=pa.int32()),
-            "h": pa.array(out["h"], type=pa.int32()),
-            "fmt": pa.array(out["fmt"], type=pa.string()),
-            "caption": pa.array(out["caption"], type=pa.string()),
-            "phash": pa.array(out["phash"], type=pa.int64()),
-        }
+    if len(hit) == 0:
+        out["status"] = pa.array([FETCH_STATUS_MISSING] * n, type=pa.string())
+        out["bytes"] = pa.nulls(n, type=pa.binary())
+        out["w"] = pa.array([0] * n, type=pa.int32())
+        out["h"] = pa.array([0] * n, type=pa.int32())
+        out["fmt"] = pa.array([""] * n, type=pa.string())
+        out["caption"] = pa.nulls(n, type=pa.string())
+        out["phash"] = pa.array([0] * n, type=pa.int64())
+        return pa.table(out)
+
+    idx = pc.index_in(urls_col, value_set=hit["image_id"].combine_chunks()
+                      if isinstance(hit["image_id"], pa.ChunkedArray)
+                      else hit["image_id"])
+    miss = pc.is_null(idx)
+    safe = pc.fill_null(idx, 0)
+    out["status"] = pc.if_else(
+        miss, pa.scalar(FETCH_STATUS_MISSING), pa.scalar(FETCH_STATUS_OK)
     )
+    for src, dst, null_fill in (
+        ("bytes", "bytes", None),
+        ("w", "w", 0),
+        ("h", "h", 0),
+        ("fmt", "fmt", ""),
+        ("caption", "caption", None),
+        ("phash", "phash", 0),
+    ):
+        col = hit[src].take(safe)
+        if null_fill is None:
+            col = pc.if_else(miss, pa.scalar(None, type=col.type), col)
+        else:
+            col = pc.if_else(miss, pa.scalar(null_fill, type=col.type), col)
+        out[dst] = col
+    return pa.table(out)
 
 
 def decode_table(batch: pa.Table) -> pa.Table:
@@ -95,16 +91,20 @@ def decode_table(batch: pa.Table) -> pa.Table:
     dec_hash = np.zeros(n, dtype=np.int64)
     px_mean = np.zeros(n, dtype=np.float64)
     ok = np.zeros(n, dtype=bool)
-    data = batch.to_pydict()
+    col_bytes = batch["bytes"].to_pylist()
+    col_fmt = batch["fmt"].to_pylist()
+    col_w = batch["w"].to_pylist()
+    col_h = batch["h"].to_pylist()
+    col_status = batch["status"].to_pylist()
     for i in range(n):
-        b = data["bytes"][i]
-        if b is None or data["status"][i] != FETCH_STATUS_OK:
+        b = col_bytes[i]
+        if b is None or col_status[i] != FETCH_STATUS_OK:
             continue
         try:
-            px = codecs.decode(b, data["fmt"][i], data["w"][i], data["h"][i])
+            px = codecs.decode(b, col_fmt[i], col_w[i], col_h[i])
         except Exception:
             continue
-        dec_hash[i] = np.uint64(xxh64(px.tobytes())).astype(np.int64)
+        dec_hash[i] = np.uint64(content_hash64(px.tobytes())).astype(np.int64)
         px_mean[i] = float(px.mean())
         ok[i] = True
     out = batch.drop_columns(["bytes"])

@@ -155,20 +155,23 @@ def validate_batch(
     for pat in cfg._gather_pats:
         gather_mask |= frame.test_path(pat)
 
-    # step 3 — relative paths → absolute (only non-gather-ignored survive).
-    is_rel = frame.is_path() & ~gather_mask
+    # step 3 — relative paths → absolute (only non-gather-ignored
+    # survive); only joined rows are re-parsed.
+    keep = ~gather_mask
+    frame = frame.take(keep)
+    is_rel = frame.is_path()
     if is_rel.any():
-        raws = frame.raw.copy()
-        for i in np.flatnonzero(is_rel):
-            raws[i] = join_relative(cfg._origin, frame.raw[i])
-        frame = parse_batch(raws[~gather_mask])
-    else:
-        frame = parse_batch(frame.raw[~gather_mask])
+        rel_idx = np.flatnonzero(is_rel)
+        joined = parse_batch(
+            [join_relative(cfg._origin, frame.raw[i]) for i in rel_idx]
+        )
+        for name in ("raw", "scheme", "netloc", "path", "query", "fragment", "suffix"):
+            getattr(frame, name)[rel_idx] = getattr(joined, name)
 
-    # step 1 — dedupe on the post-join canonical string.
+    # step 1 — dedupe on the post-join canonical string (keep-first).
     _, first_idx = np.unique(frame.raw.astype(str), return_index=True)
     first_idx.sort()
-    frame = parse_batch(frame.raw[first_idx])
+    frame = frame.take(first_idx)
 
     n = len(frame)
     verdict = np.full(n, CANDIDATE, dtype=object)

@@ -124,6 +124,13 @@ class UrlFrame:
     def __len__(self) -> int:
         return len(self.raw)
 
+    def take(self, idx) -> "UrlFrame":
+        """Row subset without re-parsing."""
+        return UrlFrame(
+            self.raw[idx], self.scheme[idx], self.netloc[idx], self.path[idx],
+            self.query[idx], self.fragment[idx], self.suffix[idx],
+        )
+
     # --- predicates (each returns np.ndarray[bool]) -------------------
     def is_empty(self) -> np.ndarray:
         return self.raw == ""

@@ -90,6 +90,25 @@ def xxh64(data: bytes | str, seed: int = 0) -> int:
     return h
 
 
+def content_hash64(data: bytes, seed: int = 0) -> int:
+    """Fast deterministic 64-bit hash for LARGE payloads (pixel buffers):
+    numpy-vectorized position-mixed fold, finalized through scalar XXH64.
+    Not XXH64 of the input — a distinct, stable function used where the
+    spec only requires "a deterministic hash of decoded pixels"
+    (BASELINE.json input_hint ``phash``). ~100× faster than the scalar
+    loop on multi-KB inputs."""
+    n = len(data)
+    pad = (-n) % 8
+    if pad:
+        data = data + b"\x00" * pad
+    a = np.frombuffer(data, dtype="<u8")
+    idx = np.arange(1, len(a) + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        mixed = (a ^ (idx * np.uint64(_P1))) * np.uint64(_P2)
+    digest = int(np.bitwise_xor.reduce(mixed)) if len(mixed) else 0
+    return xxh64(digest.to_bytes(8, "little") + n.to_bytes(8, "little"), seed)
+
+
 def xxh64_batch(strings, seed: int = 0) -> np.ndarray:
     """Hash an iterable of str/bytes → ``np.ndarray(dtype=uint64)``.
 

@@ -41,14 +41,14 @@ def test_qraw_lossy_psnr_above_40db(spec):
 
 
 def test_corpus_rows_decode_and_match_phash(spec):
-    from kryptone_ray.utils.xxh64 import xxh64
+    from kryptone_ray.utils.xxh64 import content_hash64
 
     for i in range(30):
         row = spec.row(i)
         px = codecs.decode(row["bytes"], row["fmt"], row["w"], row["h"])
         assert px.shape == (row["h"], row["w"], 3)
         if row["fmt"] in codecs.LOSSLESS:
-            assert int(np.uint64(row["phash"])) == xxh64(px.tobytes())
+            assert int(np.uint64(row["phash"])) == content_hash64(px.tobytes())
         else:
             assert codecs.psnr(spec.pixels(i), px) >= 40.0
 

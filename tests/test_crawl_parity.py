@@ -120,3 +120,10 @@ def test_parity_ray_mode(small_world, tmp_path, ray_session):
     cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",), max_pages=120)
     golden, eng = run_pair(spec, d, tmp_path, cs, mode="ray")
     assert_parity(golden, eng)
+
+
+def test_parity_tasks_mode(small_world, tmp_path, ray_session):
+    spec, d = small_world
+    cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",), max_pages=120)
+    golden, eng = run_pair(spec, d, tmp_path, cs, mode="tasks")
+    assert_parity(golden, eng)
