@@ -83,6 +83,11 @@ def _worker_reader(corpus_dir: str) -> CorpusReader:
     per politeness window)."""
     r = _READER_CACHE.get(corpus_dir)
     if r is None:
+        # pin pyarrow's internal pools: each ray worker is a 1-CPU slot;
+        # the default (one pool of size n_host_cores PER worker) makes
+        # concurrent tasks thrash each other's parquet decodes
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
         r = CorpusReader(corpus_dir)
         _READER_CACHE[corpus_dir] = r
     return r
