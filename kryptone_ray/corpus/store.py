@@ -60,7 +60,7 @@ def write_corpus(table: pa.Table, out_dir: str | os.PathLike, num_shards: int = 
         if len(sub) == 0:
             continue
         tmp = out / f".part-{s:05d}.parquet.tmp"
-        pq.write_table(sub, tmp, row_group_size=row_group_size)
+        pq.write_table(sub, tmp, row_group_size=row_group_size, compression="none")
         os.replace(tmp, out / f"part-{s:05d}.parquet")
 
 
@@ -69,7 +69,10 @@ def write_corpus_distributed(ds, out_dir: str | os.PathLike,
     """Distributed writer: ``ds`` must already carry ``url_hash``; one
     sort shuffle then parallel parquet writes (files are range-disjoint
     because the dataset is globally sorted)."""
-    ds.sort(KEY).write_parquet(str(out_dir), row_group_size=row_group_size)
+    # image bytes are high-entropy — compression buys nothing and its
+    # decode is a flat per-byte cost on the fetch path
+    ds.sort(KEY).write_parquet(str(out_dir), row_group_size=row_group_size,
+                               compression="none")
 
 
 class CorpusReader:

@@ -54,7 +54,8 @@ _READER_CACHE: dict[str, CorpusReader] = {}
 
 
 def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
-                        nshards: int, run_dir: str) -> pa.Table:
+                        nshards: int, run_dir: str,
+                        shard_handles=None) -> pa.Table:
     """The full per-slice window stage (fetch → decode → log → expand →
     validate) as a plain function — executed either by the map_batches
     pipeline (mode='ray') or by `ray.remote` tasks (mode='tasks'). The
@@ -73,7 +74,41 @@ def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
     tag = _uuid.uuid4().hex[:8]
     pq.write_table(decoded, f"{run_dir}/visits/batch-{bidx:08d}-{tag}.parquet")
     pq.write_table(lineage, f"{run_dir}/lineage/batch-{bidx:08d}-{tag}.parquet")
-    return validated
+    if shard_handles is None:
+        return validated
+    # pipelined ingest: stream this slice's validated rows straight into
+    # the seen shards (order-free and exact — the shards keep the best
+    # (iter, depth) contributor per new url; see SeenShardLocal.ingest_window)
+    import ray as _ray
+
+    from kryptone_ray.stages.validate import CANDIDATE as _CAND
+
+    h = validated["url_hash"].to_numpy().astype(np.uint64)
+    if len(h) == 0:
+        return _empty_validated()
+    urls = validated["url"].to_pylist()
+    hosts = validated["host"].to_pylist()
+    depths = validated["depth"].to_numpy()
+    iters = validated["min_iter"].to_numpy()
+    import pyarrow.compute as _pc
+
+    cand = _pc.equal(validated["verdict"], pa.scalar(_CAND)).to_numpy(
+        zero_copy_only=False
+    )
+    shard_of = h % np.uint64(len(shard_handles))
+    refs = []
+    for s in range(len(shard_handles)):
+        idx = np.flatnonzero(shard_of == np.uint64(s))
+        if len(idx) == 0:
+            continue
+        refs.append(
+            shard_handles[s].ingest_window.remote(
+                h[idx], [urls[i] for i in idx], [hosts[i] for i in idx],
+                depths[idx], iters[idx], cand[idx],
+            )
+        )
+    _ray.get(refs)
+    return _empty_validated()
 
 
 def _worker_reader(corpus_dir: str) -> CorpusReader:
@@ -175,7 +210,7 @@ class RayCrawler:
         (self.run_dir / "visits").mkdir(parents=True, exist_ok=True)
         (self.run_dir / "lineage").mkdir(parents=True, exist_ok=True)
 
-        if mode == "ray":
+        if mode in ("ray", "tasks"):
             self.seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode)
         else:
             self.seen = _LocalSeenSet(num_shards=num_seen_shards, mode=seen_mode)
@@ -381,7 +416,13 @@ class RayCrawler:
 
     def _process_batch_tasks(self, batch: pa.Table) -> pa.Table:
         """Same stage bodies as mode='ray', scheduled as plain ray tasks —
-        see _window_slice_stage docstring for why this mode exists."""
+        see _window_slice_stage docstring for why this mode exists.
+
+        Ingest is PIPELINED: each slice task streams its validated rows
+        into the seen-shard actors as it finishes (exact: shards keep the
+        min-(iter,depth) contributor per url — same outcome as the
+        sequential reference); the window barrier is just a per-shard
+        flush returning the deduplicated frontier adds."""
         import ray as _ray
 
         if self._stage_task is None:
@@ -395,10 +436,22 @@ class RayCrawler:
             self._stage_task.remote(
                 s, self.corpus_dir, ol_ref, vcfg_ref,
                 self.num_seen_shards, str(self.run_dir),
+                self.seen.shards,
             )
             for s in self._window_slices(batch)
         ]
-        return self._merge_validated(_ray.get(refs))
+        _ray.get(refs)
+        flushes = _ray.get([s.flush_window.remote() for s in self.seen.shards])
+        urls: list[str] = []
+        hosts: list[str] = []
+        depths: list[int] = []
+        for f in flushes:
+            urls.extend(f["url"])
+            hosts.extend(f["host"])
+            depths.extend(f["depth"])
+        if urls:
+            self.sched.add(urls, hosts, depths)
+        return _empty_validated()
 
     # --- checkpoint / resume -----------------------------------------
     def checkpoint(self) -> None:

@@ -77,6 +77,74 @@ class SeenShardLocal:
             )
         return self.filter.contains_batch(h)
 
+    # --- windowed (pipelined) ingest ----------------------------------
+    # The exact, order-free frontier update for a politeness window
+    # processed by concurrent slices: every slice streams its validated
+    # rows in as it completes; the shard keeps, per NEW hash, the BEST
+    # contributor (min (visit_iter, depth) — the documented tie-break,
+    # identical to the sequential reference outcome; see
+    # stages/expand.py). ``flush_window`` closes the window and returns
+    # the deduplicated candidate entries to enqueue.
+
+    def ingest_window(self, hashes: np.ndarray, urls: list[str],
+                      hosts: list[str], depths: np.ndarray,
+                      iters: np.ndarray, candidate: np.ndarray) -> int:
+        h = hashes.astype(np.uint64, copy=False)
+        if not hasattr(self, "_pending"):
+            self._pending: dict[int, tuple] = {}
+        pend = self._pending
+        n_new = 0
+        if self.mode == "exact":
+            exact = self.exact
+            for k in range(len(h)):
+                key = int(h[k])
+                cur = pend.get(key)
+                if cur is not None:
+                    cand = (int(iters[k]), int(depths[k]))
+                    if cand < cur[:2]:
+                        pend[key] = (cand[0], cand[1], bool(candidate[k]),
+                                     urls[k], hosts[k])
+                elif key not in exact:
+                    pend[key] = (int(iters[k]), int(depths[k]),
+                                 bool(candidate[k]), urls[k], hosts[k])
+                    n_new += 1
+        else:
+            seen_mask = self.filter.contains_batch(h)
+            for k in range(len(h)):
+                key = int(h[k])
+                cur = pend.get(key)
+                if cur is not None:
+                    cand = (int(iters[k]), int(depths[k]))
+                    if cand < cur[:2]:
+                        pend[key] = (cand[0], cand[1], bool(candidate[k]),
+                                     urls[k], hosts[k])
+                elif not seen_mask[k]:
+                    pend[key] = (int(iters[k]), int(depths[k]),
+                                 bool(candidate[k]), urls[k], hosts[k])
+                    n_new += 1
+        return n_new
+
+    def flush_window(self) -> dict:
+        """Commit pending entries as seen; return the candidate ones as
+        {'url': [...], 'host': [...], 'depth': [...]} for the scheduler."""
+        pend = getattr(self, "_pending", None)
+        if not pend:
+            self._pending = {}
+            return {"url": [], "host": [], "depth": []}
+        keys = np.fromiter(pend.keys(), dtype=np.uint64, count=len(pend))
+        self.filter.insert_batch(keys)
+        if self.mode == "exact":
+            self.exact.update(int(x) for x in keys)
+        urls_out, hosts_out, depths_out = [], [], []
+        for key, (it, depth, cand, url, host) in pend.items():
+            self.urls[key] = url
+            if cand:
+                urls_out.append(url)
+                hosts_out.append(host)
+                depths_out.append(depth)
+        self._pending = {}
+        return {"url": urls_out, "host": hosts_out, "depth": depths_out}
+
     def size(self) -> int:
         return len(self.exact) if self.mode == "exact" else self.filter.count
 
