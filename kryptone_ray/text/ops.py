@@ -75,6 +75,38 @@ def clean_text(text, encoding: str = "utf-8"):
     return normalize_spaces(text)
 
 
+class Text:
+    """utils/text.py:59-93 — normalized text wrapper: str() lowers the
+    cleaned text, optionally stripping punctuation and accents; iterates
+    whitespace tokens."""
+
+    def __init__(self, text, punctuation: bool = False, accents: bool = False):
+        self.raw_text = text
+        self.punctuation = punctuation
+        self.accents = accents
+
+    def __str__(self) -> str:
+        out = clean_text(self.raw_text).lower()
+        if self.punctuation:
+            out = remove_punctuation(out)
+        if self.accents:
+            out = remove_accents(out)
+        return out
+
+    def __add__(self, obj) -> str:
+        return " ".join([str(self), str(obj)])
+
+    def __len__(self) -> int:
+        return len(str(self))
+
+    @property
+    def tokens(self) -> list[str]:
+        return str(self).split(" ")
+
+    def __iter__(self):
+        return iter(self.tokens)
+
+
 def remove_punctuation(text: str, keep=(), email_exception: bool = False) -> str:
     """utils/text.py:96-108 — str.translate drop of punctuation with a
     keep-list and an '@' exception for emails."""
