@@ -55,7 +55,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from kryptone_ray.pipelines import ann, dedup, events, multimodal, relational, textops
+    from kryptone_ray.pipelines import (
+        ann,
+        crawlops,
+        dedup,
+        events,
+        multimodal,
+        relational,
+        textops,
+    )
 
     return {
         # relational (SURVEY §2 filters/aggregates/joins/top-k/distinct)
@@ -95,6 +103,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
+        # crawl-side operators (rows-only; deterministic pinned corpus)
+        "crawl_visits": crawlops.q_crawl_visits,
+        "link_verdicts": crawlops.q_link_verdicts,
+        "url_predicates": crawlops.q_url_predicates,
+        "caption_prices": crawlops.q_caption_prices,
+        "caption_emails": crawlops.q_caption_emails,
+        "frontier_reorder": crawlops.q_frontier_reorder,
+        "extract_urls": crawlops.q_extract_urls,
+        "filter_cache": crawlops.q_filter_cache,
+        "images_by_extension": crawlops.q_images_by_extension,
     }
 
 
