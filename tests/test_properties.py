@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) — the validator and URL toolkit must
+never crash on arbitrary input and must satisfy structural invariants the
+reference guarantees. (The reference itself ships no property tests —
+SURVEY §5 — these harden the vectorized reimplementation.)"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kryptone_ray.stages.validate import CANDIDATE, ValidationConfig, validate_batch
+from kryptone_ray.utils.urlkit import parse_batch, path_suffix
+from kryptone_ray.utils.xxh64 import content_hash64, xxh64
+
+url_text = st.text(
+    alphabet=string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=.-_~% \n\t",
+    max_size=80,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(url_text, st.none(), st.integers()), max_size=30))
+def test_parse_batch_total(urls):
+    f = parse_batch(urls)
+    assert len(f) == len(urls)
+    # every predicate returns a mask of the right length, no exceptions
+    for mask in (f.is_empty(), f.is_valid(), f.has_fragment(), f.is_image(),
+                 f.is_path(), f.has_query(), f.is_secured()):
+        assert len(mask) == len(urls)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(url_text, max_size=30))
+def test_validator_invariants(urls):
+    cfg = ValidationConfig(start_url="http://example.com/")
+    t = validate_batch(urls, cfg, iteration_count=1)
+    out_urls = t["url"].to_pylist()
+    # output is deduplicated on the canonical string
+    assert len(out_urls) == len(set(out_urls))
+    # every candidate is same-netloc and fragment-free
+    from urllib.parse import urlparse
+
+    for u, v in zip(out_urls, t["verdict"].to_pylist()):
+        if v == CANDIDATE:
+            p = urlparse(u)
+            assert p.netloc == "example.com"
+            assert p.fragment == "" and not u.endswith("#")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(url_text, max_size=20), st.lists(url_text, max_size=20))
+def test_validator_batch_split_equivalence(a, b):
+    """Validating A∪B in one batch equals the union of verdicts when no
+    seen-state is involved (intrinsic checks are per-URL pure)."""
+    cfg = ValidationConfig(start_url="http://example.com/")
+    whole = validate_batch(a + b, cfg, 1)
+    whole_map = dict(zip(whole["url"].to_pylist(), whole["verdict"].to_pylist()))
+    parts = {}
+    for chunk in (a, b):
+        t = validate_batch(chunk, cfg, 1)
+        for u, v in zip(t["url"].to_pylist(), t["verdict"].to_pylist()):
+            parts.setdefault(u, v)
+    assert whole_map == parts
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=200), st.integers(min_value=0, max_value=2**32))
+def test_xxh64_deterministic_and_seeded(data, seed):
+    a = xxh64(data, seed)
+    assert a == xxh64(data, seed)
+    assert 0 <= a < 2**64
+    assert content_hash64(data) == content_hash64(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=string.printable, max_size=60))
+def test_path_suffix_matches_pathlib(name):
+    import pathlib
+
+    if not name or "\x00" in name:
+        return
+    assert path_suffix(name) == pathlib.PurePosixPath(name).suffix
