@@ -71,8 +71,10 @@ def path_suffix(name: str) -> str:
     """``pathlib.PurePath(name).suffix`` semantics without pathlib overhead.
 
     Final-component extension: text from the last '.' iff that dot is
-    neither the first nor the last character of the basename.
+    neither the first nor the last character of the basename. Trailing
+    slashes are ignored, as pathlib does ('a.jpg/' → '.jpg').
     """
+    name = name.rstrip("/")
     base = name[name.rfind("/") + 1 :]
     i = base.rfind(".")
     if 0 < i < len(base) - 1:
