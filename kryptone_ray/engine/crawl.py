@@ -214,11 +214,21 @@ class RayCrawler:
             self.seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode)
         else:
             self.seen = _LocalSeenSet(num_shards=num_seen_shards, mode=seen_mode)
+        delay_fn = None
+        if spec.robots_provider is not None:
+            from kryptone_ray.state.robots import RobotsCache
+
+            robots = RobotsCache(spec.robots_provider, spec.robots_agent)
+
+            def delay_fn(host, _r=robots):
+                return _r.crawl_delay(host)
+
         self.sched = FrontierSchedulerLocal(
             batch_size=spec.batch_size,
             wait_time=spec.wait_time,
             host_delay=spec.host_delay,
             spill_dir=str(self.run_dir / "spill"),
+            delay_fn=delay_fn,
         )
         self._reader: CorpusReader | None = None
         self._stage_task = None
@@ -238,6 +248,8 @@ class RayCrawler:
             ignore_images=self.spec.ignore_images,
             allowed_hosts=self.spec.allowed_hosts,
             ignore_tests=self._ignore_tests(),
+            robots_provider=self.spec.robots_provider,
+            robots_agent=self.spec.robots_agent,
         )
         vt = validate_batch(seeds, self.vcfg, iteration_count=0)
         self._ingest_validated(
@@ -491,6 +503,8 @@ class RayCrawler:
             ignore_images=self.spec.ignore_images,
             allowed_hosts=self.spec.allowed_hosts,
             ignore_tests=self._ignore_tests(),
+            robots_provider=self.spec.robots_provider,
+            robots_agent=self.spec.robots_agent,
         )
         self.seen.restore(str(ck / "seen"))
         ft = pq.read_table(ck / "frontier.parquet")

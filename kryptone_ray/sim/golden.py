@@ -43,6 +43,11 @@ class CrawlSpec:
     ignore_paths: tuple[str, ...] = ()  # URLIgnoreTest-style path substrings
     ignore_regexes: tuple[str, ...] = ()  # URLIgnoreRegexTest-style
     allowed_hosts: tuple[str, ...] | None = None  # None → start-netloc only
+    # robots.txt extension (north rule; reference has none): host →
+    # robots.txt text; disallowed URLs are seen-but-not-frontier, a
+    # host's Crawl-delay overrides host_delay for that host.
+    robots_provider: object = None
+    robots_agent: str = "*"
 
 
 @dataclass
@@ -60,6 +65,23 @@ class GoldenSimulator:
         self._gather = [re.compile(r) for r in spec.gather_ignore_regexes]
         self._rules = [re.compile(r) for r in spec.rule_test_regexes]
         self._ignore_res = [re.compile(r) for r in spec.ignore_regexes]
+        if spec.robots_provider is not None:
+            from kryptone_ray.state.robots import RobotsCache
+
+            self._robots = RobotsCache(spec.robots_provider, spec.robots_agent)
+        else:
+            self._robots = None
+
+    def _delay_of(self, host: str) -> float:
+        if self._robots is not None:
+            cd = self._robots.crawl_delay(host)
+            if cd is not None:
+                return cd
+        return self.spec.host_delay
+
+    @property
+    def _politeness_active(self) -> bool:
+        return self.spec.host_delay > 0 or self._robots is not None
 
     # --- scalar re-derivation of check_urls (base.py:652-760) ---------
     def _check_one(self, url: str, start_netloc: str, start_path: str,
@@ -109,6 +131,8 @@ class GoldenSimulator:
             return url, "invalid"
         if any(r.search(url) for r in self._ignore_res):
             return url, "invalid"
+        if self._robots is not None and not self._robots.allowed(p.netloc, p.path):
+            return url, "invalid"
         return url, "candidate"
 
     def run(self, seeds: list[str]) -> GoldenResult:
@@ -144,7 +168,7 @@ class GoldenSimulator:
         while frontier:
             if spec.max_pages is not None and visit_index >= spec.max_pages:
                 break
-            if spec.host_delay > 0:
+            if self._politeness_active:
                 eligible = [u for u in frontier if next_ok.get(_host(u), 0.0) <= clock]
                 if not eligible:
                     clock = max(
@@ -163,7 +187,8 @@ class GoldenSimulator:
                 if len(batch) >= spec.batch_size:
                     break
                 h = _host(u)
-                if spec.host_delay > 0 and h in hosts_in_batch:
+                # one-per-batch only for hosts with a positive delay
+                if h in hosts_in_batch and self._delay_of(h) > 0:
                     continue
                 batch.append(u)
                 hosts_in_batch.add(h)
@@ -175,8 +200,10 @@ class GoldenSimulator:
                 depth = frontier.pop(u)
                 visited.add(u)
                 visits.append((visit_index, u, clock))
-                if spec.host_delay > 0:
-                    next_ok[_host(u)] = clock + spec.host_delay
+                if self._politeness_active:
+                    d = self._delay_of(_host(u))
+                    if d > 0:
+                        next_ok[_host(u)] = clock + d
                 links = self.outlinks_fn(u)
                 lineage.extend((u, l) for l in links)
                 ingest(links, iteration=visit_index, depth=depth + 1)

@@ -64,6 +64,9 @@ HOME_PAGE = "home_page"
 IMAGE = "image"
 RULE_TEST = "rule_test"
 FILTERED = "filtered"  # url_ignore_tests exclusion — seen but not frontier
+ROBOTS = "robots_blocked"  # robots.txt disallow — extension (north rule);
+# runs LAST, after every reference check, so reference parity is
+# untouched when no robots provider is configured
 CANDIDATE = "candidate"  # frontier candidate pending seen/visited anti-join
 
 
@@ -117,8 +120,19 @@ class ValidationConfig:
     # netloc is in this whitelist ("*" = any non-empty netloc). None →
     # reference parity: netloc equality vs the start URL.
     allowed_hosts: tuple[str, ...] | None = None
+    # robots.txt extension: host → robots.txt text (deterministic);
+    # None disables the check entirely (reference parity).
+    robots_provider: object = None
+    robots_agent: str = "*"
 
     def __post_init__(self) -> None:
+        from kryptone_ray.state.robots import RobotsCache
+
+        self._robots = (
+            RobotsCache(self.robots_provider, self.robots_agent)
+            if self.robots_provider is not None
+            else None
+        )
         self._gather_pats = tuple(re.compile(r) for r in self.gather_ignore_regexes)
         self._rule_pats = tuple(re.compile(r) for r in self.rule_test_regexes)
         self._origin = origin_of(self.start_url) if self.start_url else ""
@@ -214,6 +228,14 @@ def validate_batch(
         for test in cfg.ignore_tests:
             excluded |= test.mask(frame)
         settle(excluded, FILTERED)
+    # step 14 (extension) — robots.txt disallow; last so reference
+    # semantics are unchanged without a provider.
+    if cfg._robots is not None:
+        blocked = np.zeros(n, dtype=bool)
+        for i in range(n):
+            if undecided[i] and not cfg._robots.allowed(frame.netloc[i], frame.path[i]):
+                blocked[i] = True
+        settle(blocked, ROBOTS)
 
     return pa.table(
         {

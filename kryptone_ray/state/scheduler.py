@@ -44,10 +44,15 @@ class FrontierSchedulerLocal:
         host_delay: float = 0.0,
         spill_dir: str | None = None,
         spill_threshold: int = 100_000,
+        delay_fn=None,
     ):
         self.batch_size = batch_size
         self.wait_time = wait_time
         self.host_delay = host_delay
+        # optional per-host politeness delay (robots Crawl-delay override);
+        # politeness is active when either knob is configured
+        self.delay_fn = delay_fn
+        self._delay_cache: dict[str, float] = {}
         self.spill_dir = pathlib.Path(spill_dir) if spill_dir else None
         self.spill_threshold = spill_threshold
         self.heaps: dict[str, list[tuple[int, str]]] = {}
@@ -131,6 +136,16 @@ class FrontierSchedulerLocal:
             self.heaps[host] = entries
             heapq.heapify(self.heaps[host])
 
+    def _delay_of(self, host: str) -> float:
+        if self.delay_fn is None:
+            return self.host_delay
+        d = self._delay_cache.get(host)
+        if d is None:
+            d = self.delay_fn(host)
+            d = self.host_delay if d is None else d
+            self._delay_cache[host] = d
+        return d
+
     def _host_head(self, host: str):
         heap = self.heaps.get(host)
         smin = self.spilled_min.get(host)
@@ -161,7 +176,7 @@ class FrontierSchedulerLocal:
         if self.total <= 0 or not self.heaps:
             return [], [], [], self.clock, self.batch_counter
 
-        if self.host_delay > 0:
+        if self.host_delay > 0 or self.delay_fn is not None:
             eligible = [h for h in self.heaps if self.next_ok.get(h, 0.0) <= self.clock]
             if not eligible:
                 self.clock = max(
@@ -170,18 +185,30 @@ class FrontierSchedulerLocal:
                 eligible = [
                     h for h in self.heaps if self.next_ok.get(h, 0.0) <= self.clock
                 ]
+            # k-way merge over host heads; at most one URL per batch for
+            # hosts with a positive delay (GoldenSimulator.run rule)
             heads = []
             for h in eligible:
                 head = self._host_head(h)
                 if head is not None:
                     heads.append((head[0], head[1], h))
-            heads.sort()
-            chosen = heads[: self.batch_size]
+            heapq.heapify(heads)
             batch = []
-            for depth, url, h in chosen:
+            gated_chosen: set[str] = set()
+            while heads and len(batch) < self.batch_size:
+                depth, url, h = heapq.heappop(heads)
+                if h in gated_chosen:
+                    continue  # gated host: rest of its urls wait
                 heapq.heappop(self.heaps[h])
-                self.next_ok[h] = self.clock + self.host_delay
                 batch.append((depth, url))
+                d = self._delay_of(h)
+                if d > 0:
+                    gated_chosen.add(h)
+                    self.next_ok[h] = self.clock + d
+                else:
+                    nxt = self._host_head(h)
+                    if nxt is not None:
+                        heapq.heappush(heads, (nxt[0], nxt[1], h))
         else:
             # k globally-best entries across all hosts
             heads = []
