@@ -209,6 +209,7 @@ class RayCrawler:
 
         (self.run_dir / "visits").mkdir(parents=True, exist_ok=True)
         (self.run_dir / "lineage").mkdir(parents=True, exist_ok=True)
+        (self.run_dir / "metrics").mkdir(parents=True, exist_ok=True)
 
         if mode in ("ray", "tasks"):
             self.seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode)
@@ -343,6 +344,22 @@ class RayCrawler:
 
             self.pages_visited += len(urls)
             self._ingest_validated(validated)
+            # per-window metrics record (north rule: every partition emits
+            # lineage AND metrics to the checkpoint store) — the
+            # distributed Performance counters (base.py:199-250)
+            mt = pa.table(
+                {
+                    "batch_idx": pa.array([bidx], type=pa.int64()),
+                    "virtual_ts": pa.array([ts], type=pa.float64()),
+                    "pages": pa.array([len(urls)], type=pa.int64()),
+                    "pages_visited_total": pa.array(
+                        [self.pages_visited], type=pa.int64()
+                    ),
+                    "frontier_size": pa.array([self.sched.size()], type=pa.int64()),
+                    "seen_size": pa.array([self.seen.size()], type=pa.int64()),
+                }
+            )
+            pq.write_table(mt, self.run_dir / "metrics" / f"batch-{bidx:08d}.parquet")
             batches_done += 1
             if checkpoint_every and (bidx + 1) % checkpoint_every == 0:
                 self.checkpoint()
@@ -518,7 +535,7 @@ class RayCrawler:
         self.errors = manifest["errors"]
         # drop any visit/lineage logs written after the checkpoint
         ckpt_batches = manifest["clock"]["batch_counter"]
-        for kind in ("visits", "lineage"):
+        for kind in ("visits", "lineage", "metrics"):
             for f in (self.run_dir / kind).glob("batch-*.parquet"):
                 if int(f.stem.split("-")[1]) >= ckpt_batches:
                     f.unlink()

@@ -58,6 +58,32 @@ def test_kill_and_resume_matches_golden(world, tmp_path):
     assert batch_ids == sorted(set(batch_ids)), "a batch was fetched twice"
 
 
+def test_kill_and_resume_tasks_mode(world, tmp_path, ray_session):
+    """Resume with the distributed state (seen-shard actors + pipelined
+    ingest) — same golden end state."""
+    spec, d = world
+    cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",), max_pages=96)
+    seeds = seed_urls(spec, 6)
+    golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
+
+    run_dir = tmp_path / "run-tasks"
+    eng1 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="tasks")
+    eng1.run(seeds=seeds, checkpoint_every=2, max_batches=4)
+    eng2 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="tasks")
+    eng2.resume(seeds)
+    eng2.run(seeds=None)
+    assert eng2.seen.sorted_urls() == sorted(golden.seen)
+    vt = eng2.visits_table()
+    import pyarrow.compute as pc
+
+    vt = vt.take(pc.sort_indices(vt["visit_idx"]))
+    assert list(zip(vt["visit_idx"].to_pylist(), vt["url"].to_pylist(),
+                    vt["ts"].to_pylist())) == golden.visits
+    # metrics log covers every window
+    mfiles = sorted((run_dir / "metrics").glob("batch-*.parquet"))
+    assert len(mfiles) == eng2.sched.clock_state()["batch_counter"]
+
+
 def test_resume_discards_post_checkpoint_logs(world, tmp_path):
     spec, d = world
     cs = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",), max_pages=80)
