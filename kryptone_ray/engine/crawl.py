@@ -55,7 +55,7 @@ _READER_CACHE: dict[str, CorpusReader] = {}
 
 def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
                         nshards: int, run_dir: str,
-                        shard_handles=None) -> pa.Table:
+                        shard_handles=None, page_actions=None) -> pa.Table:
     """The full per-slice window stage (fetch → decode → log → expand →
     validate) as a plain function — executed either by the map_batches
     pipeline (mode='ray') or by `ray.remote` tasks (mode='tasks'). The
@@ -74,6 +74,10 @@ def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
     tag = _uuid.uuid4().hex[:8]
     pq.write_table(decoded, f"{run_dir}/visits/batch-{bidx:08d}-{tag}.parquet")
     pq.write_table(lineage, f"{run_dir}/lineage/batch-{bidx:08d}-{tag}.parquet")
+    if page_actions is not None:
+        items = page_actions(decoded)
+        if items is not None and len(items):
+            pq.write_table(items, f"{run_dir}/items/batch-{bidx:08d}-{tag}.parquet")
     if shard_handles is None:
         return validated
     # pipelined ingest: stream this slice's validated rows straight into
@@ -197,6 +201,7 @@ class RayCrawler:
         mode: str = "local",
         fetch_concurrency: int = 4,
         ray_batch_rows: int = 1024,
+        page_actions=None,
     ):
         self.corpus_dir = str(corpus_dir)
         self.outlinks_fn = outlinks_fn
@@ -206,6 +211,12 @@ class RayCrawler:
         self.num_seen_shards = num_seen_shards
         self.fetch_concurrency = fetch_concurrency
         self.ray_batch_rows = ray_batch_rows
+        # current_page_actions analog (base.py:798-805, called per visited
+        # page at base.py:1129-1155): a picklable callable over the
+        # decoded page batch; rows it returns land in run_dir/items/
+        self.page_actions = page_actions
+        if page_actions is not None:
+            (self.run_dir / "items").mkdir(parents=True, exist_ok=True)
 
         (self.run_dir / "visits").mkdir(parents=True, exist_ok=True)
         (self.run_dir / "lineage").mkdir(parents=True, exist_ok=True)
@@ -373,6 +384,13 @@ class RayCrawler:
         validated, lineage = expand_and_validate(
             decoded, self.outlinks_fn, self.vcfg, self.num_seen_shards
         )
+        if self.page_actions is not None:
+            items = self.page_actions(decoded)
+            if items is not None and len(items):
+                bidx = int(batch["batch_idx"][0].as_py())
+                pq.write_table(
+                    items, self.run_dir / "items" / f"batch-{bidx:08d}.parquet"
+                )
         return validated, lineage, decoded
 
     def _window_slices(self, batch: pa.Table) -> list[pa.Table]:
@@ -434,8 +452,11 @@ class RayCrawler:
         corpus_dir = self.corpus_dir
         run_dir = str(self.run_dir)
 
+        page_actions = self.page_actions
+
         def full_stage(t: pa.Table) -> pa.Table:
-            return _window_slice_stage(t, corpus_dir, outlinks_fn, vcfg, nshards, run_dir)
+            return _window_slice_stage(t, corpus_dir, outlinks_fn, vcfg, nshards,
+                                       run_dir, page_actions=page_actions)
 
         ds = rd.from_arrow(self._window_slices(batch)).map_batches(
             full_stage, batch_format="pyarrow", batch_size=None
@@ -459,13 +480,14 @@ class RayCrawler:
             self._cfg_refs = (
                 _ray.put(self.outlinks_fn),
                 _ray.put(self.vcfg),
+                _ray.put(self.page_actions),
             )
-        ol_ref, vcfg_ref = self._cfg_refs
+        ol_ref, vcfg_ref, pa_ref = self._cfg_refs
         refs = [
             self._stage_task.remote(
                 s, self.corpus_dir, ol_ref, vcfg_ref,
                 self.num_seen_shards, str(self.run_dir),
-                self.seen.shards,
+                self.seen.shards, pa_ref,
             )
             for s in self._window_slices(batch)
         ]
