@@ -202,6 +202,7 @@ class RayCrawler:
         fetch_concurrency: int = 4,
         ray_batch_rows: int = 1024,
         page_actions=None,
+        scheduler_shards: int = 0,
     ):
         self.corpus_dir = str(corpus_dir)
         self.outlinks_fn = outlinks_fn
@@ -235,13 +236,25 @@ class RayCrawler:
             def delay_fn(host, _r=robots):
                 return _r.crawl_delay(host)
 
-        self.sched = FrontierSchedulerLocal(
-            batch_size=spec.batch_size,
-            wait_time=spec.wait_time,
-            host_delay=spec.host_delay,
-            spill_dir=str(self.run_dir / "spill"),
-            delay_fn=delay_fn,
-        )
+        if scheduler_shards > 0:
+            from kryptone_ray.state.scheduler import ShardedFrontierScheduler
+
+            self.sched = ShardedFrontierScheduler(
+                num_shards=scheduler_shards,
+                batch_size=spec.batch_size,
+                wait_time=spec.wait_time,
+                host_delay=spec.host_delay,
+                spill_dir=str(self.run_dir / "spill"),
+                delay_fn=delay_fn,
+            )
+        else:
+            self.sched = FrontierSchedulerLocal(
+                batch_size=spec.batch_size,
+                wait_time=spec.wait_time,
+                host_delay=spec.host_delay,
+                spill_dir=str(self.run_dir / "spill"),
+                delay_fn=delay_fn,
+            )
         self._reader: CorpusReader | None = None
         self._stage_task = None
         self._cfg_refs = None

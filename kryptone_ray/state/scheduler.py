@@ -237,6 +237,70 @@ class FrontierSchedulerLocal:
         self.clock += self.wait_time
         return urls, depths, idxs, ts, bidx
 
+    # --- sharded operation (peek/commit two-phase pop) ----------------
+    # Host-hash sharding puts every host's queue wholly inside one shard,
+    # so politeness gating never crosses shards; a global pop is: each
+    # shard PEEKs its best ≤k candidates under its own gating, the
+    # coordinator merges by (depth, url) and COMMITs the chosen subset
+    # back to its shard. Exactness: a shard's top-k under the gating rule
+    # is a superset of the global batch's slice from that shard.
+
+    def peek_batch(self, k: int, clock: float):
+        """Return (candidates, min_next_ok, total): up to k best
+        (depth, url, host) triples eligible at ``clock`` — NO mutation
+        beyond spill compaction."""
+        for h in [h for h, hp in self.heaps.items() if not hp]:
+            if h in self.spilled:
+                self._unspill(h)
+            if not self.heaps.get(h):
+                self.heaps.pop(h, None)
+        if not self.heaps:
+            return [], None, self.total
+
+        politeness = self.host_delay > 0 or self.delay_fn is not None
+        if politeness:
+            hosts = [h for h in self.heaps if self.next_ok.get(h, 0.0) <= clock]
+            min_next = min(
+                (self.next_ok.get(h, 0.0) for h in self.heaps), default=None
+            )
+        else:
+            hosts = list(self.heaps)
+            min_next = 0.0
+
+        cands: list[tuple[int, str, str]] = []
+        for h in hosts:
+            if self._host_head(h) is None:
+                continue
+            heap = self.heaps[h]
+            if politeness and self._delay_of(h) > 0:
+                d, u = heap[0]
+                cands.append((d, u, h))
+            else:
+                if len(heap) < k and h in self.spilled:
+                    self._unspill(h)
+                    heap = self.heaps[h]
+                for d, u in heapq.nsmallest(k, heap):
+                    cands.append((d, u, h))
+        cands.sort()
+        return cands[:k], min_next, self.total
+
+    def commit_batch(self, entries: list[tuple[int, str, str]], clock: float) -> None:
+        """Pop the chosen (depth, url, host) entries (they are each
+        host's current smallest prefix) and apply politeness delays."""
+        by_host: dict[str, list[tuple[int, str]]] = {}
+        for d, u, h in entries:
+            by_host.setdefault(h, []).append((d, u))
+        for h, items in by_host.items():
+            heap = self.heaps[h]
+            items.sort()
+            for d, u in items:
+                head = heapq.heappop(heap)
+                assert head == (d, u), f"commit mismatch on {h}: {head} != {(d, u)}"
+            delay = self._delay_of(h)
+            if delay > 0:
+                self.next_ok[h] = clock + delay
+        self.total -= len(entries)
+
     # --- introspection / checkpoint -----------------------------------
     def size(self) -> int:
         return self.total
@@ -276,3 +340,132 @@ class FrontierSchedulerLocal:
 
 
 FrontierScheduler = ray.remote(FrontierSchedulerLocal)
+
+
+class ShardedFrontierScheduler:
+    """Host-hash-sharded frontier over ``num_shards`` FrontierScheduler
+    actors — the distributed form of the per-host priority queue (north
+    rule "host-bucketed politeness scheduling ... explicit hash
+    partitioning on host"). The driver-side coordinator owns the virtual
+    clock and visit counter; pops are two-phase (peek → merge → commit,
+    see FrontierSchedulerLocal.peek_batch). Exposes the same interface
+    as FrontierSchedulerLocal, so RayCrawler can swap it in unchanged.
+
+    Politeness gating is per host and hosts never span shards, so the
+    merged outcome is bit-identical to the single scheduler (asserted by
+    tests/test_sharded_scheduler.py against the local implementation).
+    """
+
+    def __init__(self, num_shards: int = 4, batch_size: int = 1,
+                 wait_time: float = 25.0, host_delay: float = 0.0,
+                 spill_dir: str | None = None, spill_threshold: int = 100_000,
+                 delay_fn=None):
+        from kryptone_ray.utils.xxh64 import xxh64
+
+        self._hash = xxh64
+        self.num_shards = num_shards
+        self.batch_size = batch_size
+        self.wait_time = wait_time
+        self.shards = [
+            FrontierScheduler.remote(
+                batch_size=batch_size, wait_time=wait_time, host_delay=host_delay,
+                spill_dir=(f"{spill_dir}/shard-{i}" if spill_dir else None),
+                spill_threshold=spill_threshold, delay_fn=delay_fn,
+            )
+            for i in range(num_shards)
+        ]
+        self.clock = 0.0
+        self.visit_counter = 0
+        self.batch_counter = 0
+
+    def _shard_of(self, host: str) -> int:
+        return self._hash(host) % self.num_shards
+
+    def add(self, urls, hosts, depths) -> int:
+        buckets: dict[int, tuple[list, list, list]] = {}
+        for u, h, d in zip(urls, hosts, depths):
+            b = buckets.setdefault(self._shard_of(h), ([], [], []))
+            b[0].append(u)
+            b[1].append(h)
+            b[2].append(d)
+        refs = [
+            self.shards[s].add.remote(us, hs, ds)
+            for s, (us, hs, ds) in buckets.items()
+        ]
+        ray.get(refs)
+        return self.size()
+
+    def pop_batch(self):
+        k = self.batch_size
+        peeks = ray.get(
+            [sh.peek_batch.remote(k, self.clock) for sh in self.shards]
+        )
+        total = sum(p[2] for p in peeks)
+        cands = sorted(c for p in peeks for c in p[0])
+        if not cands and total > 0:
+            next_oks = [p[1] for p in peeks if p[1] is not None and p[2] > 0]
+            if next_oks:
+                self.clock = max(self.clock, min(next_oks))
+                peeks = ray.get(
+                    [sh.peek_batch.remote(k, self.clock) for sh in self.shards]
+                )
+                cands = sorted(c for p in peeks for c in p[0])
+        if not cands:
+            return [], [], [], self.clock, self.batch_counter
+        chosen = cands[:k]
+        by_shard: dict[int, list] = {}
+        for d, u, h in chosen:
+            by_shard.setdefault(self._shard_of(h), []).append((d, u, h))
+        ray.get(
+            [
+                self.shards[s].commit_batch.remote(entries, self.clock)
+                for s, entries in by_shard.items()
+            ]
+        )
+        urls = [u for _, u, _ in chosen]
+        depths = [d for d, _, _ in chosen]
+        ts = self.clock
+        idxs = list(range(self.visit_counter, self.visit_counter + len(chosen)))
+        self.visit_counter += len(chosen)
+        bidx = self.batch_counter
+        self.batch_counter += 1
+        self.clock += self.wait_time
+        return urls, depths, idxs, ts, bidx
+
+    def size(self) -> int:
+        return sum(ray.get([sh.size.remote() for sh in self.shards]))
+
+    def state_table(self) -> pa.Table:
+        tables = ray.get([sh.state_table.remote() for sh in self.shards])
+        return pa.concat_tables(tables)
+
+    def clock_state(self) -> dict:
+        shard_states = ray.get([sh.clock_state.remote() for sh in self.shards])
+        next_ok: dict[str, float] = {}
+        for st in shard_states:
+            next_ok.update(st["next_ok"])
+        return {
+            "clock": self.clock,
+            "visit_counter": self.visit_counter,
+            "batch_counter": self.batch_counter,
+            "next_ok": next_ok,
+        }
+
+    def restore_clock(self, state: dict) -> None:
+        self.clock = state["clock"]
+        self.visit_counter = state["visit_counter"]
+        self.batch_counter = state["batch_counter"]
+        # scatter next_ok back to the owning shards
+        buckets: dict[int, dict[str, float]] = {}
+        for host, t in state["next_ok"].items():
+            buckets.setdefault(self._shard_of(host), {})[host] = t
+        refs = []
+        for s, m in buckets.items():
+            refs.append(
+                self.shards[s].restore_clock.remote(
+                    {"clock": state["clock"], "visit_counter": 0,
+                     "batch_counter": 0, "next_ok": m}
+                )
+            )
+        if refs:
+            ray.get(refs)
