@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_nation_volume": relational.q5_nation_volume,
         "bucketed_join": relational.q_bucketed_join,
         "part_type_stats": relational.q_part_type_stats,
+        "orders_monthly": relational.q_orders_monthly,
+        "customer_balance_stats": relational.q_customer_balance_stats,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -130,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_volume": relational.Q5_SQL,
         "bucketed_join": relational.Q_BUCKETED_JOIN_SQL,
         "part_type_stats": relational.Q_PART_TYPE_SQL,
+        "orders_monthly": relational.Q_ORDERS_MONTHLY_SQL,
+        "customer_balance_stats": relational.Q_CUSTOMER_BALANCE_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         "word_frequency": textops.Q_WORD_FREQ_SQL,

@@ -377,3 +377,66 @@ SELECT p_type, sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_
 FROM part WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)')
 GROUP BY p_type ORDER BY p_type
 """
+
+
+def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Calendar-window aggregate (date_functions.py analog over data):
+    order count + exact-cents revenue per month."""
+    ds = T(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "month": df["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+                "cents": (df["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    out = partial_sum_count(
+        ds.map_batches(f, batch_format="pandas", batch_size=65536),
+        keys=["month"], sums={"cents": "cents"}, count_name="n_orders",
+    )
+    out["total_price"] = out.pop("cents") / 100.0
+    out = out[["month", "total_price", "n_orders"]]
+    return out.sort_values("month").reset_index(drop=True)
+
+
+Q_ORDERS_MONTHLY_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_customer_balance_stats(sf_dir: str) -> pd.DataFrame:
+    """Min/Max/avg aggregates per segment (exact: 2-decimal balances in
+    cents space; avg = single division)."""
+    ds = T(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["cents"] = (df["c_acctbal"] * 100).round().astype("int64")
+        return df[["c_mktsegment", "cents"]]
+
+    parts = ds.map_batches(f, batch_format="pandas", batch_size=65536).to_pandas()
+    g = parts.groupby("c_mktsegment")["cents"]
+    out = pd.DataFrame(
+        {
+            "c_mktsegment": list(g.groups),
+            "min_bal": (g.min() / 100.0).to_numpy(),
+            "max_bal": (g.max() / 100.0).to_numpy(),
+            "avg_bal": ((g.sum() / 100.0) / g.size()).to_numpy(),
+            "n": g.size().to_numpy(),
+        }
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q_CUSTOMER_BALANCE_SQL = """
+SELECT c_mktsegment,
+       min(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS min_bal,
+       max(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS max_bal,
+       (sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0) / count(*) AS avg_bal,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""

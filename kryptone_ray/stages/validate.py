@@ -62,6 +62,7 @@ EMPTY = "empty"
 FRAGMENT = "fragment"
 HOME_PAGE = "home_page"
 IMAGE = "image"
+QUERY = "query"  # extension: enforce_ignore_queries=True only
 RULE_TEST = "rule_test"
 FILTERED = "filtered"  # url_ignore_tests exclusion — seen but not frontier
 ROBOTS = "robots_blocked"  # robots.txt disallow — extension (north rule);
@@ -115,6 +116,9 @@ class ValidationConfig:
     # `ignore_queries` is declared in the reference Meta but never enforced
     # (base.py:68-69,158) — kept for parity as a declared no-op.
     ignore_queries: bool = False
+    # the OPTIONAL real enforcement (extension; SURVEY §2.2 note): drop
+    # URLs carrying a query string. Off by default for parity.
+    enforce_ignore_queries: bool = False
     # Scale extension (NOT reference behavior, which is single-domain:
     # base.py:694-696): when set, a URL passes the domain check iff its
     # netloc is in this whitelist ("*" = any non-empty netloc). None →
@@ -216,6 +220,9 @@ def validate_batch(
     # step 9 — image suffixes.
     if cfg.ignore_images:
         settle(frame.is_image(), IMAGE)
+    # step 9b (extension) — optional REAL ignore_queries enforcement.
+    if cfg.enforce_ignore_queries:
+        settle(frame.has_query(), QUERY)
     # step 12 — rule tests: keep only if ALL regexes match the path.
     if cfg._rule_pats:
         keep = np.ones(n, dtype=bool)

@@ -170,3 +170,18 @@ def test_output_schema_and_hash_column():
     assert t.schema.names == ["url", "host", "url_hash", "verdict"]
     assert t["url_hash"].type == pa.uint64()
     assert t["host"].to_pylist() == ["example.com"]
+
+
+def test_enforce_ignore_queries_extension():
+    # extension flag (SURVEY §2.2 note): the reference declares
+    # ignore_queries but never enforces it — off by default (parity),
+    # enforced when opted in.
+    from kryptone_ray.stages.validate import QUERY
+
+    v = run(["http://example.com/a?x=1", "http://example.com/a"])
+    assert v["http://example.com/a?x=1"] == CANDIDATE  # parity default
+    cfg = ValidationConfig(start_url=START, enforce_ignore_queries=True)
+    t = validate_batch(["http://example.com/a?x=1", "http://example.com/a"], cfg, 0)
+    got = dict(zip(t["url"].to_pylist(), t["verdict"].to_pylist()))
+    assert got["http://example.com/a?x=1"] == QUERY
+    assert got["http://example.com/a"] == CANDIDATE
