@@ -100,10 +100,10 @@ class FrontierSchedulerLocal:
         if cur_min is None or tail[0] < cur_min:
             self.spilled_min[host] = tail[0]
 
-    def _unspill(self, host: str) -> None:
+    def _unspill(self, host: str, keep_at_least: int = 0) -> None:
         """Merge spilled generations with the in-memory heap; keep the best
-        entries in memory and re-spill the tail as one compacted
-        generation."""
+        entries in memory (at least ``keep_at_least`` of them) and re-spill
+        the tail as one compacted generation."""
         files = self.spilled.pop(host, [])
         if not files:
             return
@@ -115,8 +115,8 @@ class FrontierSchedulerLocal:
         self.spilled_counts.pop(host, None)
         self.spilled_min.pop(host, None)
         entries.sort()
-        if len(entries) > self.spill_threshold:
-            keep = max(1, self.spill_threshold // 2)
+        if len(entries) > max(self.spill_threshold, keep_at_least):
+            keep = max(1, self.spill_threshold // 2, keep_at_least)
             self.heaps[host] = entries[:keep]
             heapq.heapify(self.heaps[host])
             # re-spill the remainder as one generation
@@ -276,9 +276,16 @@ class FrontierSchedulerLocal:
                 d, u = heap[0]
                 cands.append((d, u, h))
             else:
-                if len(heap) < k and h in self.spilled:
-                    self._unspill(h)
-                    heap = self.heaps[h]
+                if h in self.spilled:
+                    smin = self.spilled_min.get(h)
+                    need = (
+                        len(heap) < k
+                        or (smin is not None
+                            and smin < heapq.nsmallest(k, heap)[-1])
+                    )
+                    if need:
+                        self._unspill(h, keep_at_least=k)
+                        heap = self.heaps[h]
                 for d, u in heapq.nsmallest(k, heap):
                     cands.append((d, u, h))
         cands.sort()

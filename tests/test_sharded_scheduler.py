@@ -75,3 +75,24 @@ def test_engine_parity_with_sharded_scheduler(ray_session, tmp_path):
                      mode="tasks", scheduler_shards=3)
     eng.run(seeds=seeds)
     assert_parity(golden, eng)
+
+
+def test_sharded_with_spill(ray_session, tmp_path):
+    urls, hosts, depths = _mk_entries(2000, 10, seed=5)
+    local = FrontierSchedulerLocal(batch_size=64, wait_time=25.0,
+                                   spill_dir=str(tmp_path / "l"),
+                                   spill_threshold=40)
+    shard = ShardedFrontierScheduler(num_shards=3, batch_size=64, wait_time=25.0,
+                                     spill_dir=str(tmp_path / "s"),
+                                     spill_threshold=40)
+    local.add(urls, hosts, depths)
+    shard.add(urls, hosts, depths)
+    popped_l, popped_s = [], []
+    while True:
+        l = local.pop_batch()
+        s = shard.pop_batch()
+        assert l[:4] == s[:4]
+        if not l[0]:
+            break
+        popped_l.extend(l[0])
+    assert len(popped_l) == 2000
