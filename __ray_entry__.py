@@ -28,7 +28,7 @@ def entry() -> Any:
     from kryptone_ray.corpus.synth import CorpusSpec, make_corpus_table, seed_urls
     from kryptone_ray.engine.crawl import RayCrawler
     from kryptone_ray.sim.golden import CrawlSpec
-    from tests.test_crawl_parity import page_outlinks
+    from kryptone_ray.corpus.synth import page_outlinks
 
     # smoke-read the driver tables (column-pruned)
     n_docs = rd.read_parquet(

@@ -181,6 +181,20 @@ class CorpusSpec:
         return links
 
 
+def page_outlinks(spec: CorpusSpec):
+    """Out-link function for EXISTING corpus pages; anything else (fetch
+    miss) yields no links — the contract shared by the engine, the golden
+    simulator, entry() and the parity tests."""
+
+    def fn(url: str):
+        i = row_index_of(url)
+        if i is None or not (0 <= i < spec.n_rows) or spec.url_of(i) != url:
+            return []
+        return spec.outlinks(i)
+
+    return fn
+
+
 def outlink_batch(spec: CorpusSpec, urls: list[str]) -> list[list[str]]:
     """Vectorized-ish wrapper: page URL → out-links, recovering the row
     index from the URL's trailing integer (url_of embeds it)."""

@@ -45,7 +45,7 @@ def q_crawl_visits(sf_dir: str) -> pd.DataFrame:
     from kryptone_ray.corpus.synth import make_corpus_table
     from kryptone_ray.engine.crawl import RayCrawler
     from kryptone_ray.sim.golden import CrawlSpec
-    from tests.test_crawl_parity import page_outlinks
+    from kryptone_ray.corpus.synth import page_outlinks
 
     tmp = tempfile.mkdtemp(prefix="kr_q_crawl_")
     write_corpus(make_corpus_table(_SPEC), f"{tmp}/corpus", num_shards=4)

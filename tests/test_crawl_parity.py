@@ -13,17 +13,7 @@ from kryptone_ray.engine.crawl import RayCrawler
 from kryptone_ray.sim.golden import CrawlSpec, GoldenSimulator
 
 
-def page_outlinks(spec: CorpusSpec):
-    """Out-links for an EXISTING corpus page; anything else (fetch miss)
-    yields no links — identical contract for simulator and engine."""
-
-    def fn(url: str):
-        i = row_index_of(url)
-        if i is None or not (0 <= i < spec.n_rows) or spec.url_of(i) != url:
-            return []
-        return spec.outlinks(i)
-
-    return fn
+from kryptone_ray.corpus.synth import page_outlinks  # noqa: E402 (shared fixture fn)
 
 
 @pytest.fixture(scope="module")
