@@ -161,3 +161,34 @@ def test_webhook_chunking(tmp_path):
     assert [len(l["records"]) for l in lines] == [100, 100, 50]
     ws = Webhooks([w])
     assert ws.send(records[:10]) == {"http://hook-a": [200]}
+
+
+def test_multiple_url_manager():
+    from kryptone_ray.urlmanager import MultipleUrlManager
+
+    m = MultipleUrlManager(ignore_images=True)
+    with pytest.raises(ValueError):
+        m.populate(["/relative"])
+    m.populate(["http://e.com/", "http://e.com/a", "http://e.com/logo.png",
+                "http://other.com/x", "http://e.com/b#frag"])
+    # images / cross-domain / fragments rejected but seen
+    assert "http://e.com/logo.png" in m.list_of_seen_urls
+    assert "http://other.com/x" not in m
+    assert len(m) == 2  # '/', '/a'
+    # second populate is a no-op
+    m.populate(["http://z.com/"])
+    assert m.start_url == "http://e.com/"
+    # deterministic lexicographic pops
+    assert m.get(now=0.0) == "http://e.com/"
+    assert m.get(now=25.0) == "http://e.com/a"
+    assert m.get() is None and m.empty
+    assert m.completion_rate == 1.0
+    df = m.visits_frame()
+    assert df["visited"].all()
+    b = m.backup(now_iso="2024-01-01T00:00:00Z")
+    assert b["statistics"]["total_urls"] == 2
+    # home-page guard active after iteration 0
+    m2 = MultipleUrlManager()
+    m2.populate(["http://e.com/", "http://e.com/a"])
+    m2.get()
+    assert m2.add_urls(["http://e.com/"]) == set()
