@@ -30,15 +30,22 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: one representative (min doc_id) per distinct text +
     duplicate count. Hash-partitioned groupby on the content hash; the
     text itself never shuffles (only hash + doc_id)."""
+    from ray.data.aggregate import Count, Min
+
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def h(df: pd.DataFrame) -> pd.DataFrame:
-        df["text_hash"] = xxh64_batch(df["text"].tolist()).astype("uint64")
+        # int64 view of the hash (ray groupby keys prefer signed)
+        df["text_hash"] = xxh64_batch(df["text"].tolist()).astype("int64")
         return df[["doc_id", "text_hash"]]
 
-    pairs = ds.map_batches(h, batch_format="pandas", batch_size=8192).to_pandas()
-    g = pairs.groupby("text_hash", sort=False)["doc_id"]
-    out = pd.DataFrame({"doc_id": g.min(), "n_dups": g.size()}).reset_index(drop=True)
+    hashed = ds.map_batches(h, batch_format="pandas", batch_size=8192)
+    # the distributed first-wins: hash-partitioned groupby — the text
+    # itself never shuffles, only (hash, doc_id)
+    agg = hashed.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    out = agg.to_pandas()[["doc_id", "n_dups"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -99,15 +106,25 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
                 out.append((doc_id, band, xxh64(chunk.tobytes())))
         return pd.DataFrame(out, columns=["doc_id", "band", "bucket"])
 
-    buckets = ds.map_batches(sig_batch, batch_format="pandas", batch_size=2048).to_pandas()
-    g = buckets.groupby(["band", "bucket"], sort=False)["doc_id"].apply(list)
-    cand = set()
-    for ids in g:
-        if len(ids) > 1:
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    cand.add((ids[i], ids[j]))
+    buckets = ds.map_batches(sig_batch, batch_format="pandas", batch_size=2048)
+
+    # distributed bucket grouping: candidate pairs are emitted inside
+    # map_groups (one group per (band, bucket)); only the pair ids cross
+    # the shuffle — the LSH guarantee keeps this output small
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"]))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        rows = [(ids[i], ids[j]) for i in range(len(ids))
+                for j in range(i + 1, len(ids))]
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+
+    pair_df = (
+        buckets.groupby(["band", "bucket"])
+        .map_groups(emit_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = set(zip(pair_df["doc_a"].astype(int), pair_df["doc_b"].astype(int)))
     if not cand:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     # verify with exact shingle Jaccard

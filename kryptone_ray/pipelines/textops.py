@@ -184,6 +184,11 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
         return df[["source", "fp"]]
 
     ds = ds.map_batches(f, batch_format="pandas", batch_size=4096)
-    df = ds.to_pandas()
-    out = df.groupby("source")["fp"].nunique().reset_index(name="n_distinct_fp")
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"source": [g["source"].iloc[0]], "n_distinct_fp": [g["fp"].nunique()]}
+        )
+
+    out = ds.groupby("source").map_groups(count_distinct, batch_format="pandas").to_pandas()
     return out.sort_values("source").reset_index(drop=True)
