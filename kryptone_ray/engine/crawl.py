@@ -529,7 +529,7 @@ class RayCrawler:
         manifest = {
             "clock": self.sched.clock_state(),
             "pages_visited": self.pages_visited,
-            "errors": self.errors,
+            "errors": self.count_errors(),
             "spec": {
                 "batch_size": self.spec.batch_size,
                 "wait_time": self.spec.wait_time,
