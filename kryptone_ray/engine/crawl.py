@@ -148,9 +148,16 @@ def _empty_validated() -> pa.Table:
 class _LocalSeenSet:
     """Single-process stand-in for SeenSet (same semantics, no actors)."""
 
-    def __init__(self, num_shards: int = 4, mode: str = "exact"):
+    def __init__(self, num_shards: int = 4, mode: str = "exact",
+                 delta_dir: str | None = None):
         self.num_shards = num_shards
-        self.shards = [SeenShardLocal(mode=mode) for _ in range(num_shards)]
+        self.shards = [
+            SeenShardLocal(
+                mode=mode,
+                delta_dir=(f"{delta_dir}/shard-{i:03d}" if delta_dir else None),
+            )
+            for i in range(num_shards)
+        ]
 
     def check_and_add(self, hashes, urls=None):
         h = np.asarray(hashes, dtype=np.uint64)
@@ -223,10 +230,15 @@ class RayCrawler:
         (self.run_dir / "lineage").mkdir(parents=True, exist_ok=True)
         (self.run_dir / "metrics").mkdir(parents=True, exist_ok=True)
 
+        seen_delta_dir = (
+            str(self.run_dir / "seen_deltas") if seen_mode == "cuckoo" else None
+        )
         if mode in ("ray", "tasks"):
-            self.seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode)
+            self.seen = SeenSet(num_shards=num_seen_shards, mode=seen_mode,
+                                delta_dir=seen_delta_dir)
         else:
-            self.seen = _LocalSeenSet(num_shards=num_seen_shards, mode=seen_mode)
+            self.seen = _LocalSeenSet(num_shards=num_seen_shards, mode=seen_mode,
+                                      delta_dir=seen_delta_dir)
         delay_fn = None
         if spec.robots_provider is not None:
             from kryptone_ray.state.robots import RobotsCache

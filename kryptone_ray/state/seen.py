@@ -37,12 +37,36 @@ class SeenShardLocal:
     """The shard logic, usable in-process (tests/simulator cross-checks)
     and wrapped as a Ray actor below."""
 
-    def __init__(self, capacity: int = 1 << 16, mode: str = "exact"):
+    def __init__(self, capacity: int = 1 << 16, mode: str = "exact",
+                 delta_dir: str | None = None):
         assert mode in ("exact", "cuckoo")
         self.mode = mode
         self.filter = CuckooFilter(capacity)
         self.exact: set[int] = set()
-        self.urls: dict[int, str] = {}  # hash → canonical url (snapshot source)
+        # exact mode keeps hash→url in memory (snapshot source at test
+        # scale); cuckoo mode is MEMORY-BOUNDED: urls are appended to
+        # delta parquet files under delta_dir instead (the authoritative
+        # seen set at 10^10 keys lives on disk; the filter answers the
+        # hot-path probe). SURVEY §4 "memory pressure".
+        self.urls: dict[int, str] = {}
+        self.delta_dir = pathlib.Path(delta_dir) if delta_dir else None
+        if self.delta_dir is not None:
+            self.delta_dir.mkdir(parents=True, exist_ok=True)
+        self._delta_seq = 0
+
+    def _record_urls(self, hashes: np.ndarray, urls: list[str]) -> None:
+        if self.mode == "exact" or self.delta_dir is None:
+            for k, u in zip(hashes, urls):
+                self.urls[int(k)] = u
+        if self.delta_dir is not None and len(urls):
+            t = pa.table(
+                {
+                    "url_hash": pa.array(hashes, type=pa.uint64()),
+                    "url": pa.array(urls, type=pa.string()),
+                }
+            )
+            pq.write_table(t, self.delta_dir / f"delta-{self._delta_seq:08d}.parquet")
+            self._delta_seq += 1
 
     def check_and_add(self, hashes: np.ndarray, urls: list[str] | None = None) -> np.ndarray:
         """Return is_new mask; then mark all inputs seen. Duplicates within
@@ -65,8 +89,8 @@ class SeenShardLocal:
             if self.mode == "exact":
                 self.exact.update(int(x) for x in fresh)
             if urls is not None:
-                for i in np.flatnonzero(is_new):
-                    self.urls[int(h[i])] = urls[i]
+                idx = np.flatnonzero(is_new)
+                self._record_urls(h[idx], [urls[i] for i in idx])
         return is_new
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -136,29 +160,48 @@ class SeenShardLocal:
         if self.mode == "exact":
             self.exact.update(int(x) for x in keys)
         urls_out, hosts_out, depths_out = [], [], []
+        all_urls = []
         for key, (it, depth, cand, url, host) in pend.items():
-            self.urls[key] = url
+            all_urls.append(url)
             if cand:
                 urls_out.append(url)
                 hosts_out.append(host)
                 depths_out.append(depth)
+        self._record_urls(keys, all_urls)
         self._pending = {}
         return {"url": urls_out, "host": hosts_out, "depth": depths_out}
 
     def size(self) -> int:
         return len(self.exact) if self.mode == "exact" else self.filter.count
 
+    def _url_table(self) -> pa.Table:
+        """hash→url pairs from memory (exact) or compacted deltas
+        (cuckoo + delta_dir), deduplicated keep-first."""
+        if self.mode == "exact" or self.delta_dir is None:
+            return pa.table(
+                {
+                    "url_hash": pa.array(list(self.urls.keys()), type=pa.uint64()),
+                    "url": pa.array(list(self.urls.values()), type=pa.string()),
+                }
+            )
+        files = sorted(self.delta_dir.glob("delta-*.parquet"))
+        if not files:
+            return pa.table(
+                {"url_hash": pa.array([], type=pa.uint64()),
+                 "url": pa.array([], type=pa.string())}
+            )
+        t = pa.concat_tables([pq.read_table(f) for f in files]).combine_chunks()
+        h = t["url_hash"].to_numpy()
+        _, first = np.unique(h, return_index=True)
+        first.sort()
+        return t.take(pa.array(first))
+
     def snapshot_urls(self) -> list[str]:
-        return list(self.urls.values())
+        return self._url_table()["url"].to_pylist()
 
     # --- checkpoint ---------------------------------------------------
     def snapshot(self, path: str) -> int:
-        t = pa.table(
-            {
-                "url_hash": pa.array(list(self.urls.keys()), type=pa.uint64()),
-                "url": pa.array(list(self.urls.values()), type=pa.string()),
-            }
-        )
+        t = self._url_table()
         t = t.take(pc.sort_indices(t["url"]))
         tmp = str(path) + ".tmp"
         pq.write_table(t, tmp)
@@ -171,7 +214,12 @@ class SeenShardLocal:
         self.filter.insert_batch(h)
         if self.mode == "exact":
             self.exact.update(int(x) for x in h)
-        self.urls.update(zip((int(x) for x in h), t["url"].to_pylist()))
+        if self.mode == "exact" or self.delta_dir is None:
+            self.urls.update(zip((int(x) for x in h), t["url"].to_pylist()))
+        else:
+            # re-seed the delta log so later snapshots include these
+            pq.write_table(t, self.delta_dir / f"delta-{self._delta_seq:08d}.parquet")
+            self._delta_seq += 1
         return len(t)
 
 
@@ -182,11 +230,14 @@ class SeenSet:
     """Driver-side handle over the shard actor pool."""
 
     def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 16,
-                 mode: str = "exact"):
+                 mode: str = "exact", delta_dir: str | None = None):
         self.num_shards = num_shards
         self.shards = [
-            SeenShard.remote(capacity=capacity_per_shard, mode=mode)
-            for _ in range(num_shards)
+            SeenShard.remote(
+                capacity=capacity_per_shard, mode=mode,
+                delta_dir=(f"{delta_dir}/shard-{i:03d}" if delta_dir else None),
+            )
+            for i in range(num_shards)
         ]
 
     def _split(self, hashes: np.ndarray):

@@ -117,3 +117,23 @@ def test_parity_tasks_mode(small_world, tmp_path, ray_session):
     cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",), max_pages=120)
     golden, eng = run_pair(spec, d, tmp_path, cs, mode="tasks")
     assert_parity(golden, eng)
+
+
+def test_cuckoo_seen_mode_crawl(small_world, tmp_path, ray_session):
+    """At-scale seen mode (cuckoo filter + delta log): approximate —
+    false positives can only DROP urls (never duplicate work), so the
+    visit log is a subset of golden's and the seen set is within the
+    filter's FPR of exact. At this scale collisions are ~0, so the run
+    is usually bit-identical."""
+    spec, d = small_world
+    cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",), max_pages=100)
+    seeds = seed_urls(spec, 12)
+    golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
+    eng = RayCrawler(str(d), page_outlinks(spec), cs, str(tmp_path / "ck"),
+                     mode="tasks", seen_mode="cuckoo")
+    eng.run(seeds=seeds)
+    eng_visited = set(eng.visits_table()["url"].to_pylist())
+    golden_visited = {u for _, u, _ in golden.visits}
+    assert eng_visited <= golden_visited
+    assert len(eng_visited) >= 0.99 * len(golden_visited)
+    assert abs(eng.seen.size() - len(golden.seen)) <= 0.01 * len(golden.seen)

@@ -106,3 +106,21 @@ def test_scheduler_state_table_includes_spill(tmp_path):
     s.add(urls, ["h"] * 100, [0] * 100)
     t = s.state_table()
     assert sorted(t["url"].to_pylist()) == sorted(urls)
+
+
+def test_cuckoo_delta_mode_memory_bounded(tmp_path):
+    # at-scale mode: urls go to append-only delta parquet, not RAM
+    s = SeenShardLocal(mode="cuckoo", capacity=1 << 14,
+                       delta_dir=str(tmp_path / "d"))
+    urls = [f"https://h/{i}" for i in range(300)]
+    h = xxh64_batch(urls)
+    s.check_and_add(h, urls)
+    assert s.urls == {}  # nothing retained in memory
+    assert sorted(s.snapshot_urls()) == sorted(urls)
+    p = tmp_path / "snap.parquet"
+    assert s.snapshot(str(p)) == 300
+    s2 = SeenShardLocal(mode="cuckoo", capacity=1 << 14,
+                        delta_dir=str(tmp_path / "d2"))
+    assert s2.restore(str(p)) == 300
+    assert not s2.check_and_add(h).any()
+    assert sorted(s2.snapshot_urls()) == sorted(urls)
