@@ -37,11 +37,14 @@ class SeenShardLocal:
     """The shard logic, usable in-process (tests/simulator cross-checks)
     and wrapped as a Ray actor below."""
 
-    def __init__(self, capacity: int = 1 << 16, mode: str = "exact",
+    def __init__(self, capacity: int = 1 << 22, mode: str = "exact",
                  delta_dir: str | None = None):
         assert mode in ("exact", "cuckoo")
         self.mode = mode
-        self.filter = CuckooFilter(capacity)
+        # the filter backs the hot-path probe ONLY in cuckoo mode; exact
+        # mode uses the hash set alone (inserting into a fixed-capacity
+        # filter in exact mode would cap the shard needlessly)
+        self.filter = CuckooFilter(capacity) if mode == "cuckoo" else None
         self.exact: set[int] = set()
         # exact mode keeps hash→url in memory (snapshot source at test
         # scale); cuckoo mode is MEMORY-BOUNDED: urls are appended to
@@ -85,9 +88,10 @@ class SeenShardLocal:
         is_new &= first_mask
         fresh = h[is_new]
         if len(fresh):
-            self.filter.insert_batch(fresh)
             if self.mode == "exact":
                 self.exact.update(int(x) for x in fresh)
+            else:
+                self.filter.insert_batch(fresh)
             if urls is not None:
                 idx = np.flatnonzero(is_new)
                 self._record_urls(h[idx], [urls[i] for i in idx])
@@ -156,9 +160,10 @@ class SeenShardLocal:
             self._pending = {}
             return {"url": [], "host": [], "depth": []}
         keys = np.fromiter(pend.keys(), dtype=np.uint64, count=len(pend))
-        self.filter.insert_batch(keys)
         if self.mode == "exact":
             self.exact.update(int(x) for x in keys)
+        else:
+            self.filter.insert_batch(keys)
         urls_out, hosts_out, depths_out = [], [], []
         all_urls = []
         for key, (it, depth, cand, url, host) in pend.items():
@@ -211,9 +216,10 @@ class SeenShardLocal:
     def restore(self, path: str) -> int:
         t = pq.read_table(path)
         h = t["url_hash"].to_numpy().astype(np.uint64)
-        self.filter.insert_batch(h)
         if self.mode == "exact":
             self.exact.update(int(x) for x in h)
+        else:
+            self.filter.insert_batch(h)
         if self.mode == "exact" or self.delta_dir is None:
             self.urls.update(zip((int(x) for x in h), t["url"].to_pylist()))
         else:
@@ -229,7 +235,7 @@ SeenShard = ray.remote(SeenShardLocal)
 class SeenSet:
     """Driver-side handle over the shard actor pool."""
 
-    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 16,
+    def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 22,
                  mode: str = "exact", delta_dir: str | None = None):
         self.num_shards = num_shards
         self.shards = [
