@@ -23,6 +23,15 @@ def T(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def small(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFrame:
+    """Driver-side read for SMALL dimension tables that are about to be
+    broadcast (ray.put) — a Dataset pipeline per tiny read is pure
+    overhead. Column-pruned like T()."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
+
+
 def round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, nd in cols.items():
         df[c] = df[c].round(nd)

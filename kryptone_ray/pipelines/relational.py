@@ -17,7 +17,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
+from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols, small
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -183,7 +183,7 @@ def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
         count_name="n_orders",
     )
     agg["total_spent"] = agg.pop("cents") / 100.0
-    cust = T(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]).to_pandas()
+    cust = small(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
     out = cust.merge(agg, left_on="c_custkey", right_on="o_custkey", how="inner")
     out = out[["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"]]
     return out.sort_values("c_custkey").reset_index(drop=True)
@@ -203,9 +203,9 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     scan, partial-aggregated revenue, top-10."""
     import ray
 
-    cust = T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = small(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
     cutoff = pd.Timestamp("1998-03-15")
     sel = orders[(orders["o_custkey"].isin(keys)) & (orders["o_orderdate"] < cutoff)]
     okeys_ref = ray.put(set(sel["o_orderkey"]))
@@ -254,11 +254,11 @@ def q5_nation_volume(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q5 shape: multi-dimension star join. All dimension maps
     (region→nation→customer / supplier) are broadcast dicts; the fact
     scan joins by lookup inside map_batches; one partial-agg shuffle."""
-    nation = T(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = T(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
-    cust = T(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    supp = T(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    nation = small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = small(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    cust = small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = small(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     nkeys = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
@@ -315,12 +315,11 @@ def q_bucketed_join(sf_dir: str):
     bucket = key % B added to both sides, per-bucket pandas merge inside
     ``map_groups``. Produces order line counts per order with totals."""
     B = 16
-    orders = T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
-        .add_column("bucket", lambda df: df["o_orderkey"] % B, batch_format="pandas")
     line = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
         .add_column("bucket", lambda df: df["l_orderkey"] % B, batch_format="pandas")
 
-    odf = orders.to_pandas()
+    odf = small(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    odf["bucket"] = odf["o_orderkey"] % B
     import pandas as _pd
 
     def join_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
