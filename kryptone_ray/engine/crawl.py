@@ -55,7 +55,8 @@ _READER_CACHE: dict[str, CorpusReader] = {}
 
 def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
                         nshards: int, run_dir: str,
-                        shard_handles=None, page_actions=None) -> pa.Table:
+                        shard_handles=None, page_actions=None,
+                        crawl: bool = True) -> pa.Table:
     """The full per-slice window stage (fetch → decode → log → expand →
     validate) as a plain function — executed either by the map_batches
     pipeline (mode='ray') or by `ray.remote` tasks (mode='tasks'). The
@@ -69,7 +70,8 @@ def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
     reader = _worker_reader(corpus_dir)
     fetched = fetch_table(reader, t)
     decoded = decode_table(fetched)
-    validated, lineage = expand_and_validate(decoded, outlinks_fn, vcfg, nshards)
+    validated, lineage = expand_and_validate(decoded, outlinks_fn, vcfg, nshards,
+                                             crawl=crawl)
     bidx = int(t["batch_idx"][0].as_py())
     tag = _uuid.uuid4().hex[:8]
     pq.write_table(decoded, f"{run_dir}/visits/batch-{bidx:08d}-{tag}.parquet")
@@ -407,7 +409,8 @@ class RayCrawler:
         fetched = fetch_table(self._reader, batch)
         decoded = decode_table(fetched)
         validated, lineage = expand_and_validate(
-            decoded, self.outlinks_fn, self.vcfg, self.num_seen_shards
+            decoded, self.outlinks_fn, self.vcfg, self.num_seen_shards,
+            crawl=self.spec.crawl,
         )
         if self.page_actions is not None:
             items = self.page_actions(decoded)
@@ -479,9 +482,12 @@ class RayCrawler:
 
         page_actions = self.page_actions
 
+        crawl_flag = self.spec.crawl
+
         def full_stage(t: pa.Table) -> pa.Table:
             return _window_slice_stage(t, corpus_dir, outlinks_fn, vcfg, nshards,
-                                       run_dir, page_actions=page_actions)
+                                       run_dir, page_actions=page_actions,
+                                       crawl=crawl_flag)
 
         ds = rd.from_arrow(self._window_slices(batch)).map_batches(
             full_stage, batch_format="pyarrow", batch_size=None
@@ -512,7 +518,7 @@ class RayCrawler:
             self._stage_task.remote(
                 s, self.corpus_dir, ol_ref, vcfg_ref,
                 self.num_seen_shards, str(self.run_dir),
-                self.seen.shards, pa_ref,
+                self.seen.shards, pa_ref, self.spec.crawl,
             )
             for s in self._window_slices(batch)
         ]

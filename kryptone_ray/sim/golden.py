@@ -34,6 +34,8 @@ class CrawlSpec:
     """Knobs shared verbatim by the simulator and the Ray engine."""
 
     batch_size: int = 1  # k pages per politeness window (boost_start tabs)
+    crawl: bool = True  # Meta.crawl (base.py:1123-1125): False = visit the
+    # seeds only, never expand links
     wait_time: float = 25.0  # virtual seconds per batch
     host_delay: float = 0.0  # >0 → at most one fetch per host per batch
     max_pages: int | None = None
@@ -204,7 +206,7 @@ class GoldenSimulator:
                     d = self._delay_of(_host(u))
                     if d > 0:
                         next_ok[_host(u)] = clock + d
-                links = self.outlinks_fn(u)
+                links = self.outlinks_fn(u) if spec.crawl else []
                 lineage.extend((u, l) for l in links)
                 ingest(links, iteration=visit_index, depth=depth + 1)
                 visit_index += 1

@@ -40,6 +40,7 @@ def expand_and_validate(
     outlinks_fn,
     cfg: ValidationConfig,
     num_seen_shards: int,
+    crawl: bool = True,
 ) -> tuple[pa.Table, pa.Table]:
     """Returns (validated, lineage).
 
@@ -59,7 +60,7 @@ def expand_and_validate(
     lin_ord: list[int] = []
     lin_batch: list[int] = []
     for u, d, it, b, st in zip(page_urls, depths, iters, batches, statuses):
-        links = outlinks_fn(u) if st == "ok" else []
+        links = outlinks_fn(u) if (crawl and st == "ok") else []
         for o, l in enumerate(links):
             lin_page.append(u)
             lin_url.append(l if isinstance(l, str) else "")
