@@ -30,22 +30,25 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: one representative (min doc_id) per distinct text +
     duplicate count. Hash-partitioned groupby on the content hash; the
     text itself never shuffles (only hash + doc_id)."""
-    from ray.data.aggregate import Count, Min
-
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def h(df: pd.DataFrame) -> pd.DataFrame:
-        # int64 view of the hash (ray groupby keys prefer signed)
+    # partial-aggregate shape: per batch, one (hash, min doc_id, count)
+    # row per DISTINCT text — the text never leaves its batch, only the
+    # hash partials shuffle to the (tiny) final combine. At 10^10 docs
+    # the final combine becomes groupby(text_hash) over partials; here
+    # the partials are already small enough for the driver.
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["text_hash"] = xxh64_batch(df["text"].tolist()).astype("int64")
-        return df[["doc_id", "text_hash"]]
+        g = df.groupby("text_hash", sort=False)["doc_id"]
+        return pd.DataFrame(
+            {"doc_id": g.min(), "n_dups": g.size()}
+        ).reset_index()
 
-    hashed = ds.map_batches(h, batch_format="pandas", batch_size=8192)
-    # the distributed first-wins: hash-partitioned groupby — the text
-    # itself never shuffles, only (hash, doc_id)
-    agg = hashed.groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
-    )
-    out = agg.to_pandas()[["doc_id", "n_dups"]]
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192).to_pandas()
+    g = parts.groupby("text_hash", sort=False)
+    out = pd.DataFrame(
+        {"doc_id": g["doc_id"].min(), "n_dups": g["n_dups"].sum()}
+    ).reset_index(drop=True)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -106,25 +109,22 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
                 out.append((doc_id, band, xxh64(chunk.tobytes())))
         return pd.DataFrame(out, columns=["doc_id", "band", "bucket"])
 
-    buckets = ds.map_batches(sig_batch, batch_format="pandas", batch_size=2048)
-
-    # distributed bucket grouping: candidate pairs are emitted inside
-    # map_groups (one group per (band, bucket)); only the pair ids cross
-    # the shuffle — the LSH guarantee keeps this output small
-    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        rows = [(ids[i], ids[j]) for i in range(len(ids))
-                for j in range(i + 1, len(ids))]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
-
-    pair_df = (
-        buckets.groupby(["band", "bucket"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    cand = set(zip(pair_df["doc_a"].astype(int), pair_df["doc_b"].astype(int)))
+    # signatures are the expensive part and run distributed; the bucket
+    # table is metadata-sized ((doc_id, band, bucket) ints — n_docs×bands
+    # rows), grouped here via a driver hash-groupby. At corpus scale this
+    # becomes `groupby(["band","bucket"]).map_groups(emit_pairs)` — the
+    # same key, pairs emitted in-group — traded here because ray's
+    # sort-based groupby costs seconds on kilobyte inputs.
+    buckets = ds.map_batches(sig_batch, batch_format="pandas",
+                             batch_size=2048).to_pandas()
+    g = buckets.groupby(["band", "bucket"], sort=False)["doc_id"].apply(list)
+    cand = set()
+    for ids in g:
+        if len(ids) > 1:
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    cand.add((ids[i], ids[j]))
     if not cand:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
     # verify with exact shingle Jaccard
