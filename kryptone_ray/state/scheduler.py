@@ -209,6 +209,27 @@ class FrontierSchedulerLocal:
                     nxt = self._host_head(h)
                     if nxt is not None:
                         heapq.heappush(heads, (nxt[0], nxt[1], h))
+        elif self.batch_size >= self.total:
+            # whole-frontier wave (politeness off): one vectorized sort
+            # instead of O(total) heap pops
+            depths_all: list[int] = []
+            urls_all: list[str] = []
+            for h in list(self.heaps):
+                heap = self.heaps.pop(h)
+                for d, u in heap:
+                    depths_all.append(d)
+                    urls_all.append(u)
+                for f in self.spilled.pop(h, []):
+                    t = pq.read_table(f)
+                    depths_all.extend(t["depth"].to_pylist())
+                    urls_all.extend(t["url"].to_pylist())
+                    pathlib.Path(f).unlink()
+                self.spilled_counts.pop(h, None)
+                self.spilled_min.pop(h, None)
+            u_arr = np.asarray(urls_all, dtype=object)
+            d_arr = np.asarray(depths_all, dtype=np.int64)
+            order = np.lexsort((u_arr, d_arr))
+            batch = [(int(d_arr[i]), u_arr[i]) for i in order]
         else:
             # k globally-best entries across all hosts
             heads = []
