@@ -80,3 +80,46 @@ def test_path_suffix_matches_pathlib(name):
     if not name or "\x00" in name:
         return
     assert path_suffix(name) == pathlib.PurePosixPath(name).suffix
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(url_text, max_size=25), st.integers(min_value=0, max_value=3))
+def test_vectorized_validator_matches_simulator_scalar(urls, iteration):
+    """The two INDEPENDENT implementations of check_urls — the vectorized
+    batch validator and the golden simulator's scalar _check_one — must
+    agree on every verdict class for arbitrary input."""
+    from kryptone_ray.sim.golden import CrawlSpec, GoldenSimulator, _safe_parse
+    from kryptone_ray.stages.validate import GATHER_IGNORED
+
+    start = "http://example.com/"
+    cfg = ValidationConfig(
+        start_url=start,
+        gather_ignore_regexes=(r"/skip-",),
+        rule_test_regexes=(),
+        ignore_images=True,
+    )
+    spec = CrawlSpec(
+        gather_ignore_regexes=(r"/skip-",),
+        ignore_images=True,
+    )
+    sim = GoldenSimulator(lambda u: [], spec)
+    sp = _safe_parse(start)
+    origin = f"{sp.scheme}://{sp.netloc}"
+
+    t = validate_batch(urls, cfg, iteration_count=iteration)
+    vec = dict(zip(t["url"].to_pylist(), t["verdict"].to_pylist()))
+
+    scalar = {}
+    for u in urls:
+        cu, verdict = sim._check_one(
+            u, sp.netloc, sp.path, origin, iteration, seen=set(), visited=set()
+        )
+        if verdict == "dropped":
+            continue
+        scalar.setdefault(cu, verdict)
+
+    assert set(vec) == set(scalar)
+    for u, v in vec.items():
+        want = scalar[u]
+        got = "candidate" if v == CANDIDATE else "invalid"
+        assert got == want, (u, v, want)
