@@ -32,6 +32,23 @@ def small(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFr
     return pq.read_table(f"{sf_dir}/{name}.parquet", columns=columns).to_pandas()
 
 
+def parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet footer — no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
+def join_partitions(rows: int, rows_per_partition: int = 200_000,
+                    lo: int = 4, hi: int = 64) -> int:
+    """Partition count for ``Dataset.join``: the operator spins one
+    aggregator actor per partition (~fixed startup each), so partitions
+    scale with the larger side's row count instead of being a constant —
+    small inputs pay minimal overhead, 100-TB inputs get the
+    parallelism (callers cap at ``hi`` per node-count)."""
+    return max(lo, min(hi, rows // rows_per_partition + 1))
+
+
 def round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for c, nd in cols.items():
         df[c] = df[c].round(nd)
@@ -60,4 +77,25 @@ def partial_sum_count(ds, keys: list[str], sums: dict[str, str],
     df = partials.to_pandas()  # one row per key per batch — tiny
     g = df.groupby(keys, sort=False)
     out = g[[c for c in df.columns if c not in keys]].sum().reset_index()
+    return out
+
+
+def partial_stats(ds, keys: list[str], col: str,
+                  count_name: str = "n") -> pd.DataFrame:
+    """Distributed min/max/sum/count per key: per-batch partials inside
+    ``map_batches`` (one row per key per batch crosses to the driver;
+    the combine is associative — min of mins, max of maxes, sum of
+    sums). Never materializes the input on the driver."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, sort=False)[col]
+        out = g.agg(["min", "max", "sum", "size"])
+        out.columns = ["min_v", "max_v", "sum_v", "n_v"]
+        return out.reset_index()
+
+    df = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
+    g = df.groupby(keys, sort=False)
+    out = g.agg(min_v=("min_v", "min"), max_v=("max_v", "max"),
+                sum_v=("sum_v", "sum"), n_v=("n_v", "sum")).reset_index()
+    out = out.rename(columns={"n_v": count_name})
     return out

@@ -108,8 +108,9 @@ WITH marked AS (
 ), sized AS (
   SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid
 )
-SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events,
-       sum(n) AS n_events
+SELECT user_id, count(*) AS n_sessions,
+       CAST(max(n) AS BIGINT) AS max_session_events,
+       CAST(sum(n) AS BIGINT) AS n_events
 FROM sized GROUP BY user_id ORDER BY user_id
 """
 
@@ -152,6 +153,7 @@ def q_events_json_props(sf_dir: str) -> pd.DataFrame:
 
 
 Q_EVENTS_JSON_SQL = """
-SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k, count(*) AS n
+SELECT event_type, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """

@@ -17,7 +17,9 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols, small
+from kryptone_ray.pipelines.common import (
+    T, join_partitions, parquet_rows, partial_stats, partial_sum_count,
+    round_cols, small)
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
@@ -121,7 +123,11 @@ def q_topk_orders(sf_dir: str) -> pd.DataFrame:
     """Global top-k = sort desc + limit (seo.py:407-421 top-10 analog).
     Ray sorts distributed; the limit prunes early."""
     ds = T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
-    top = ds.sort("o_totalprice", descending=True).limit(10).to_pandas()
+    # Two-key sort matches the oracle's deterministic tie-break
+    # (o_totalprice DESC, o_orderkey ASC) — equal prices at the limit
+    # boundary would otherwise make the returned set data-dependent.
+    top = ds.sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(10).to_pandas()
     return top
 
 
@@ -199,38 +205,63 @@ ORDER BY c_custkey
 
 
 def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q3 shape: selective dimension filter broadcast into the fact
-    scan, partial-aggregated revenue, top-10."""
+    """TPC-H Q3 shape, fully distributed: only the true dimension filter
+    (customer segment → key set) is broadcast via ``ray.put``; the orders
+    FACT table streams through a Dataset filter (never materialized on
+    the driver), lineitem revenue is partial-aggregated per batch then
+    combined by a distributed ``groupby().sum()``, the two fact-sized
+    sides meet in Ray's native hash-shuffle join, and the top-10 is a
+    distributed two-key sort + limit."""
     import ray
 
     cust = small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = small(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    keys_ref = ray.put(frozenset(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]))
     cutoff = pd.Timestamp("1998-03-15")
-    sel = orders[(orders["o_custkey"].isin(keys)) & (orders["o_orderdate"] < cutoff)]
-    okeys_ref = ray.put(set(sel["o_orderkey"]))
-    odate = dict(zip(sel["o_orderkey"], sel["o_orderdate"]))
 
-    ds = T(sf_dir, "lineitem",
-           columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    def sel_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(keys)]
+        return df[["o_orderkey", "o_orderdate"]]
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
+    orders_ds = T(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(sel_orders, batch_format="pandas", batch_size=65536)
 
-        okeys = _ray.get(okeys_ref)
-        df = df[(df["l_shipdate"] > cutoff) & df["l_orderkey"].isin(okeys)]
+    def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
         cents = (df["l_extendedprice"] * 100).round().astype("int64")
         disc_bp = (df["l_discount"] * 100).round().astype("int64")
-        return pd.DataFrame(
+        part = pd.DataFrame(
             {"l_orderkey": df["l_orderkey"], "rev_e4": cents * (100 - disc_bp)}
         )
+        # per-batch combiner before the groupby shuffle
+        return part.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
 
-    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
-    agg = partial_sum_count(ds, keys=["l_orderkey"], sums={"rev_e4": "rev_e4"})
-    agg["revenue"] = agg.pop("rev_e4") / 1e4
-    agg["o_orderdate"] = agg["l_orderkey"].map(odate)
-    agg = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    return agg[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+    line_ds = T(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(line_rev, batch_format="pandas", batch_size=65536)
+
+    # The hash join partitions BOTH sides by orderkey, so every partial
+    # row of a key lands in one output block — the global combine is a
+    # per-block pandas groupby (batch_size=None = whole block), never a
+    # separate all-to-all aggregate. (Ray's groupby().sum() runs a
+    # per-row Python aggregate — ~10^3 rows/s — so the combine rides the
+    # join's partitioning instead.)
+    npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
+    joined = line_ds.join(orders_ds, "inner", num_partitions=npart,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False, as_index=False).agg(
+            rev_e4=("rev_e4", "sum"), o_orderdate=("o_orderdate", "first"))
+        return g
+
+    agg = joined.map_batches(combine, batch_format="pandas", batch_size=None)
+    top = agg.sort(["rev_e4", "l_orderkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    top["revenue"] = top.pop("rev_e4") / 1e4
+    return top[["l_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
 # exact integer-cents revenue for Q3 (see q1 note)
@@ -251,44 +282,67 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q5_nation_volume(sf_dir: str) -> pd.DataFrame:
-    """TPC-H Q5 shape: multi-dimension star join. All dimension maps
-    (region→nation→customer / supplier) are broadcast dicts; the fact
-    scan joins by lookup inside map_batches; one partial-agg shuffle."""
+    """TPC-H Q5 shape, fully distributed: only the TRUE dimensions
+    (nation/region/customer/supplier → tiny key→nation dicts) are
+    broadcast via ``ray.put``. The orders FACT table streams through a
+    map stage that resolves the customer nation per order; lineitem
+    resolves the supplier nation and pre-aggregates revenue by
+    (orderkey, supplier-nation) per batch; the two fact-sized sides meet
+    in Ray's native hash-shuffle join, the same-nation predicate is
+    applied post-join as a vectorized filter, and only 25 (nation)
+    partial rows per batch reach the final combine."""
+    import ray
+
     nation = small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
     region = small(sf_dir, "region", columns=["r_regionkey", "r_name"])
     cust = small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     supp = small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-    orders = small(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
     nkeys = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    supp_nation = dict(zip(supp["s_suppkey"], supp["s_nationkey"]))
-    order_cust = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
-    nation_name = dict(zip(nkeys["n_nationkey"], nkeys["n_name"]))
+    maps_ref = ray.put((
+        dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+        dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+        dict(zip(nkeys["n_nationkey"], nkeys["n_name"])),
+    ))
 
-    import ray
-
-    maps_ref = ray.put((cust_nation, supp_nation, order_cust, nation_name))
-
-    ds = T(sf_dir, "lineitem",
-           columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
-
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-
-        cn, sn, oc, nn = _ray.get(maps_ref)
-        cust_n = df["l_orderkey"].map(oc).map(cn)  # vectorized dict lookups
-        supp_n = df["l_suppkey"].map(sn)
-        # Q5 semantics: customer and supplier in the SAME nation
-        keep = cust_n.notna() & (cust_n == supp_n) & cust_n.isin(nn.keys())
-        sub = df.loc[keep]
-        cents = (sub["l_extendedprice"] * 100).round().astype("int64")
-        disc_bp = (sub["l_discount"] * 100).round().astype("int64")
+    def order_nation(df: pd.DataFrame) -> pd.DataFrame:
+        cn, _, _ = ray.get(maps_ref)
         return pd.DataFrame(
-            {"n_name": cust_n.loc[keep].map(nn), "rev_e4": cents * (100 - disc_bp)}
+            {"o_orderkey": df["o_orderkey"],
+             "c_nation": df["o_custkey"].map(cn).astype("int64")}
         )
 
-    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
+    orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(order_nation, batch_format="pandas", batch_size=65536)
+
+    def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+        _, sn, _ = ray.get(maps_ref)
+        cents = (df["l_extendedprice"] * 100).round().astype("int64")
+        disc_bp = (df["l_discount"] * 100).round().astype("int64")
+        part = pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"],
+             "s_nation": df["l_suppkey"].map(sn).astype("int64"),
+             "rev_e4": cents * (100 - disc_bp)}
+        )
+        return part.groupby(["l_orderkey", "s_nation"], sort=False,
+                            as_index=False)["rev_e4"].sum()
+
+    line_ds = T(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(line_rev, batch_format="pandas", batch_size=65536)
+
+    npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
+    joined = line_ds.join(orders_ds, "inner", num_partitions=npart,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def same_nation(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, nn = ray.get(maps_ref)
+        sub = df[(df["c_nation"] == df["s_nation"]) & df["c_nation"].isin(nn.keys())]
+        out = pd.DataFrame({"n_name": sub["c_nation"].map(nn),
+                            "rev_e4": sub["rev_e4"]})
+        return out.groupby("n_name", sort=False, as_index=False)["rev_e4"].sum()
+
+    ds = joined.map_batches(same_nation, batch_format="pandas", batch_size=65536)
     out = partial_sum_count(ds, keys=["n_name"], sums={"rev_e4": "rev_e4"})
     out["revenue"] = out.pop("rev_e4") / 1e4
     return out.sort_values(["revenue", "n_name"], ascending=[False, True]).reset_index(drop=True)
@@ -311,30 +365,43 @@ ORDER BY revenue DESC, n_name
 
 
 def q_bucketed_join(sf_dir: str):
-    """Partitioned hash join with BOTH sides large (ray_guide pattern):
-    bucket = key % B added to both sides, per-bucket pandas merge inside
-    ``map_groups``. Produces order line counts per order with totals."""
-    B = 16
+    """Hash-partitioned join with BOTH sides large: lineitem is
+    pre-aggregated per batch (combiner) then globally by a distributed
+    ``groupby().sum()``; orders STREAMS as a Dataset (never captured in a
+    task closure or materialized on the driver); the two sides meet in
+    Ray's native hash-shuffle join, each of ``num_partitions`` join
+    partitions seeing only its hash range of either side. Produces order
+    line counts per order with totals."""
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False)["l_quantity"].agg(["sum", "size"])
+        g.columns = ["sum_qty", "n_lines"]
+        return g.reset_index()
+
     line = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
-        .add_column("bucket", lambda df: df["l_orderkey"] % B, batch_format="pandas")
+        .map_batches(line_partial, batch_format="pandas", batch_size=65536)
 
-    odf = small(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    odf["bucket"] = odf["o_orderkey"] % B
-    import pandas as _pd
+    orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
+    joined = line.join(orders_ds, "inner", num_partitions=npart,
+                       on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def join_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
-        b = int(g["bucket"].iloc[0])
-        right = odf[odf["bucket"] == b]
-        agg = g.groupby("l_orderkey", sort=False)["l_quantity"].agg(["sum", "size"])
-        agg.columns = ["sum_qty", "n_lines"]
-        out = agg.reset_index().merge(
-            right[["o_orderkey", "o_totalprice"]],
-            left_on="l_orderkey", right_on="o_orderkey", how="inner",
+    # Combine partials per joined block: the hash join co-partitions by
+    # orderkey, so a per-block pandas groupby (batch_size=None = whole
+    # block) IS the global combine — see q3 note on why this beats Ray's
+    # row-wise groupby().sum() aggregate.
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False, as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n_lines=("n_lines", "sum"),
+            o_totalprice=("o_totalprice", "first"))
+        return pd.DataFrame(
+            {"o_orderkey": g["l_orderkey"],
+             "n_lines": g["n_lines"].astype("int64"),
+             "sum_qty": g["sum_qty"],
+             "o_totalprice": g["o_totalprice"]}
         )
-        return out[["o_orderkey", "n_lines", "sum_qty", "o_totalprice"]]
 
-    joined = line.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
-    return joined
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
 Q_BUCKETED_JOIN_SQL = """
@@ -372,7 +439,7 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
 
 Q_PART_TYPE_SQL = """
 SELECT p_type, sum(CAST(round(p_retailprice * 100) AS BIGINT)) / 100.0 AS total_price,
-       sum(p_size) AS total_size, count(*) AS n_parts
+       CAST(sum(p_size) AS BIGINT) AS total_size, count(*) AS n_parts
 FROM part WHERE regexp_matches(p_type, '^(ECONOMY|PROMO)')
 GROUP BY p_type ORDER BY p_type
 """
@@ -417,15 +484,17 @@ def q_customer_balance_stats(sf_dir: str) -> pd.DataFrame:
         df["cents"] = (df["c_acctbal"] * 100).round().astype("int64")
         return df[["c_mktsegment", "cents"]]
 
-    parts = ds.map_batches(f, batch_format="pandas", batch_size=65536).to_pandas()
-    g = parts.groupby("c_mktsegment")["cents"]
+    stats = partial_stats(
+        ds.map_batches(f, batch_format="pandas", batch_size=65536),
+        keys=["c_mktsegment"], col="cents", count_name="n",
+    )
     out = pd.DataFrame(
         {
-            "c_mktsegment": list(g.groups),
-            "min_bal": (g.min() / 100.0).to_numpy(),
-            "max_bal": (g.max() / 100.0).to_numpy(),
-            "avg_bal": ((g.sum() / 100.0) / g.size()).to_numpy(),
-            "n": g.size().to_numpy(),
+            "c_mktsegment": stats["c_mktsegment"],
+            "min_bal": stats["min_v"] / 100.0,
+            "max_bal": stats["max_v"] / 100.0,
+            "avg_bal": (stats["sum_v"] / 100.0) / stats["n"],
+            "n": stats["n"],
         }
     )
     return out.sort_values("c_mktsegment").reset_index(drop=True)

@@ -32,7 +32,7 @@ def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
 
 
 Q_LANG_SQL = """
-SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs
+SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -53,7 +53,7 @@ def q_token_counts(sf_dir: str) -> pd.DataFrame:
 
 
 Q_TOKEN_COUNTS_SQL = """
-SELECT source, sum(len(string_split(lower(text), ' '))) AS total_tokens,
+SELECT source, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
@@ -151,7 +151,7 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 
 Q_DOC_QUALITY_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS n_long,
+       CAST(sum(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
        round(sum(n_chars) / count(*), 4) AS avg_chars,
        round(sum(len(string_split(lower(text), ' '))) / count(*), 4) AS avg_tokens
 FROM documents GROUP BY lang ORDER BY lang
