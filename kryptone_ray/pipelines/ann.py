@@ -100,32 +100,90 @@ WHERE rank <= {K} ORDER BY query_id, rank
 """
 
 
-def q_knn_ivf(sf_dir: str, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF-style ANN: k-means-lite centroids (deterministic: first
-    n_cells vectors after sorting by vec_id, 5 Lloyd iterations), search
-    only the n_probe nearest cells per query. Recall < 1 by design —
-    rows-only entry; the exactness gate is q_knn_bruteforce."""
-    ids, mat = _normalized_matrix(sf_dir)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    cent = mat[:n_cells].copy()
-    for _ in range(5):
-        assign = np.argmax(mat @ cent.T, axis=1)
-        for c in range(n_cells):
-            members = mat[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
-    assign = np.argmax(mat @ cent.T, axis=1)
+def _norm_batch(df: pd.DataFrame):
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    return df["vec_id"].to_numpy(), m
 
-    qsel = np.arange(N_QUERIES)
-    rows = []
-    for a in qsel:
-        cells = np.argsort(-(cent @ mat[a]))[:n_probe]
-        cand = np.flatnonzero(np.isin(assign, cells))
-        cand = cand[ids[cand] != ids[a]]
-        sims = mat[cand] @ mat[a]
-        top = cand[np.lexsort((ids[cand], -sims))][:K]
-        for r, b in enumerate(top, 1):
-            rows.append((int(ids[a]), int(ids[b]), r))
-    return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+
+def q_knn_ivf(sf_dir: str, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF-style ANN, distributed: centroids are seeded from the first
+    ``n_cells`` vectors by vec_id (a tiny sorted limit) and refined by
+    5 Lloyd iterations where each iteration is ONE ``map_batches`` pass
+    emitting per-cell partial sums/counts against the broadcast
+    centroids (the distributed k-means shape — only (n_cells × dim)
+    partials cross to the driver). Search assigns cells and computes
+    per-batch local top-K inside ``map_batches`` with queries +
+    centroids broadcast via ``ray.put``; the driver merges
+    N_QUERIES × K × n_batches candidate rows. Recall < 1 by design —
+    rows-only entry (exactness gate: q_knn_bruteforce); pinned against
+    tests/golden/dedup_knn_ivf_sf001.json."""
+    import ray
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    seed = ds.sort("vec_id").limit(n_cells).to_pandas()
+    _, cent = _norm_batch(seed)
+    cent = cent.copy()
+
+    for _ in range(5):
+        cent_ref = ray.put(cent)
+
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cent_ref)
+            _, m = _norm_batch(df)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            return pd.DataFrame(
+                {"cell": np.arange(len(c)),
+                 "n": counts.astype("int64"),
+                 "vsum": list(sums)}
+            )
+
+        part = ds.map_batches(partials, batch_format="pandas",
+                              batch_size=4096).to_pandas()
+        for c in range(n_cells):
+            sub = part[part["cell"] == c]
+            n = int(sub["n"].sum())
+            if n:
+                v = np.sum(np.stack(sub["vsum"].to_numpy()), axis=0) / n
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    q_df = ds.sort("vec_id").limit(N_QUERIES).to_pandas()
+    q_ids, q_mat = _norm_batch(q_df)
+    probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    bc = ray.put((cent, q_ids, q_mat, probe_cells))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        c, qi, qm, cells = ray.get(bc)
+        ids, m = _norm_batch(df)
+        assign = np.argmax(m @ c.T, axis=1)
+        rows = []
+        for qidx in range(len(qi)):
+            mask = np.isin(assign, cells[qidx]) & (ids != qi[qidx])
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            sims = m[cand] @ qm[qidx]
+            top = cand[np.lexsort((ids[cand], -sims))][:K]
+            rows.append(pd.DataFrame(
+                {"query_id": qi[qidx], "neighbor_id": ids[top],
+                 "sim": m[top] @ qm[qidx]}))
+        if not rows:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas",
+                           batch_size=4096).to_pandas()
+    out_rows = []
+    for qid in sorted(set(parts["query_id"])):
+        sub = parts[parts["query_id"] == qid]
+        order = np.lexsort((sub["neighbor_id"].to_numpy(),
+                            -sub["sim"].to_numpy()))
+        top = sub.iloc[order[:K]]
+        for r, nid in enumerate(top["neighbor_id"], 1):
+            out_rows.append((int(qid), int(nid), r))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])

