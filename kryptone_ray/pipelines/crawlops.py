@@ -140,53 +140,115 @@ def q_caption_emails(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"email": emails})
 
 
-def q_frontier_reorder(sf_dir: str) -> pd.DataFrame:
-    """management/commands/reorder.py analog: partition frontier URLs by
-    regex match — matching URLs ranked first (stable within groups)."""
-    import re
+def _frontier_snapshot_dir() -> str:
+    """Materialize the pinned frontier snapshot ONCE as sharded parquet
+    under /tmp (the on-disk shape a frontier-maintenance job reads at
+    10^10 URLs: one directory, one file per shard, resumable). The
+    command queries below are real ``read_parquet → transform → write``
+    pipelines over this directory — never in-memory Python lists."""
+    import pathlib
 
-    urls = sorted(_corpus_urls())[:200]
-    pat = re.compile(r"/img/")
-    has_match = np.array([bool(pat.search(u)) for u in urls])
-    order = np.argsort(~has_match, kind="stable")
-    out = pd.DataFrame({
-        "rank": np.arange(len(urls), dtype=np.int64),
-        "url": [urls[i] for i in order],
-        "has_match": has_match[order],
-    })
-    return out
+    import pyarrow.parquet as pq
+
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_frontier_{_SPEC.seed}_{_SPEC.n_rows}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        urls = _corpus_urls()
+        for shard in range(4):
+            part = urls[shard::4]
+            pq.write_table(
+                pa.table({"url": pa.array(part, type=pa.string())}),
+                base / f"frontier-{shard:03d}.parquet",
+            )
+        marker.touch()
+    return str(base)
+
+
+def q_frontier_reorder(sf_dir: str) -> pd.DataFrame:
+    """management/commands/reorder.py analog as a frontier pipeline:
+    ``read_parquet(frontier) → vectorized regex flag → distributed
+    two-key sort → limit`` — matching URLs ranked first (ties by url,
+    equivalent to the command's stable partition of the sorted list)."""
+    snap = _frontier_snapshot_dir()
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df["has_match"] = df["url"].str.contains("/img/", regex=False)
+        return df
+
+    top = (
+        rd.read_parquet(snap)
+        .sort("url").limit(200)
+        .map_batches(flag, batch_format="pandas", batch_size=8192)
+        .sort(["has_match", "url"], descending=[True, False])
+        .to_pandas()
+    )
+    top.insert(0, "rank", np.arange(len(top), dtype=np.int64))
+    return top[["rank", "url", "has_match"]]
 
 
 def q_extract_urls(sf_dir: str) -> pd.DataFrame:
     """management/commands/extract_urls.py analog: apply a URLIgnoreTest
-    over the frontier snapshot and write the MATCHING urls sorted (the
-    command's CSV contract)."""
-    urls = _corpus_urls()
+    over the frontier parquet snapshot (vectorized mask per batch),
+    WRITE the matching urls as partitioned parquet (the command's CSV
+    contract, resumable output), and return them sorted."""
+    import pathlib
+
+    snap = _frontier_snapshot_dir()
+    out_dir = pathlib.Path(tempfile.mkdtemp(prefix="kr_extract_urls_"))
+
     test = UrlIgnoreTest("items", paths=("/item/",))
-    f = urlkit.parse_batch(urls)
-    mask = test.mask(f)
-    return pd.DataFrame({"url": sorted(np.asarray(urls, dtype=object)[mask])})
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        f = urlkit.parse_batch(df["url"].tolist())
+        return df[np.asarray(test.mask(f))]
+
+    ds = rd.read_parquet(snap).map_batches(match, batch_format="pandas",
+                                           batch_size=8192)
+    ds.write_parquet(str(out_dir))
+    out = rd.read_parquet(str(out_dir)).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
 
 
 def q_filter_cache(sf_dir: str) -> pd.DataFrame:
-    """management/commands/filter_cache.py analog: move pattern-matching
-    URLs from to_visit → visited; returns the resulting set sizes."""
-    import re
+    """management/commands/filter_cache.py analog: stream the frontier
+    snapshot, classify each URL to to_visit/visited by pattern
+    (vectorized), aggregate bucket sizes with per-batch partials."""
+    snap = _frontier_snapshot_dir()
 
-    urls = _corpus_urls()
-    pat = re.compile(r"/cat/")
-    to_visit = [u for u in urls if not pat.search(u)]
-    visited = [u for u in urls if pat.search(u)]
-    return pd.DataFrame(
-        {"bucket": ["to_visit", "visited"], "n": [len(to_visit), len(visited)]}
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["url"].str.contains("/cat/", regex=False)
+        return pd.DataFrame({"bucket": np.where(m, "visited", "to_visit")})
+
+    parts = (
+        rd.read_parquet(snap)
+        .map_batches(classify, batch_format="pandas", batch_size=8192)
+        .map_batches(lambda df: df.groupby("bucket", sort=False)
+                     .size().reset_index(name="n"),
+                     batch_format="pandas", batch_size=8192)
+        .to_pandas()
     )
+    out = parts.groupby("bucket", sort=False)["n"].sum().reset_index()
+    return out.sort_values("bucket").reset_index(drop=True)
 
 
 def q_images_by_extension(sf_dir: str) -> pd.DataFrame:
     """PageImagesIterator.classified_images analog
-    (utils/iterators.py:113-195): group image URLs by extension."""
-    urls = _corpus_urls()
-    f = urlkit.parse_batch(urls)
-    ext = [s if s in urlkit.IMAGE_SUFFIXES else "(none)" for s in f.suffix]
-    out = pd.DataFrame({"ext": ext}).groupby("ext").size().reset_index(name="n")
+    (utils/iterators.py:113-195) as a frontier pipeline: stream the
+    snapshot, classify by image extension per batch, partial-agg."""
+    snap = _frontier_snapshot_dir()
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        f = urlkit.parse_batch(df["url"].tolist())
+        ext = [s if s in urlkit.IMAGE_SUFFIXES else "(none)" for s in f.suffix]
+        g = pd.DataFrame({"ext": ext}).groupby("ext", sort=False)
+        return g.size().reset_index(name="n")
+
+    parts = (
+        rd.read_parquet(snap)
+        .map_batches(classify, batch_format="pandas", batch_size=8192)
+        .to_pandas()
+    )
+    out = parts.groupby("ext", sort=False)["n"].sum().reset_index()
     return out.sort_values("ext").reset_index(drop=True)
