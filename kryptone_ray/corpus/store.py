@@ -115,7 +115,14 @@ class CorpusReader:
         # binary search over the sorted interval index
         g_idx = np.searchsorted(self.rg_mins, keys, side="right") - 1
         ok = (g_idx >= 0) & (self.rg_maxs[np.clip(g_idx, 0, None)] >= keys)
-        sel = np.unique(g_idx[ok])
+        # a key can straddle a row-group boundary (rows with an equal
+        # url_hash split across groups, or externally-written overlapping
+        # files): the PRECEDING group matches too when its max still
+        # covers the key — probe it as well instead of assuming disjoint
+        # intervals
+        prev = g_idx - 1
+        ok_prev = (prev >= 0) & (self.rg_maxs[np.clip(prev, 0, None)] >= keys)
+        sel = np.unique(np.concatenate([g_idx[ok], prev[ok_prev]]))
         if len(sel) == 0:
             return self.files[0].schema_arrow.empty_table()
         url_arr = pa.array(list(set(urls)))

@@ -341,26 +341,16 @@ class RayCrawler:
                 break
             if self.spec.max_pages is not None and self.pages_visited >= self.spec.max_pages:
                 break
-            urls, depths, idxs, ts, bidx = self.sched.pop_batch()
+            # sim semantics: pages beyond max_pages stay in the frontier.
+            # pop_batch(limit) never over-pops (sequential-greedy prefix
+            # property), so visit_counter/clock advance only for pages
+            # actually visited — no rollback, no counter skew in a
+            # checkpoint taken after a truncated window.
+            room = (self.spec.max_pages - self.pages_visited
+                    if self.spec.max_pages is not None else None)
+            urls, depths, idxs, ts, bidx = self.sched.pop_batch(limit=room)
             if not urls:
                 break
-            if self.spec.max_pages is not None:
-                room = self.spec.max_pages - self.pages_visited
-                if room < len(urls):
-                    # sim semantics: pages beyond max_pages stay in the
-                    # frontier — re-queue the popped surplus
-                    from urllib.parse import urlparse
-
-                    surplus_urls = urls[room:]
-                    surplus_depths = depths[room:]
-                    self.sched.add(
-                        surplus_urls,
-                        [urlparse(u).netloc for u in surplus_urls],
-                        surplus_depths,
-                    )
-                    urls, depths, idxs = urls[:room], depths[:room], idxs[:room]
-                    if not urls:
-                        break
             batch = pa.table(
                 {
                     "url": pa.array(urls, type=pa.string()),
@@ -556,15 +546,33 @@ class RayCrawler:
             "start_url": self.vcfg.start_url if self.vcfg else None,
         }
         (tmp / "manifest.json").write_text(json.dumps(manifest))
+        # crash-safe publish: at every instant either `checkpoint` or
+        # `checkpoint.old` is a complete checkpoint — the live dir is
+        # renamed ASIDE (not deleted) before the new one takes its place,
+        # and resume() falls back to `.old` if a crash lands between the
+        # two renames.
+        old = self.run_dir / "checkpoint.old"
+        if old.exists():
+            shutil.rmtree(old)
         if ck.exists():
-            shutil.rmtree(ck)
-        tmp.rename(ck)  # atomic publish
+            ck.rename(old)
+        tmp.rename(ck)
+        if old.exists():
+            shutil.rmtree(old)
 
     def resume(self, seeds: list[str]) -> None:
         """Rebuild state from run_dir/checkpoint; visits logs after the
         checkpointed batch counter are discarded (at-most-once re-fetch of
         the in-flight window — reference contract base.py:1213-1273)."""
         ck = self.run_dir / "checkpoint"
+        if not ck.exists():
+            # a crash between checkpoint()'s two renames leaves the last
+            # complete checkpoint at checkpoint.old — promote it back
+            old = self.run_dir / "checkpoint.old"
+            if old.exists():
+                old.rename(ck)
+            else:
+                raise FileNotFoundError(f"no checkpoint under {self.run_dir}")
         manifest = json.loads((ck / "manifest.json").read_text())
         self.vcfg = ValidationConfig(
             start_url=manifest["start_url"] or seeds[-1],

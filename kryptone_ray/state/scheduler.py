@@ -68,7 +68,25 @@ class FrontierSchedulerLocal:
     # --- ingestion ----------------------------------------------------
     def add(self, urls: list[str], hosts: list[str], depths) -> int:
         """Enqueue already-deduplicated frontier URLs (the seen anti-join
-        guarantees first-time); returns the new frontier size."""
+        guarantees first-time); returns the new frontier size.
+
+        Bulk adds (the per-window enqueue — part of the driver's serial
+        residue between politeness windows) group by host first and use
+        one O(n) extend+heapify per host instead of n O(log n)
+        heappushes."""
+        n = len(urls)
+        if n > 256:
+            by_host: dict[str, list[tuple[int, str]]] = {}
+            for url, host, depth in zip(urls, hosts, depths):
+                by_host.setdefault(host, []).append((int(depth), url))
+            for host, items in by_host.items():
+                heap = self.heaps.setdefault(host, [])
+                heap.extend(items)
+                heapq.heapify(heap)
+                self.total += len(items)
+                if self.spill_dir is not None and len(heap) > self.spill_threshold:
+                    self._spill(host)
+            return self.total
         for url, host, depth in zip(urls, hosts, depths):
             heap = self.heaps.setdefault(host, [])
             heapq.heappush(heap, (int(depth), url))
@@ -158,14 +176,20 @@ class FrontierSchedulerLocal:
         return heap[0] if heap else None
 
     # --- release ------------------------------------------------------
-    def pop_batch(self):
+    def pop_batch(self, limit: int | None = None):
         """Release the next politeness window.
 
         Returns (urls, depths, visit_indices, virtual_ts, batch_index) —
         empty lists when the frontier is exhausted. Selection rule is
         identical to GoldenSimulator.run: among eligible hosts take the k
         best heads by (depth, url), one per host when host_delay > 0.
+
+        ``limit`` caps the window below ``batch_size`` (max_pages
+        headroom): selection is sequential-greedy in every path, so a
+        smaller k yields exactly the prefix of the larger window — the
+        engine never over-pops and then rolls back counters.
         """
+        k = self.batch_size if limit is None else min(self.batch_size, limit)
         # drop empty hosts
         for h in [h for h, hp in self.heaps.items() if not hp]:
             if h in self.spilled:
@@ -195,7 +219,7 @@ class FrontierSchedulerLocal:
             heapq.heapify(heads)
             batch = []
             gated_chosen: set[str] = set()
-            while heads and len(batch) < self.batch_size:
+            while heads and len(batch) < k:
                 depth, url, h = heapq.heappop(heads)
                 if h in gated_chosen:
                     continue  # gated host: rest of its urls wait
@@ -209,7 +233,7 @@ class FrontierSchedulerLocal:
                     nxt = self._host_head(h)
                     if nxt is not None:
                         heapq.heappush(heads, (nxt[0], nxt[1], h))
-        elif self.batch_size >= self.total:
+        elif k >= self.total:
             # whole-frontier wave (politeness off): one vectorized sort
             # instead of O(total) heap pops
             depths_all: list[int] = []
@@ -239,7 +263,7 @@ class FrontierSchedulerLocal:
                     heads.append((head[0], head[1], h))
             heapq.heapify(heads)
             batch = []
-            while heads and len(batch) < self.batch_size:
+            while heads and len(batch) < k:
                 depth, url, h = heapq.heappop(heads)
                 heapq.heappop(self.heaps[h])
                 batch.append((depth, url))
@@ -410,21 +434,31 @@ class ShardedFrontierScheduler:
         return self._hash(host) % self.num_shards
 
     def add(self, urls, hosts, depths) -> int:
-        buckets: dict[int, tuple[list, list, list]] = {}
-        for u, h, d in zip(urls, hosts, depths):
-            b = buckets.setdefault(self._shard_of(h), ([], [], []))
-            b[0].append(u)
-            b[1].append(h)
-            b[2].append(d)
-        refs = [
-            self.shards[s].add.remote(us, hs, ds)
-            for s, (us, hs, ds) in buckets.items()
-        ]
+        """Shard-bucketed enqueue. Host hashing runs through the
+        VECTORIZED xxh64 batch kernel (the scalar pure-Python hash per
+        host was a measurable slice of the per-window driver serial
+        residue), and per-shard sublists are cut with numpy index
+        arrays."""
+        from kryptone_ray.utils.xxh64 import xxh64_batch
+
+        if not urls:
+            return self.size()
+        shard_of = xxh64_batch(hosts) % np.uint64(self.num_shards)
+        u_arr = np.asarray(urls, dtype=object)
+        h_arr = np.asarray(hosts, dtype=object)
+        d_arr = np.asarray(depths, dtype=np.int64)
+        refs = []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == np.uint64(s))
+            if len(idx) == 0:
+                continue
+            refs.append(self.shards[s].add.remote(
+                u_arr[idx].tolist(), h_arr[idx].tolist(), d_arr[idx].tolist()))
         ray.get(refs)
         return self.size()
 
-    def pop_batch(self):
-        k = self.batch_size
+    def pop_batch(self, limit: int | None = None):
+        k = self.batch_size if limit is None else min(self.batch_size, limit)
         peeks = ray.get(
             [sh.peek_batch.remote(k, self.clock) for sh in self.shards]
         )

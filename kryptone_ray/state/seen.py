@@ -223,6 +223,14 @@ class SeenShardLocal:
         if self.mode == "exact" or self.delta_dir is None:
             self.urls.update(zip((int(x) for x in h), t["url"].to_pylist()))
         else:
+            # deltas written by the crashed run AFTER this snapshot hold
+            # URLs that were rolled back (absent from the restored
+            # filter) — purge the whole delta log before re-seeding it,
+            # or they reappear as phantoms in _url_table()/snapshots and
+            # new windows partially overwrite old files by sequence
+            for f in self.delta_dir.glob("delta-*.parquet"):
+                f.unlink()
+            self._delta_seq = 0
             # re-seed the delta log so later snapshots include these
             pq.write_table(t, self.delta_dir / f"delta-{self._delta_seq:08d}.parquet")
             self._delta_seq += 1
