@@ -246,16 +246,22 @@ def scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r = {n: run(n) for n in (1, 4, 16)}
-    eff_1_4 = (r[4]["images_per_sec"] / r[1]["images_per_sec"]) / 4.0
-    eff_4_16 = (r[16]["images_per_sec"] / r[4]["images_per_sec"]) / 4.0
+    r = {n: run(n) for n in (2, 4, 8, 16)}
+
+    def eff(lo: int, hi: int) -> float:
+        return round((r[hi]["images_per_sec"] / r[lo]["images_per_sec"])
+                     / (hi / lo), 3)
+
     print(json.dumps({
         "images_per_sec": {str(n): r[n]["images_per_sec"] for n in r},
         "frontier_urls_per_sec": {str(n): r[n]["frontier_urls_per_sec"] for n in r},
         "crawl_sec": {str(n): r[n]["crawl_sec"] for n in r},
-        "scaling_efficiency": round(eff_1_4, 3),
-        "scaling_efficiency_1v4": round(eff_1_4, 3),
-        "scaling_efficiency_4v16": round(eff_4_16, 3),
+        # headline N-vs-4N pair: 2 vs 8 CPUs — the largest factor-4 pair
+        # whose upper level still fits the box's ~20 effective shared
+        # cores with headroom for raylet/io threads
+        "scaling_efficiency": eff(2, 8),
+        "scaling_efficiency_2v8": eff(2, 8),
+        "scaling_efficiency_4v16": eff(4, 16),
         "note": "each level taskset-pinned to its core count, fresh "
                 "process, same input, best of 3 timed crawls after "
                 "warm-up; the 4v16 pair saturates this single box's "

@@ -69,16 +69,22 @@ class SiteCrawler:
             crawl=self._meta.crawl,
             robots_provider=robots_provider,
         )
-        page_actions = None
-        if type(self).current_page_actions is not SiteCrawler.current_page_actions:
-            page_actions = self.current_page_actions
+        def _if_overridden(name):
+            return (getattr(self, name)
+                    if getattr(type(self), name) is not getattr(SiteCrawler, name)
+                    else None)
+
         self.engine = RayCrawler(
             corpus_dir=corpus_dir,
             outlinks_fn=outlinks_fn,
             spec=spec,
             run_dir=run_dir,
             mode=mode,
-            page_actions=page_actions,
+            page_actions=_if_overridden("current_page_actions"),
+            post_navigation_actions=_if_overridden("post_navigation_actions"),
+            before_next_page_actions=_if_overridden("before_next_page_actions"),
+            after_fail=_if_overridden("after_fail"),
+            after_data_save=_if_overridden("after_data_save"),
             **engine_kwargs,
         )
 
@@ -90,6 +96,31 @@ class SiteCrawler:
     def current_page_actions(self, pages):
         """Override: called per decoded page batch (Arrow table); return
         an Arrow table of items (landed in run_dir/items/) or None."""
+        return None
+
+    def post_navigation_actions(self, pages):
+        """Override: called on the decoded page batch immediately after
+        fetch+decode, BEFORE link expansion (reference base.py:807-811 —
+        the cookie-banner hook, batch-wise)."""
+        return None
+
+    def before_next_page_actions(self, visited_urls: list[str]):
+        """Override: called driver-side after each politeness window is
+        fully visited and ingested, before the next window is selected
+        (reference base.py:812-816 — after the wait_time expires).
+        Receives the window's visited url list (batch-wise deviation:
+        the reference gets (current_url, next_url) per page)."""
+        return None
+
+    def after_fail(self, exc: Exception):
+        """Override: called once when a window raises, before the
+        exception propagates (reference base.py:818-825 — dump collected
+        results on driver failure)."""
+        return None
+
+    def after_data_save(self, items):
+        """Override: called right after an items table is persisted
+        (reference base.py:831)."""
         return None
 
     # --- run ----------------------------------------------------------
@@ -105,6 +136,28 @@ class SiteCrawler:
         seeds = list(start_urls or self._meta.start_urls)
         self.engine.resume(seeds)
         return self.engine.run(seeds=None)
+
+    def refresh(self, pages: list[str] | None = None,
+                checkpoint_every: int = 0) -> dict:
+        """Reference refresh mode (base.py:685-691 step 4, 1162-1164
+        re-collect): re-visit previously-crawled pages — by default every
+        page in this run_dir's visit log — discovering ONLY urls never
+        seen before. The prior seen state must be loaded (fresh engines
+        restore it from the run checkpoint automatically)."""
+        if pages is None:
+            vt = self.engine.visits_table()
+            if vt is None:
+                ck = self.engine.run_dir / "checkpoint"
+                if ck.exists():
+                    self.engine.resume(list(self._meta.start_urls) or [""])
+                    vt = self.engine.visits_table()
+            if vt is None:
+                raise ValueError("no prior visits to refresh")
+            import pyarrow.compute as pc
+
+            vt = vt.take(pc.sort_indices(vt["visit_idx"]))
+            pages = list(dict.fromkeys(vt["url"].to_pylist()))
+        return self.engine.run_refresh(pages, checkpoint_every=checkpoint_every)
 
     # --- results ------------------------------------------------------
     def visits(self):

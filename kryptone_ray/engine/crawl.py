@@ -53,9 +53,35 @@ from kryptone_ray.state.seen import SeenSet, SeenShardLocal
 _READER_CACHE: dict[str, CorpusReader] = {}
 
 
+class WindowHooks:
+    """Picklable bundle of the IN-TASK lifecycle hooks (reference
+    base.py:797-831), batch-wise: each receives the decoded page batch
+    (Arrow table) instead of one URL per call — the documented
+    batch-is-the-unit-of-work deviation (crawler.py module docstring).
+
+    - ``post_navigation``: right after fetch+decode, BEFORE link
+      expansion (reference: immediately after driver.get, cookie-banner
+      territory — base.py:807-811,1116-1119).
+    - ``page_actions``: after expansion/logging (current_page_actions,
+      base.py:797-805,1129-1155).
+    - ``after_data_save``: right after the items parquet lands
+      (base.py:831, after storage save).
+    """
+
+    def __init__(self, page_actions=None, post_navigation=None,
+                 after_data_save=None):
+        self.page_actions = page_actions
+        self.post_navigation = post_navigation
+        self.after_data_save = after_data_save
+
+    def __bool__(self):
+        return any((self.page_actions, self.post_navigation,
+                    self.after_data_save))
+
+
 def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
                         nshards: int, run_dir: str,
-                        shard_handles=None, page_actions=None,
+                        shard_handles=None, hooks: WindowHooks | None = None,
                         crawl: bool = True) -> pa.Table:
     """The full per-slice window stage (fetch → decode → log → expand →
     validate) as a plain function — executed either by the map_batches
@@ -70,16 +96,20 @@ def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
     reader = _worker_reader(corpus_dir)
     fetched = fetch_table(reader, t)
     decoded = decode_table(fetched)
+    if hooks is not None and hooks.post_navigation is not None:
+        hooks.post_navigation(decoded)
     validated, lineage = expand_and_validate(decoded, outlinks_fn, vcfg, nshards,
                                              crawl=crawl)
     bidx = int(t["batch_idx"][0].as_py())
     tag = _uuid.uuid4().hex[:8]
     pq.write_table(decoded, f"{run_dir}/visits/batch-{bidx:08d}-{tag}.parquet")
     pq.write_table(lineage, f"{run_dir}/lineage/batch-{bidx:08d}-{tag}.parquet")
-    if page_actions is not None:
-        items = page_actions(decoded)
+    if hooks is not None and hooks.page_actions is not None:
+        items = hooks.page_actions(decoded)
         if items is not None and len(items):
             pq.write_table(items, f"{run_dir}/items/batch-{bidx:08d}-{tag}.parquet")
+            if hooks.after_data_save is not None:
+                hooks.after_data_save(items)
     if shard_handles is None:
         return validated
     # pipelined ingest: stream this slice's validated rows straight into
@@ -211,6 +241,10 @@ class RayCrawler:
         fetch_concurrency: int = 4,
         ray_batch_rows: int = 1024,
         page_actions=None,
+        post_navigation_actions=None,
+        before_next_page_actions=None,
+        after_fail=None,
+        after_data_save=None,
         scheduler_shards: int = 0,
     ):
         self.corpus_dir = str(corpus_dir)
@@ -223,8 +257,16 @@ class RayCrawler:
         self.ray_batch_rows = ray_batch_rows
         # current_page_actions analog (base.py:798-805, called per visited
         # page at base.py:1129-1155): a picklable callable over the
-        # decoded page batch; rows it returns land in run_dir/items/
+        # decoded page batch; rows it returns land in run_dir/items/.
+        # post_navigation_actions / after_data_save run in-task with it
+        # (WindowHooks); before_next_page_actions and after_fail run
+        # driver-side (they mark window boundaries / failures).
         self.page_actions = page_actions
+        self.hooks = WindowHooks(page_actions=page_actions,
+                                 post_navigation=post_navigation_actions,
+                                 after_data_save=after_data_save)
+        self.before_next_page_actions = before_next_page_actions
+        self.after_fail = after_fail
         if page_actions is not None:
             (self.run_dir / "items").mkdir(parents=True, exist_ok=True)
 
@@ -360,15 +402,23 @@ class RayCrawler:
                     "batch_idx": pa.array([bidx] * len(urls), type=pa.int64()),
                 }
             )
-            if self.mode == "ray":
-                validated = self._process_batch_ray(batch)
-            elif self.mode == "tasks":
-                validated = self._process_batch_tasks(batch)
-            else:
-                validated, lineage, visits = self._process_batch_local(batch)
-                self.errors += sum(1 for s in visits["status"].to_pylist() if s != "ok")
-                pq.write_table(visits, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
-                pq.write_table(lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
+            try:
+                if self.mode == "ray":
+                    validated = self._process_batch_ray(batch)
+                elif self.mode == "tasks":
+                    validated = self._process_batch_tasks(batch)
+                else:
+                    validated, lineage, visits = self._process_batch_local(batch)
+                    self.errors += sum(1 for s in visits["status"].to_pylist() if s != "ok")
+                    pq.write_table(visits, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
+                    pq.write_table(lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
+            except Exception as exc:
+                # after_fail hook (base.py:818-825): dump-before-dying —
+                # the subclass gets one shot at salvaging state, then the
+                # failure propagates unchanged
+                if self.after_fail is not None:
+                    self.after_fail(exc)
+                raise
 
             self.pages_visited += len(urls)
             self._ingest_validated(validated)
@@ -388,16 +438,59 @@ class RayCrawler:
                 }
             )
             pq.write_table(mt, self.run_dir / "metrics" / f"batch-{bidx:08d}.parquet")
+            if self.before_next_page_actions is not None:
+                # batch-wise before_next_page_actions (base.py:812-816):
+                # the window is fully visited and ingested, the politeness
+                # wait has (virtually) expired, the next window not yet
+                # selected — the hook sees the just-visited url list
+                self.before_next_page_actions(list(urls))
             batches_done += 1
             if checkpoint_every and (bidx + 1) % checkpoint_every == 0:
                 self.checkpoint()
         return self.metrics()
+
+    def run_refresh(self, pages: list[str], checkpoint_every: int = 0,
+                    start_url: str | None = None) -> dict:
+        """Refresh mode (reference base.py:685-691 check_urls step 4 +
+        base.py:1162-1164 re-collect): re-visit already-crawled pages;
+        their out-links pass through the NORMAL seen anti-join, so only
+        urls never seen before join the frontier — exactly the
+        reference's 'keep the new urls that have appeared' semantics.
+
+        ``pages`` (previously visited urls) are enqueued directly,
+        bypassing the anti-join (they are already in the seen set after
+        ``resume()``/``restore``); the engine must already hold the prior
+        seen state."""
+        from urllib.parse import urlparse
+
+        if self.vcfg is None:
+            su = start_url if start_url is not None else pages[-1]
+            self.vcfg = ValidationConfig(
+                start_url=su,
+                gather_ignore_regexes=self.spec.gather_ignore_regexes,
+                rule_test_regexes=self.spec.rule_test_regexes,
+                ignore_images=self.spec.ignore_images,
+                allowed_hosts=self.spec.allowed_hosts,
+                ignore_tests=self._ignore_tests(),
+                robots_provider=self.spec.robots_provider,
+                robots_agent=self.spec.robots_agent,
+            )
+        # ensure the refreshed pages are marked seen (idempotent when the
+        # seen state was restored from the prior run)
+        from kryptone_ray.utils.xxh64 import xxh64_batch
+
+        self.seen.check_and_add(xxh64_batch(pages), pages)
+        self.sched.add(pages, [urlparse(u).netloc for u in pages],
+                       [0] * len(pages))
+        return self.run(seeds=None, checkpoint_every=checkpoint_every)
 
     def _process_batch_local(self, batch: pa.Table):
         if self._reader is None:
             self._reader = CorpusReader(self.corpus_dir)
         fetched = fetch_table(self._reader, batch)
         decoded = decode_table(fetched)
+        if self.hooks.post_navigation is not None:
+            self.hooks.post_navigation(decoded)
         validated, lineage = expand_and_validate(
             decoded, self.outlinks_fn, self.vcfg, self.num_seen_shards,
             crawl=self.spec.crawl,
@@ -409,6 +502,8 @@ class RayCrawler:
                 pq.write_table(
                     items, self.run_dir / "items" / f"batch-{bidx:08d}.parquet"
                 )
+                if self.hooks.after_data_save is not None:
+                    self.hooks.after_data_save(items)
         return validated, lineage, decoded
 
     def _window_slices(self, batch: pa.Table) -> list[pa.Table]:
@@ -470,13 +565,13 @@ class RayCrawler:
         corpus_dir = self.corpus_dir
         run_dir = str(self.run_dir)
 
-        page_actions = self.page_actions
+        hooks = self.hooks
 
         crawl_flag = self.spec.crawl
 
         def full_stage(t: pa.Table) -> pa.Table:
             return _window_slice_stage(t, corpus_dir, outlinks_fn, vcfg, nshards,
-                                       run_dir, page_actions=page_actions,
+                                       run_dir, hooks=hooks,
                                        crawl=crawl_flag)
 
         ds = rd.from_arrow(self._window_slices(batch)).map_batches(
@@ -501,14 +596,14 @@ class RayCrawler:
             self._cfg_refs = (
                 _ray.put(self.outlinks_fn),
                 _ray.put(self.vcfg),
-                _ray.put(self.page_actions),
+                _ray.put(self.hooks),
             )
-        ol_ref, vcfg_ref, pa_ref = self._cfg_refs
+        ol_ref, vcfg_ref, hooks_ref = self._cfg_refs
         refs = [
             self._stage_task.remote(
                 s, self.corpus_dir, ol_ref, vcfg_ref,
                 self.num_seen_shards, str(self.run_dir),
-                self.seen.shards, pa_ref, self.spec.crawl,
+                self.seen.shards, hooks_ref, self.spec.crawl,
             )
             for s in self._window_slices(batch)
         ]

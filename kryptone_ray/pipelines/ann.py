@@ -18,23 +18,17 @@ K = 5
 N_QUERIES = 8
 
 
-def _normalized_matrix(sf_dir: str):
-    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]).to_pandas()
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-    return emb["vec_id"].to_numpy(), mat
-
-
 def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     """Exact cosine top-K for the first N_QUERIES vectors against all
     OTHER vectors: per-batch numpy matmul against the broadcast query
     matrix (the scale shape: queries broadcast once via ray.put, corpus
-    streamed in batches)."""
+    streamed in batches). The query vectors come from a distributed
+    sort+limit — the corpus is never materialized on the driver."""
     import ray
 
-    ids, mat = _normalized_matrix(sf_dir)
-    qsel = np.argsort(ids)[:N_QUERIES]
-    q_ids, q_mat = ids[qsel], mat[qsel]
+    q_df = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .sort("vec_id").limit(N_QUERIES).to_pandas()
+    q_ids, q_mat = _norm_batch(q_df)
     q_ref = ray.put((q_ids, q_mat))
 
     ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])

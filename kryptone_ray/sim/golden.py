@@ -137,14 +137,20 @@ class GoldenSimulator:
             return url, "invalid"
         return url, "candidate"
 
-    def run(self, seeds: list[str]) -> GoldenResult:
+    def run(self, seeds: list[str], *, refresh_pages: list[str] | None = None,
+            prior_seen: set[str] | None = None) -> GoldenResult:
+        """Normal crawl from ``seeds`` — or, when ``refresh_pages`` is
+        given, the reference's REFRESH mode (base.py:685-691 step 4 +
+        1162-1164): previously-visited pages re-enter the frontier
+        directly (depth 0) while ``prior_seen`` blocks every already-seen
+        out-link, so only new urls are discovered."""
         spec = self.spec
         start_url = seeds[-1]  # reference convention, base.py:1048-1049
         sp = _safe_parse(start_url)
         start_netloc, start_path = sp.netloc, sp.path
         origin = f"{sp.scheme}://{sp.netloc}" if sp.netloc else ""
 
-        seen: set[str] = set()
+        seen: set[str] = set(prior_seen) if prior_seen else set()
         visited: set[str] = set()
         frontier: dict[str, int] = {}  # url -> depth at first discovery
         next_ok: dict[str, float] = {}
@@ -163,7 +169,12 @@ class GoldenSimulator:
                 if verdict == "candidate" and not already and cu not in frontier:
                     frontier[cu] = depth
 
-        ingest(seeds, iteration=0, depth=0)
+        if refresh_pages is not None:
+            seen.update(refresh_pages)
+            for u in dict.fromkeys(refresh_pages):
+                frontier[u] = 0
+        else:
+            ingest(seeds, iteration=0, depth=0)
 
         clock = 0.0
         visit_index = 0

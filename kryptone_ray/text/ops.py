@@ -166,18 +166,43 @@ def fit(raw_text, keep_emails: bool = False):
     return NON_WORD.sub(" ", t)
 
 
-def tokenize(text: str, drop_stopwords: bool = True) -> list[str]:
+def long_text_processor(token: str) -> bool:
+    """contrib/seo.py:31-36 — the default text processor: keep tokens of
+    at most 30 characters."""
+    return len(token) <= 30
+
+
+def run_processors(tokens, processors=(long_text_processor,)) -> list[str]:
+    """contrib/seo.py:245-254 ``TextMixin.run_processors`` — each
+    processor is a FILTER PREDICATE applied sequentially to the
+    surviving tokens; non-callables are skipped. This is the pluggable
+    ``text_processors`` protocol: subclass/pipeline code passes its own
+    predicate list and the tokenize chain applies them verbatim."""
+    result = list(tokens)
+    for proc in processors:
+        if not callable(proc):
+            continue
+        result = [t for t in result if proc(t)]
+    return result
+
+
+def tokenize(text: str, drop_stopwords: bool = True,
+             text_processors=None) -> list[str]:
     """contrib/seo.py:256-291 ``fit_transform`` equivalent: normalize via
     ``fit``, lowercase, regex word-split (replacing nltk word_tokenize),
-    drop fr∪en stopwords and tokens longer than 30 chars
-    (``long_text_processor``, contrib/seo.py:31-36)."""
+    drop fr∪en stopwords, then run the ``text_processors`` predicate
+    chain (default: ``long_text_processor`` — drop tokens > 30 chars,
+    contrib/seo.py:31-36,230)."""
     t = fit(text)
     if t is None:
         return []
     toks = TOKEN.findall(t.lower())
     if drop_stopwords:
         toks = [t for t in toks if t not in STOPWORDS]
-    return [t for t in toks if len(t) <= 30]
+    return run_processors(
+        toks,
+        (long_text_processor,) if text_processors is None else text_processors,
+    )
 
 
 def extract_emails(text: str) -> list[str]:

@@ -41,19 +41,30 @@ IMAGE_SUFFIXES = frozenset(
     ).split()
 )
 
-# File extensions: the reference ships a ~2.4k-line wordlist
-# (kryptone/data/file_extensions.txt, consumed at urls.py:152-155,248-260).
-# We pin our own compact set of common web file suffixes — `is_file` is not
-# part of the frontier validation pipeline, so only the mechanism (suffix
-# lookup against a frozenset) needs parity, not the exact wordlist.
-FILE_SUFFIXES = frozenset(
-    "." + e
-    for e in (
-        "php html htm xhtml shtml asp aspx jsp cgi js css txt xml json pdf doc docx xls "
-        "xlsx ppt pptx zip gz tar rar 7z exe dmg iso csv ico swf wmv avi mp4 mp3 wav ogg "
-        "woff woff2 ttf eot map yaml yml rss atom"
-    ).split()
-)
+# File extensions: the full wordlist shipped as package data
+# (kryptone_ray/data/file_extensions.txt — a public web-extension list,
+# consumed by the reference at urls.py:152-155,248-260 with the same
+# line-set membership semantics). Loaded once at import into a
+# frozenset; the vectorized is_file() mask probes it per suffix.
+def _load_file_suffixes() -> frozenset:
+    import pathlib as _pl
+
+    p = _pl.Path(__file__).parent.parent / "data" / "file_extensions.txt"
+    try:
+        lines = p.read_text().splitlines()
+    except OSError:  # fallback: compact common-web set
+        lines = [
+            "." + e for e in (
+                "php html htm xhtml shtml asp aspx jsp cgi js css txt xml json "
+                "pdf doc docx xls xlsx ppt pptx zip gz tar rar 7z exe dmg iso "
+                "csv ico swf wmv avi mp4 mp3 wav ogg woff woff2 ttf eot map "
+                "yaml yml rss atom"
+            ).split()
+        ]
+    return frozenset(ln.strip() for ln in lines if ln.strip())
+
+
+FILE_SUFFIXES = _load_file_suffixes()
 
 SOCIAL_HOST_MARKERS = (
     # urls.py:157-170 — substring membership on the *raw url*
@@ -72,9 +83,15 @@ def path_suffix(name: str) -> str:
 
     Final-component extension: text from the last '.' iff that dot is
     neither the first nor the last character of the basename. Trailing
-    slashes are ignored, as pathlib does ('a.jpg/' → '.jpg').
+    slashes are ignored, as pathlib does ('a.jpg/' → '.jpg'), and
+    trailing '.' components are dropped ('a.jpg/.' → '.jpg') — pathlib
+    normalizes '.' segments away.
     """
     name = name.rstrip("/")
+    while name.endswith("/."):
+        name = name[:-2].rstrip("/")
+    if name == ".":
+        return ""
     base = name[name.rfind("/") + 1 :]
     i = base.rfind(".")
     if 0 < i < len(base) - 1:

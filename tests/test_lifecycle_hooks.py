@@ -1,0 +1,171 @@
+"""Round-2 lifecycle-hook surface (reference base.py:797-831) + refresh
+mode (base.py:685-691 step 4, 1162-1164): every facade hook fires at its
+documented point in the window lifecycle, and refresh re-visits prior
+pages while discovering only never-seen urls — engine vs simulator
+parity.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from kryptone_ray.corpus.store import write_corpus
+from kryptone_ray.corpus.synth import CorpusSpec, make_corpus_table, seed_urls
+from kryptone_ray.crawler import SiteCrawler
+from kryptone_ray.engine.crawl import RayCrawler
+from kryptone_ray.sim.golden import CrawlSpec, GoldenSimulator
+from tests.test_crawl_parity import page_outlinks
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    spec = CorpusSpec(n_rows=300, n_hosts=4, seed=42)
+    d = tmp_path_factory.mktemp("corpus")
+    write_corpus(make_corpus_table(spec), d, num_shards=4, row_group_size=64)
+    return spec, d
+
+
+class RecordingCrawler(SiteCrawler):
+    class Meta:
+        domains = ["*"]
+
+    def __init__(self, *a, **kw):
+        self.events: list[tuple[str, object]] = []
+        super().__init__(*a, **kw)
+
+    def post_navigation_actions(self, pages):
+        self.events.append(("post_nav", pages["url"].to_pylist()))
+
+    def current_page_actions(self, pages):
+        self.events.append(("page_actions", len(pages)))
+        return pa.table({"url": pages["url"]})
+
+    def before_next_page_actions(self, visited_urls):
+        self.events.append(("before_next", list(visited_urls)))
+
+    def after_data_save(self, items):
+        self.events.append(("after_save", len(items)))
+
+
+def test_all_hooks_fire_in_order(world, tmp_path):
+    spec, d = world
+    seeds = seed_urls(spec, 4)
+    c = RecordingCrawler(str(d), page_outlinks(spec), str(tmp_path / "run"),
+                         batch_size=8, max_pages=24, mode="local")
+    c.start(start_urls=seeds)
+
+    kinds = [k for k, _ in c.events]
+    assert "post_nav" in kinds and "page_actions" in kinds
+    assert "before_next" in kinds and "after_save" in kinds
+    # per window: post_nav → page_actions → after_save → before_next
+    first_window = kinds[: kinds.index("before_next") + 1]
+    assert first_window.index("post_nav") < first_window.index("page_actions")
+    assert first_window.index("page_actions") < first_window.index("after_save")
+    # before_next receives the window's visited urls — must match the log
+    vt = c.visits().take(pc.sort_indices(c.visits()["visit_idx"]))
+    visited = vt["url"].to_pylist()
+    hook_urls = [u for k, us in c.events if k == "before_next" for u in us]
+    assert hook_urls == visited
+    # items written by current_page_actions landed on disk
+    assert list((tmp_path / "run" / "items").glob("batch-*.parquet"))
+
+
+class FailingCrawler(SiteCrawler):
+    class Meta:
+        domains = ["*"]
+
+    failures: list = []
+
+    def current_page_actions(self, pages):
+        raise RuntimeError("boom in page actions")
+
+    def after_fail(self, exc):
+        type(self).failures.append(repr(exc))
+
+
+def test_after_fail_fires_and_reraises(world, tmp_path):
+    spec, d = world
+    FailingCrawler.failures.clear()
+    c = FailingCrawler(str(d), page_outlinks(spec), str(tmp_path / "run"),
+                       batch_size=8, max_pages=16, mode="local")
+    with pytest.raises(RuntimeError, match="boom in page actions"):
+        c.start(start_urls=seed_urls(spec, 4))
+    assert FailingCrawler.failures and "boom" in FailingCrawler.failures[0]
+
+
+def test_refresh_mode_engine_matches_simulator(world, tmp_path):
+    """Phase 1: normal crawl. Phase 2: content changed (outlinks_fn now
+    emits extra urls) — refresh re-visits the crawled pages and must
+    visit EXACTLY the new urls afterwards, in the same order as the
+    simulator's refresh run."""
+    spec, d = world
+    seeds = seed_urls(spec, 4)
+    cs = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=40)
+    base_links = page_outlinks(spec)
+
+    run_dir = tmp_path / "run"
+    eng = RayCrawler(str(d), base_links, cs, str(run_dir), mode="local")
+    eng.run(seeds=seeds)
+    golden1 = GoldenSimulator(base_links, cs).run(seeds)
+    assert eng.seen.sorted_urls() == sorted(golden1.seen)
+
+    vt = eng.visits_table().take(pc.sort_indices(eng.visits_table()["visit_idx"]))
+    pages = list(dict.fromkeys(vt["url"].to_pylist()))
+
+    # "new content": every ORIGINAL corpus page now also links to one
+    # extra url. The new pages don't chain further, and pages without
+    # base outlinks (fetch misses — the engine never expands those)
+    # stay linkless so sim and engine see the same link universe.
+    def changed_links(u, _base=base_links):
+        base = list(_base(u))
+        if u.endswith("?v=2") or not base:
+            return []
+        return base + [u + "?v=2"]
+
+    cs2 = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",),
+                    max_pages=None)
+    sim2 = GoldenSimulator(changed_links, cs2)
+    golden2 = sim2.run(seeds, refresh_pages=pages, prior_seen=golden1.seen)
+
+    run2 = tmp_path / "run2"
+    eng2 = RayCrawler(str(d), changed_links, cs2, str(run2), mode="local")
+    # carry the prior seen state (what resume() would restore)
+    from kryptone_ray.utils.xxh64 import xxh64_batch
+
+    prior = eng.seen.sorted_urls()
+    eng2.seen.check_and_add(xxh64_batch(prior), prior)
+    eng2.run_refresh(pages, start_url=seeds[-1])
+
+    vt2 = eng2.visits_table().take(
+        pc.sort_indices(eng2.visits_table()["visit_idx"]))
+    eng_visits = list(zip(vt2["visit_idx"].to_pylist(), vt2["url"].to_pylist(),
+                          vt2["ts"].to_pylist()))
+    assert eng_visits == golden2.visits
+    assert eng2.seen.sorted_urls() == sorted(golden2.seen)
+    # the refresh discovered the ?v=2 urls and nothing previously seen
+    new_urls = [u for _, u, _ in golden2.visits if u not in golden1.seen]
+    assert new_urls and all(u.endswith("?v=2") for u in new_urls)
+
+
+def test_facade_refresh_reads_prior_visits(world, tmp_path):
+    spec, d = world
+    seeds = seed_urls(spec, 4)
+
+    class C(SiteCrawler):
+        class Meta:
+            domains = ["*"]
+
+    run_dir = tmp_path / "run"
+    c1 = C(str(d), page_outlinks(spec), str(run_dir), batch_size=8,
+           max_pages=24, mode="local")
+    c1.start(start_urls=seeds)
+    n_seen = len(c1.seen_urls)
+
+    # same facade instance refreshes in place: no new content → pages
+    # re-visited, zero new discoveries
+    res = c1.refresh()
+    assert res["pages_visited"] >= 24
+    assert len(c1.seen_urls) == n_seen

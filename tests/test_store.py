@@ -1,6 +1,7 @@
 """Corpus store: sharded write + indexed take-by-url with row-group pruning."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from kryptone_ray.corpus.store import CorpusReader, write_corpus
@@ -47,3 +48,55 @@ def test_all_rows_reachable(corpus_dir):
     urls = [spec.url_of(i) for i in range(spec.n_rows)]
     t = reader.take_urls(urls)
     assert len(t) == len(set(urls))
+
+
+class FakeLanceReader:
+    """Drop-in stand-in for a real Lance dataset's ``take``-by-key path:
+    same constructor shape (open a directory once) and the same
+    ``take_urls`` contract as CorpusReader. Exists to pin the swap-in
+    seam — replacing the Parquet shim with pylance touches ONLY this
+    class (store.py module docstring)."""
+
+    def __init__(self, corpus_dir):
+        import pyarrow.parquet as pq
+        import pathlib
+
+        paths = sorted(pathlib.Path(corpus_dir).glob("*.parquet"))
+        self._table = pa.concat_tables(pq.read_table(p) for p in paths)
+        self._by_id = {
+            u: i for i, u in enumerate(self._table["image_id"].to_pylist())
+        }
+
+    def take_urls(self, urls):
+        idx = sorted(self._by_id[u] for u in set(urls) if u in self._by_id)
+        if not idx:
+            return self._table.schema.empty_table()
+        return self._table.take(pa.array(idx, type=pa.int64()))
+
+
+@pytest.mark.parametrize("backend", [CorpusReader, FakeLanceReader])
+def test_reader_contract_backend_agnostic(corpus_dir, backend):
+    """The fetch stage's reader contract, asserted over BOTH backends:
+    per-url hit rows with identical content, missing urls absent, empty
+    request empty result — so a Lance ``take`` drop-in is verified by
+    construction."""
+    spec, d = corpus_dir
+    reader = backend(d)
+    urls = [spec.url_of(i) for i in (0, 3, 7)]
+    t = reader.take_urls(urls + ["https://nowhere.test/missing"])
+    assert set(t["image_id"].to_pylist()) == set(urls)
+    assert reader.take_urls([]).num_rows == 0
+    assert reader.take_urls(["https://nowhere.test/x"]).num_rows == 0
+    # contract: full fetch-stage pass over the backend
+    from kryptone_ray.stages.fetch import fetch_table
+
+    batch = pa.table({
+        "url": pa.array(urls, type=pa.string()),
+        "depth": pa.array([0, 0, 0], type=pa.int32()),
+        "visit_idx": pa.array([0, 1, 2], type=pa.int64()),
+        "ts": pa.array([0.0] * 3, type=pa.float64()),
+        "batch_idx": pa.array([0] * 3, type=pa.int64()),
+    })
+    out = fetch_table(reader, batch)
+    assert out.num_rows == 3
+    assert set(out["status"].to_pylist()) == {"ok"}

@@ -119,3 +119,21 @@ def test_stemmer():
     assert seo.stem("jumping", "english") == "jump"
     assert seo.create_stemmed_words(["nations"], "english") == ["nation"]
     assert seo.stem("le", "french") == "le"  # too short to strip
+
+
+def test_pluggable_text_processors_protocol():
+    """run_processors (contrib/seo.py:245-254): predicate chain filters
+    sequentially, skips non-callables; tokenize accepts a custom chain."""
+    from kryptone_ray.text import ops
+
+    toks = ["alpha", "beta", "x" * 40, "gamma"]
+    assert ops.run_processors(toks) == ["alpha", "beta", "gamma"]
+    # custom chain: drop vowel-starting, then len>4
+    chain = [lambda t: not t[0] in "aeiou", "not-callable", lambda t: len(t) > 4]
+    assert ops.run_processors(toks, chain) == ["x" * 40, "gamma"]
+
+    out = ops.tokenize("alpha beta gamma delta",
+                       text_processors=[lambda t: t.startswith("g")])
+    assert out == ["gamma"]
+    # default chain still applies the 30-char cap
+    assert ops.tokenize("word " + "y" * 35) == ["word"]

@@ -107,3 +107,33 @@ def test_rebuild_query_merges_existing_over_new():
 def test_decompose_path():
     assert decompose_path("http://example.com/a/b/") == ["a", "b"]
     assert decompose_path("http://example.com/a/b", exclude=["a"]) == ["b"]
+
+
+def test_is_file_full_wordlist_parity():
+    """is_file must implement the reference's semantics exactly: the
+    as_path suffix is a member of the shipped file_extensions.txt line
+    set (urls.py:152-155,248-260) — probed against the full wordlist."""
+    import pathlib
+
+    from kryptone_ray.utils import urlkit
+
+    lines = (pathlib.Path(urlkit.__file__).parent.parent / "data"
+             / "file_extensions.txt").read_text().splitlines()
+    assert len([ln for ln in lines if ln.strip()]) > 2000
+
+    urls = [
+        "https://a.test/x.php", "https://a.test/x.html",
+        "https://a.test/doc.pdf", "https://a.test/a.tar",
+        "https://a.test/weird.xpi", "https://a.test/page",   # no suffix
+        "https://a.test/x.notanext9z",                        # not in list
+        "https://a.test/", "",
+    ]
+    f = urlkit.parse_batch(urls)
+    got = f.is_file()
+    exp = []
+    for u, s in zip(urls, f.suffix):
+        exp.append(bool(u) and s != "" and s in urlkit.FILE_SUFFIXES)
+    assert got.tolist() == exp
+    # spot-check against the raw file contents (reference membership)
+    assert ".php" in urlkit.FILE_SUFFIXES and ".xpi" in set(lines)
+    assert ".notanext9z" not in urlkit.FILE_SUFFIXES
