@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_clusters": dedup.q_simhash_clusters,
         "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
         "embedding_near_dups": dedup.q_embedding_near_dups,
+        "embedding_near_dups_lsh": dedup.q_embedding_near_dups_lsh,
         # similarity search
         "knn_bruteforce": ann.q_knn_bruteforce,
         "knn_ivf": ann.q_knn_ivf,
@@ -102,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events.q_events_sessions,
         "events_topk_users": events.q_events_topk_users,
         "events_json_props": events.q_events_json_props,
+        "events_sliding_1h_30m": events.q_events_sliding_1h_30m,
+        "events_asof_orders": events.q_events_asof_orders,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
@@ -146,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": events.Q_EVENTS_SESSIONS_SQL,
         "events_topk_users": events.Q_EVENTS_TOPK_SQL,
         "events_json_props": events.Q_EVENTS_JSON_SQL,
+        "events_sliding_1h_30m": events.Q_EVENTS_SLIDING_SQL,
+        "events_asof_orders": events.Q_EVENTS_ASOF_SQL,
         # rows-only (not SQL-expressible): lang_id_heuristic,
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # ngram_jaccard_dups, embedding_near_dups, knn_ivf,

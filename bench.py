@@ -137,6 +137,17 @@ def run_crawl(corpus_dir: str, n_rows: int) -> dict:
     }
 
 
+
+def _quiet_schema_warn():
+    """Worker-side: silence ray's pa.Schema-unhashable warning (see
+    main()); runs in every worker via worker_process_setup_hook."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
 def main() -> None:
     import ray
 
@@ -146,11 +157,21 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        runtime_env={"worker_process_setup_hook": _quiet_schema_warn},
     )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    # "Failed to hash the schemas (for deduplication)" — ray probes
+    # hash(pa.Schema) for an early-exit; schemas carrying pandas
+    # metadata (a dict) are unhashable, so every parquet read warns and
+    # then unifies fine. Pure log noise; silence that one logger.
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
 
     import __ray_entry__ as entrymod
 
@@ -204,10 +225,20 @@ def crawl_only() -> None:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             runtime_env={"worker_process_setup_hook": _quiet_schema_warn})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    # "Failed to hash the schemas (for deduplication)" — ray probes
+    # hash(pa.Schema) for an early-exit; schemas carrying pandas
+    # metadata (a dict) are unhashable, so every parquet read warns and
+    # then unifies fine. Pure log noise; silence that one logger.
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
     import ray.data as rd
 
     rd.range(10_000).map_batches(lambda t: t, batch_format="pyarrow",

@@ -172,8 +172,11 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
         sigs = minhash_signatures_batch(df["text"].tolist())
         return band_buckets_batch(df["doc_id"].to_numpy(), sigs, bands)
 
+    # small batches: the signature kernel is vectorized, so per-batch
+    # overhead is tiny and more batches = more parallel tasks (at 2048
+    # a 5k-doc table became 3 tasks on 32 CPUs)
     buckets = ds.map_batches(sig_batch, batch_format="pandas",
-                             batch_size=2048).materialize()
+                             batch_size=512).materialize()
 
     def rename_right(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"doc_id": "doc_id_r", "band": "band_r",
@@ -205,10 +208,8 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
     cand_docs = T(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(take_cand, batch_format="pandas", batch_size=8192) \
         .to_pandas()  # bounded by candidate count, not corpus size
-    text_ref = ray.put(dict(zip(cand_docs["doc_id"], cand_docs["text"])))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        text_of = ray.get(text_ref)
+    def verify(df: pd.DataFrame, text_of) -> pd.DataFrame:
         rows = []
         for a_id, b_id in zip(df["doc_a"], df["doc_b"]):
             sa, sb = _shingles(text_of[a_id]), _shingles(text_of[b_id])
@@ -219,8 +220,18 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
                 rows.append((a_id, b_id, round(j, 6)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    out = rd.from_pandas(pairs).map_batches(
-        verify, batch_format="pandas", batch_size=4096).to_pandas()
+    if len(pairs) <= 50_000:
+        # candidate set is tiny: verifying in-process beats paying a
+        # whole Dataset execution for a few hundred Jaccards
+        out = verify(pairs, dict(zip(cand_docs["doc_id"], cand_docs["text"])))
+    else:
+        text_ref = ray.put(dict(zip(cand_docs["doc_id"], cand_docs["text"])))
+
+        def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
+            return verify(df, ray.get(text_ref))
+
+        out = rd.from_pandas(pairs).map_batches(
+            verify_batch, batch_format="pandas", batch_size=4096).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -307,7 +318,7 @@ def q_simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
         )
 
     keyed = ds.map_batches(f, batch_format="pandas",
-                           batch_size=2048).materialize()
+                           batch_size=512).materialize()
 
     def rename_right(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"doc_id": "doc_id_r", "chunk": "chunk_r",
@@ -387,9 +398,14 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     a block-pair cross product is the one shape ``map_batches`` can't
     express (documented Dataset-API exception). O(B²) tasks — exact
     all-pairs is the small/mid-scale baseline; the LSH/IVF-blocked
-    variants (``q_knn_ivf``) are the 10^10-row path. Rank/id output
-    only (no float columns) so the result is hash-stable. Rows-only;
-    pinned against tests/golden/dedup_embedding_near_dups_sf001.json."""
+    variants (``q_embedding_near_dups_lsh``, ``q_knn_ivf``) are the
+    10^10-row path. Rank/id output only (no float columns) so the
+    result is hash-stable. Rows-only; pinned against
+    tests/golden/dedup_embedding_near_dups_sf001.json."""
+    return _embedding_pairs_blocked(sf_dir, threshold)
+
+
+def _embedding_pairs_blocked(sf_dir: str, threshold: float) -> pd.DataFrame:
     import ray
 
     ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -429,3 +445,88 @@ def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:
     allp = np.concatenate(parts)
     pairs = pd.DataFrame({"vec_a": allp[:, 0], "vec_b": allp[:, 1]})
     return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def q_embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
+                              n_tables: int = 12, n_bits: int = 6) -> pd.DataFrame:
+    """Embedding near-dup pairs via RANDOM-HYPERPLANE LSH — the
+    10^10-row scale path for ``q_embedding_near_dups`` (exact all-pairs
+    is quadratic; this is the documented approximate variant, recall<1
+    by design). Same distributed skeleton as MinHash-LSH:
+
+    1. per batch, project normalized vectors onto ``n_tables`` seeded
+       hyperplane sets (sign bits → one bucket key per table) — a
+       metadata-sized (table, bucket, vec_id) relation;
+    2. candidate pairs from a native hash-shuffle self-join on
+       (table, bucket);
+    3. exact-cosine verify over ONLY the candidate vectors
+       (candidate-bounded fetch + broadcast, never the full matrix).
+
+    Expected recall for a pair at cosine s: per-table collision
+    p = (1 - acos(s)/pi)^n_bits, overall 1-(1-p)^n_tables — at the
+    default threshold 0.35 that is ~0.48 (measured 0.50 at sf0.01);
+    raise n_tables for higher recall at linear cost. Deterministic
+    given the seeded hyperplanes; rows-only (always a subset of the
+    exact query's output — asserted in tests)."""
+    import ray
+    import ray.data as rd
+
+    from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy())
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        dim = m.shape[1]
+        rng = np.random.default_rng(2024)  # same planes in every task
+        planes = rng.standard_normal((n_tables, n_bits, dim))
+        out = []
+        pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+        for t in range(n_tables):
+            bits = (m @ planes[t].T) > 0  # (n, n_bits)
+            bucket = bits @ pow2
+            out.append(pd.DataFrame(
+                {"table": np.int32(t), "bucket": bucket.astype("int64"),
+                 "vec_id": df["vec_id"].to_numpy()}))
+        return pd.concat(out, ignore_index=True)
+
+    buckets = ds.map_batches(bucketize, batch_format="pandas",
+                             batch_size=1024).materialize()
+    right = buckets.map_batches(
+        lambda df: df.rename(columns={"table": "table_r", "bucket": "bucket_r",
+                                      "vec_id": "vec_id_r"}),
+        batch_format="pandas", batch_size=None)
+    npart = join_partitions(parquet_rows(sf_dir, "embeddings") * n_tables)
+    cand = buckets.join(right, "inner", num_partitions=npart,
+                        on=("table", "bucket"), right_on=("table_r", "bucket_r"))
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["vec_id"] < df["vec_id_r"]]
+        return pd.DataFrame({"vec_a": sub["vec_id"],
+                             "vec_b": sub["vec_id_r"]}).drop_duplicates()
+
+    pairs = cand.map_batches(emit, batch_format="pandas",
+                             batch_size=None).to_pandas().drop_duplicates()
+    if pairs.empty:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64")})
+
+    cand_ids = frozenset(pairs["vec_a"]) | frozenset(pairs["vec_b"])
+    ids_ref = ray.put(cand_ids)
+
+    def take_cand(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["vec_id"].isin(ray.get(ids_ref))]
+
+    cand_vecs = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(take_cand, batch_format="pandas", batch_size=4096) \
+        .to_pandas()  # bounded by candidate count
+    m = np.stack(cand_vecs["embedding"].to_numpy())
+    m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+    row_of = {v: i for i, v in enumerate(cand_vecs["vec_id"])}
+    ai = pairs["vec_a"].map(row_of).to_numpy()
+    bi = pairs["vec_b"].map(row_of).to_numpy()
+    sims = np.einsum("ij,ij->i", m[ai], m[bi])
+    keep = sims >= threshold
+    out = pairs[keep].astype("int64")
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

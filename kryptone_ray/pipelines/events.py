@@ -134,6 +134,112 @@ ORDER BY total_value DESC, user_id LIMIT 10
 """
 
 
+def q_events_sliding_1h_30m(sf_dir: str) -> pd.DataFrame:
+    """SLIDING windows (width 1 h, step 30 min) per event type — the
+    windowed-aggregate shape Ray Data lacks natively: each event is
+    expanded to its two covering windows inside ``map_batches`` (no
+    per-row state), then the usual partial-agg groupby. Window key =
+    window START, so an event at 10:47 lands in the 10:30 and 10:00
+    windows."""
+    ds = T(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        f30 = df["ts"].dt.floor("30min")
+        cents = (df["value"] * 100).round().astype("int64")
+        a = pd.DataFrame({"event_type": df["event_type"],
+                          "window_start": f30, "cents": cents})
+        b = pd.DataFrame({"event_type": df["event_type"],
+                          "window_start": f30 - pd.Timedelta(minutes=30),
+                          "cents": cents})
+        return pd.concat([a, b], ignore_index=True)
+
+    out = partial_sum_count(
+        ds.map_batches(expand, batch_format="pandas", batch_size=65536),
+        keys=["event_type", "window_start"], sums={"cents": "cents"},
+        count_name="n",
+    )
+    out["total_value"] = out.pop("cents") / 100.0
+    out = out[["event_type", "window_start", "total_value", "n"]]
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+Q_EVENTS_SLIDING_SQL = """
+SELECT event_type, window_start,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value,
+       count(*) AS n
+FROM (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL 30 MINUTE]) AS window_start
+  FROM events
+)
+GROUP BY event_type, window_start
+ORDER BY event_type, window_start
+"""
+
+
+def q_events_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN (task-brief custom operator): for each event, the
+    latest order of the same key (``o_custkey = user_id``) with
+    ``o_orderdate <= ts``; aggregated per user. Distributed shape: the
+    native hash join CO-PARTITIONS events and orders by key, each
+    joined block holds every (event × candidate-order) row of its keys,
+    and the as-of selection is a vectorized in-block
+    sort + groupby-tail(1). The per-key fan-out is bounded by
+    orders-per-customer (~10 in TPC-H), which is the documented
+    partitioning assumption — for unbounded keys switch the in-block
+    step to sort-merge (merge_asof) over the two sides.
+
+    Tie-break (two orders on the same date): larger ``o_orderkey`` wins,
+    mirrored exactly in the oracle's row_number() ordering."""
+    from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+
+    ev = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    od = T(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    npart = join_partitions(parquet_rows(sf_dir, "events"))
+    joined = ev.join(od, "inner", num_partitions=npart,
+                     on=("user_id",), right_on=("o_custkey",))
+
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_orderdate"] <= df["ts"]]
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_matched": pd.Series(dtype="int64"),
+                                 "sum_asof_orderkey": pd.Series(dtype="int64")})
+        best = (df.sort_values(["event_id", "o_orderdate", "o_orderkey"])
+                  .groupby("event_id", sort=False).tail(1))
+        g = best.groupby("user_id", sort=False)
+        return pd.DataFrame(
+            {"user_id": list(g.groups),
+             "n_matched": g.size().to_numpy().astype("int64"),
+             "sum_asof_orderkey": g["o_orderkey"].sum().to_numpy().astype("int64")}
+        )
+
+    parts = joined.map_batches(asof_block, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    out = parts.groupby("user_id", sort=False, as_index=False).sum()
+    out["n_matched"] = out["n_matched"].astype("int64")
+    out["sum_asof_orderkey"] = out["sum_asof_orderkey"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENTS_ASOF_SQL = """
+WITH cand AS (
+  SELECT e.user_id, e.event_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC,
+                                     o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT user_id, count(*) AS n_matched,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_asof_orderkey
+FROM cand WHERE rn = 1
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_events_json_props(sf_dir: str) -> pd.DataFrame:
     """JSON property extraction (the reference's dynamic dict payloads,
     encoders.py:8-65 analog): parse props per batch, aggregate k by

@@ -143,3 +143,15 @@ def test_ngram_size_prune_equals_bruteforce():
             if inter and inter / len(grams[i] | grams[j]) >= 0.8:
                 pruned[i] = pruned[j] = True
     assert (pruned == brute).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_lsh_is_subset_of_exact():
+    """The hyperplane-LSH scale path may miss pairs (recall < 1) but must
+    never invent one: every LSH pair is in the exact all-pairs output."""
+    lsh = dedup.q_embedding_near_dups_lsh(SF)
+    exact = _golden("embedding_near_dups")
+    ls = set(map(tuple, lsh.values))
+    ex = set(map(tuple, exact.values))
+    assert ls and ls <= ex
+    assert len(ls) / len(ex) > 0.3  # seeded recall is deterministic (~0.5)
