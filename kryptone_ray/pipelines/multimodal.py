@@ -159,3 +159,126 @@ class VideoFrameSampleActor:
             "video frame sampling requires a video codec library; the "
             "flat_map-style expansion contract is final"
         )
+
+
+class ImagePHashActor:
+    """Perceptual hash (aHash, public algorithm): decode → grayscale →
+    8×8 block means → bit = cell > global mean → 64-bit hash. Near-
+    duplicate images (small pixel perturbations, re-encodes) land within
+    a few bits of each other, unlike the exact content hash ``phash``
+    column. Codec dispatch bound at actor init; one decode per row."""
+
+    GRID = 8
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def _ahash(self, px: np.ndarray) -> np.int64:
+        g = px.astype(np.float64).mean(axis=2)
+        h, w = g.shape
+        yi = (np.arange(self.GRID + 1) * h // self.GRID).astype(int)
+        xi = (np.arange(self.GRID + 1) * w // self.GRID).astype(int)
+        cells = np.empty((self.GRID, self.GRID))
+        for r in range(self.GRID):
+            for c in range(self.GRID):
+                cells[r, c] = g[yi[r]:max(yi[r + 1], yi[r] + 1),
+                                xi[c]:max(xi[c + 1], xi[c] + 1)].mean()
+        bits = (cells > cells.mean()).ravel()
+        return np.int64(
+            np.uint64(np.bitwise_or.reduce(
+                bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)))
+            .astype(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        hashes = [
+            self._ahash(self.decode(d["bytes"][i], d["fmt"][i],
+                                    d["w"][i], d["h"][i]))
+            for i in range(len(batch))
+        ]
+        return pa.table({"image_id": batch["image_id"],
+                         "ahash": pa.array(hashes, type=pa.int64())})
+
+
+def q_image_phash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """Image near-duplicate detection over DECODED PIXELS: the corpus
+    plus deterministically perturbed copies (a few ±2 pixel edits — the
+    re-encoded-thumbnail situation) flow through an actor-pool aHash
+    stage; candidates come from 16-bit hash-chunk bucketing (pigeonhole:
+    hamming ≤ 6 pairs share at least one of 4 chunks... not guaranteed —
+    ≤3 is; 4 chunks catch most ≤6 pairs and the perturbations used stay
+    ≤3 bits) and a vectorized hamming verify. Rows-only; deterministic."""
+    from kryptone_ray.pipelines.dedup import hamming64
+
+    spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
+    n_dup = _MM_ROWS // 10
+
+    def synth_plus(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        base = spec.synth_batch([i % _MM_ROWS for i in ids])
+        d = base.to_pydict()
+        out_ids, out_bytes = [], []
+        for k, i in enumerate(ids):
+            if i < _MM_ROWS:
+                out_ids.append(d["image_id"][k])
+                out_bytes.append(d["bytes"][k])
+            else:
+                # perturbed duplicate of image (i - _MM_ROWS): decode,
+                # nudge 3 pixels by +2, re-encode raw
+                px = codecs.decode(d["bytes"][k], d["fmt"][k],
+                                   d["w"][k], d["h"][k]).copy()
+                rng = np.random.default_rng(i)
+                for _ in range(3):
+                    y = int(rng.integers(0, px.shape[0]))
+                    x = int(rng.integers(0, px.shape[1]))
+                    px[y, x] = np.clip(px[y, x].astype(int) + 2, 0, 255)
+                out_ids.append(d["image_id"][k] + "?dup")
+                out_bytes.append(codecs.encode_raw(px))
+        enc = pa.table({
+            "image_id": pa.array(out_ids, type=pa.string()),
+            "bytes": pa.array(out_bytes, type=pa.binary()),
+            "w": pa.array([0] * len(ids), type=pa.int32()),
+            "h": pa.array([0] * len(ids), type=pa.int32()),
+            "fmt": pa.array(["raw"] * len(ids), type=pa.string()),
+        })
+        # raw re-encode carries its own dims header; decode ignores w/h
+        # for fmt='raw'? codecs.decode needs dims — re-derive from base
+        return pa.table({
+            "image_id": enc["image_id"],
+            "bytes": enc["bytes"],
+            "w": base["w"], "h": base["h"],
+            "fmt": pa.array(
+                [d["fmt"][k] if i < _MM_ROWS else "raw"
+                 for k, i in enumerate(ids)], type=pa.string()),
+        })
+
+    ds = rd.range(_MM_ROWS + n_dup).map_batches(
+        synth_plus, batch_format="pyarrow", batch_size=64
+    ).map_batches(ImagePHashActor, batch_format="pyarrow", batch_size=64,
+                  concurrency=2)
+
+    hashed = ds.to_pandas()  # (image_id, ahash) — metadata-sized
+    hv = hashed["ahash"].to_numpy().astype(np.uint64)
+    ids = hashed["image_id"].to_numpy()
+    # 16-bit chunk bucketing + vectorized hamming verify (the simhash
+    # candidate machinery over perceptual hashes)
+    cand = set()
+    for chunk in range(4):
+        key = (hv >> np.uint64(16 * chunk)) & np.uint64(0xFFFF)
+        df = pd.DataFrame({"key": key, "i": np.arange(len(hv))})
+        for _, grp in df.groupby("key", sort=False):
+            idx = grp["i"].to_numpy()
+            if len(idx) > 1:
+                for x in range(len(idx)):
+                    for y in range(x + 1, len(idx)):
+                        cand.add((int(idx[x]), int(idx[y])))
+    rows = []
+    if cand:
+        cand = np.array(sorted(cand))
+        d = hamming64(hv[cand[:, 0]], hv[cand[:, 1]])
+        keep = d <= max_hamming
+        for (i, j), dd in zip(cand[keep], d[keep]):
+            a, b = sorted((str(ids[i]), str(ids[j])))
+            rows.append((a, b, int(dd)))
+    return pd.DataFrame(sorted(set(rows)),
+                        columns=["image_a", "image_b", "hamming"])

@@ -155,3 +155,19 @@ def test_embedding_lsh_is_subset_of_exact():
     ex = set(map(tuple, exact.values))
     assert ls and ls <= ex
     assert len(ls) / len(ex) > 0.3  # seeded recall is deterministic (~0.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_phash_finds_planted_near_dups():
+    """Multimodal dedup: every deterministically perturbed image copy
+    must pair with its original through decode → aHash → chunk-bucket →
+    hamming, and perturbed pairs dominate the output."""
+    from kryptone_ray.pipelines import multimodal
+
+    out = multimodal.q_image_phash_near_dups("")
+    planted = out[out["image_b"].str.endswith("?dup")]
+    n_expected = multimodal._MM_ROWS // 10
+    assert len(planted) == n_expected
+    # each planted pair is (original, original+'?dup') with tiny distance
+    assert (planted["image_b"] == planted["image_a"] + "?dup").all()
+    assert (planted["hamming"] <= 3).all()
