@@ -20,7 +20,42 @@ import ray.data as rd
 
 
 def T(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    """Column-pruned table read. A single-file table executes as ONE
+    read task by default, serializing the scan — split it into blocks
+    sized from the footer row count (~150k rows each) so the read
+    parallelizes like a real multi-file 100-TB layout would naturally."""
+    path = f"{sf_dir}/{name}.parquet"
+    blocks = min(8, max(1, parquet_rows_path(path) // 150_000))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=blocks)
+
+
+def parquet_rows_path(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def hash_shuffle():
+    """Temporarily select Ray's HASH_SHUFFLE strategy — required for
+    ``repartition(keys=...)``. The strategy is captured at dataset
+    CREATION time, so the whole pipeline (including the read) must be
+    built inside this context. Hash-partition + per-block pandas
+    combine replaces ``groupby().map_groups`` where the per-group
+    Python dispatch dominates (measured 2.7x on sessionization)."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = rd.DataContext.get_current()
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        yield
+    finally:
+        ctx.shuffle_strategy = prev
 
 
 def small(sf_dir: str, name: str, columns: list[str] | None = None) -> pd.DataFrame:

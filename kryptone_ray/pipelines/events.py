@@ -70,26 +70,29 @@ ORDER BY event_type, window_start
 
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization: per-user session count + max session length, a
-    session breaking on gaps > 30 min. ``groupby(user).map_groups`` over
-    ts-sorted groups (ordering assumption: sort inside the group — ties
-    on ts broken by event_id)."""
-    ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    session breaking on gaps > 30 min. Hash-partition by user (every
+    user's events land in ONE block) + a per-block pandas pass over its
+    users — replaces ``groupby().map_groups``, whose per-group Python
+    dispatch was 2.7x slower at sf0.1. Ordering assumption: sort inside
+    the group — ties on ts broken by event_id."""
+    from kryptone_ray.pipelines.common import hash_shuffle
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gaps.cumsum()
-        sizes = sid.value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(sid.nunique())],
-                "max_session_events": [int(sizes.max())],
-                "n_events": [len(g)],
-            }
-        )
+    def sess_block(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts", "event_id"])
+            gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+            sid = gaps.cumsum()
+            sizes = sid.value_counts()
+            out.append((uid, int(sid.nunique()), int(sizes.max()), len(g)))
+        return pd.DataFrame(out, columns=["user_id", "n_sessions",
+                                          "max_session_events", "n_events"])
 
-    out = ds.groupby("user_id").map_groups(sess, batch_format="pandas").to_pandas()
+    with hash_shuffle():
+        ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+        out = ds.repartition(num_blocks=16, keys=["user_id"]) \
+            .map_batches(sess_block, batch_format="pandas",
+                         batch_size=None).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
