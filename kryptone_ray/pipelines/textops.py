@@ -22,6 +22,11 @@ import pyarrow as pa
 from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
 from kryptone_ray.text import ops
 
+# corpora below this row count combine vocabulary partials on the
+# driver (a shuffle costs ~1 s locally); above it the hash-repartition
+# distributed combine kicks in (tests force it by patching this)
+DISTRIBUTED_COMBINE_MIN_ROWS = 200_000
+
 
 def q_lang_distribution(sf_dir: str) -> pd.DataFrame:
     out = partial_sum_count(
@@ -61,19 +66,42 @@ FROM documents GROUP BY source ORDER BY source
 
 def q_word_frequency(sf_dir: str) -> pd.DataFrame:
     """Global top-10 word frequency — seo.py:407-421
-    ``calculate_word_frequency`` (FreqDist → sorted top-10), distributed:
-    per-batch partial token counts → tiny groupby → top-k with a
-    deterministic (count desc, token asc) tie-break."""
-    ds = T(sf_dir, "documents", columns=["text"])
+    ``calculate_word_frequency`` (FreqDist → sorted top-10), fully
+    distributed: per-batch partial token counts → hash-repartition by
+    token (disjoint vocabulary slices, so each block's combine is the
+    GLOBAL count for its tokens) → per-block top-10 → driver merges
+    10 × n_blocks rows. The vocabulary never lands on the driver —
+    the at-scale wordcount shape. Deterministic (count desc, token asc)
+    tie-break."""
+    from kryptone_ray.pipelines.common import hash_shuffle
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.lower().str.split(" ").explode()
         vc = toks.value_counts()
         return pd.DataFrame({"token": vc.index, "n": vc.to_numpy()})
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192).to_pandas()
-    agg = parts.groupby("token", sort=False)["n"].sum().reset_index()
-    agg = agg.sort_values(["n", "token"], ascending=[False, True]).head(10)
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False, as_index=False)["n"].sum()
+        return g.sort_values(["n", "token"], ascending=[False, True]).head(10)
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    if parquet_rows(sf_dir, "documents") < DISTRIBUTED_COMBINE_MIN_ROWS:
+        # small corpus: the vocabulary partials are tiny — a driver
+        # combine beats paying a shuffle (~1 s fixed locally)
+        ds = T(sf_dir, "documents", columns=["text"])
+        parts = ds.map_batches(partial, batch_format="pandas",
+                               batch_size=8192).to_pandas()
+        cand = combine_topk(parts)
+    else:
+        with hash_shuffle():
+            ds = T(sf_dir, "documents", columns=["text"])
+            cand = ds.map_batches(partial, batch_format="pandas",
+                                  batch_size=8192) \
+                .repartition(num_blocks=8, keys=["token"]) \
+                .map_batches(combine_topk, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    agg = cand.sort_values(["n", "token"], ascending=[False, True]).head(10)
     return agg.reset_index(drop=True)
 
 
@@ -93,8 +121,9 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     documented: the reference scores per-document tf = count/len; the
     corpus-level ranking uses total counts so the score is a single
     deterministic float op, reproducible bit-for-bit in SQL."""
-    ds = T(sf_dir, "documents", columns=["text"])
-    n_docs = T(sf_dir, "documents", columns=["doc_id"]).count()
+    from kryptone_ray.pipelines.common import hash_shuffle, parquet_rows
+
+    n_docs = parquet_rows(sf_dir, "documents")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.lower().str.split(" ")
@@ -104,12 +133,33 @@ def q_tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
         d = pd.DataFrame({"token": docfreq.index, "df": docfreq.to_numpy()})
         return out.merge(d, on="token", how="outer").fillna(0)
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192).to_pandas()
-    agg = parts.groupby("token", sort=False)[["tc", "df"]].sum().reset_index()
-    agg["tfidf"] = (agg["tc"] * np.log(n_docs / (1.0 + agg["df"]))).round(6)
-    agg["tc"] = agg["tc"].astype("int64")
-    agg["df"] = agg["df"].astype("int64")
-    agg = agg.sort_values(["tfidf", "token"], ascending=[False, True]).head(15)
+    # hash-repartition by token: each block holds the COMPLETE partials
+    # of its vocabulary slice, so the per-block combine + idf + local
+    # top-15 is exact; the driver merges 15 × n_blocks rows instead of
+    # the whole vocabulary (at-scale TF-IDF shape).
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("token", sort=False)[["tc", "df"]].sum().reset_index()
+        agg["tfidf"] = (agg["tc"] * np.log(n_docs / (1.0 + agg["df"]))).round(6)
+        agg["tc"] = agg["tc"].astype("int64")
+        agg["df"] = agg["df"].astype("int64")
+        return agg.sort_values(["tfidf", "token"],
+                               ascending=[False, True]).head(15)
+
+    if n_docs < DISTRIBUTED_COMBINE_MIN_ROWS:
+        # small corpus: driver combine beats the shuffle's fixed cost
+        ds = T(sf_dir, "documents", columns=["text"])
+        parts = ds.map_batches(partial, batch_format="pandas",
+                               batch_size=8192).to_pandas()
+        cand = combine_topk(parts)
+    else:
+        with hash_shuffle():
+            ds = T(sf_dir, "documents", columns=["text"])
+            cand = ds.map_batches(partial, batch_format="pandas",
+                                  batch_size=8192) \
+                .repartition(num_blocks=8, keys=["token"]) \
+                .map_batches(combine_topk, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    agg = cand.sort_values(["tfidf", "token"], ascending=[False, True]).head(15)
     return agg[["token", "tc", "df", "tfidf"]].reset_index(drop=True)
 
 

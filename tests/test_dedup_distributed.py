@@ -171,3 +171,19 @@ def test_image_phash_finds_planted_near_dups():
     # each planted pair is (original, original+'?dup') with tiny distance
     assert (planted["image_b"] == planted["image_a"] + "?dup").all()
     assert (planted["hamming"] <= 3).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wordfreq_tfidf_hash_path_equals_driver_path(monkeypatch):
+    """The at-scale hash-repartition combine must produce the same
+    top-k as the small-corpus driver combine (disjoint vocabulary
+    slices → per-block combines are globally exact)."""
+    from kryptone_ray.pipelines import common, textops
+
+    small_wf = textops.q_word_frequency(SF)
+    small_tf = textops.q_tfidf_top_terms(SF)
+    monkeypatch.setattr(textops, "DISTRIBUTED_COMBINE_MIN_ROWS", 0)
+    big_wf = textops.q_word_frequency(SF)
+    big_tf = textops.q_tfidf_top_terms(SF)
+    pd.testing.assert_frame_equal(small_wf, big_wf, check_dtype=False)
+    pd.testing.assert_frame_equal(small_tf, big_tf, check_dtype=False)
