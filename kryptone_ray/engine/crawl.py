@@ -520,6 +520,9 @@ class RayCrawler:
         key = pa.array(_xx(batch["url"].to_pylist()), type=pa.uint64())
         batch = batch.take(_pc.sort_indices(key))
         ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        # one slice per CPU: finer slices were measured SLOWER (each
+        # extra slice re-touches boundary row groups and pays task
+        # overhead; the straggler tail is cheaper than the duplication)
         n_tasks = max(1, min(len(batch) // 64 + 1, ncpu))
         per = -(-len(batch) // n_tasks)
         slices = [batch.slice(i * per, per) for i in range(n_tasks)]

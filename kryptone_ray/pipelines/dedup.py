@@ -290,7 +290,8 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return _POPCNT8[bytes_view].sum(axis=1).astype(np.int64)
 
 
-def q_simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def q_simhash_clusters(sf_dir: str, max_hamming: int = 3,
+                       hot_bucket_cap: int = 512) -> pd.DataFrame:
     """SimHash near-dup pairs, distributed: simhash per batch
     (vectorized); each doc emits 4 rows keyed by its 16-bit chunks
     (any chunk equal → candidate; exact for hamming ≤ 3 by pigeonhole);
@@ -298,9 +299,21 @@ def q_simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     (chunk, key) carrying both simhashes, so the hamming verify is a
     vectorized in-partition filter — no driver bucket loops. Output
     pairs are deduped across chunks on the driver (bounded by near-dup
-    density). Rows-only; pinned against
-    tests/golden/dedup_simhash_clusters_sf001.json."""
-    from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+    density).
+
+    HOT-BUCKET CAP: a non-discriminative chunk value (low-entropy
+    corpora make simhash bits correlate) inflates its join partition
+    quadratically — measured 448 s at 200k tiny-vocab docs. Buckets
+    larger than ``hot_bucket_cap`` are dropped from BOTH join sides;
+    the count pass is a partial-agg whose combine is bounded by the
+    4×2^16 keyspace, never the corpus. Pairs whose ONLY shared chunk
+    was dropped are lost (documented recall trade — a pair at
+    hamming ≤ 3 has ≥ 1 exact chunk by pigeonhole, usually several);
+    at normal entropy no bucket nears the cap and output is unchanged
+    (golden-pinned at sf0.01:
+    tests/golden/dedup_simhash_clusters_sf001.json)."""
+    from kryptone_ray.pipelines.common import (
+        join_partitions, parquet_rows, partial_sum_count)
 
     ds = T(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -319,6 +332,29 @@ def q_simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     keyed = ds.map_batches(f, batch_format="pandas",
                            batch_size=512).materialize()
+
+    # hot-bucket census: per-(chunk,key) counts via partial agg — the
+    # combine is bounded by the 4×65536 keyspace, not the corpus
+    counts = partial_sum_count(keyed, keys=["chunk", "key"], sums={},
+                               count_name="n")
+    hot = counts[counts["n"] > hot_bucket_cap]
+    if len(hot):
+        import ray as _ray
+
+        hot_keys = frozenset(zip(hot["chunk"].astype(int),
+                                 hot["key"].astype(int)))
+        hot_ref = _ray.put(hot_keys)
+
+        def drop_hot(df: pd.DataFrame) -> pd.DataFrame:
+            hk = _ray.get(hot_ref)
+            mask = [
+                (int(c), int(k)) not in hk
+                for c, k in zip(df["chunk"], df["key"])
+            ]
+            return df[np.asarray(mask)]
+
+        keyed = keyed.map_batches(drop_hot, batch_format="pandas",
+                                  batch_size=8192).materialize()
 
     def rename_right(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"doc_id": "doc_id_r", "chunk": "chunk_r",
