@@ -19,13 +19,23 @@ import pyarrow as pa
 import ray.data as rd
 
 
-def T(sf_dir: str, name: str, columns: list[str] | None = None) -> "rd.Dataset":
+def T(sf_dir: str, name: str, columns: list[str] | None = None,
+      rows_per_block: int | None = None) -> "rd.Dataset":
     """Column-pruned table read. A single-file table executes as ONE
     read task by default, serializing the scan — split it into blocks
     sized from the footer row count (~150k rows each) so the read
-    parallelizes like a real multi-file 100-TB layout would naturally."""
+    parallelizes like a real multi-file 100-TB layout would naturally.
+
+    ``rows_per_block``: downstream ``map_batches`` tasks are dispatched
+    PER BLOCK (batch_size only slices within a task), so compute-heavy
+    per-row stages (minhash signatures, simhash) must ask for small
+    blocks or they run serially on a one-file table."""
     path = f"{sf_dir}/{name}.parquet"
-    blocks = min(8, max(1, parquet_rows_path(path) // 150_000))
+    rows = parquet_rows_path(path)
+    if rows_per_block is not None:
+        blocks = min(256, max(1, rows // rows_per_block))
+    else:
+        blocks = min(8, max(1, rows // 150_000))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=blocks)
 

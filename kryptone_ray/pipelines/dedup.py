@@ -166,15 +166,16 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
 
     from kryptone_ray.pipelines.common import join_partitions, parquet_rows
 
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    # small blocks: map tasks dispatch PER BLOCK, so a one-file table
+    # read at the default block size runs the (compute-heavy) signature
+    # stage serially — 512-row blocks parallelize it across the pool
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+           rows_per_block=512)
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
         sigs = minhash_signatures_batch(df["text"].tolist())
         return band_buckets_batch(df["doc_id"].to_numpy(), sigs, bands)
 
-    # small batches: the signature kernel is vectorized, so per-batch
-    # overhead is tiny and more batches = more parallel tasks (at 2048
-    # a 5k-doc table became 3 tasks on 32 CPUs)
     buckets = ds.map_batches(sig_batch, batch_format="pandas",
                              batch_size=512).materialize()
 
@@ -315,7 +316,8 @@ def q_simhash_clusters(sf_dir: str, max_hamming: int = 3,
     from kryptone_ray.pipelines.common import (
         join_partitions, parquet_rows, partial_sum_count)
 
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+           rows_per_block=512)  # see q_minhash_lsh_pairs block note
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         sh = simhash_batch(df["text"].tolist())

@@ -169,3 +169,29 @@ def test_facade_refresh_reads_prior_visits(world, tmp_path):
     res = c1.refresh()
     assert res["pages_visited"] >= 24
     assert len(c1.seen_urls) == n_seen
+
+
+def test_hooks_run_in_task_mode(world, tmp_path, ray_session):
+    """current_page_actions + after_data_save execute INSIDE ray tasks
+    (WindowHooks pickled to workers): items parquet appears per window
+    even though no driver-side callback could have written it."""
+    spec, d = world
+
+    # defined in-closure so cloudpickle serializes it BY VALUE (a test
+    # module isn't importable from ray workers)
+    def emit_items(pages):
+        import pyarrow as _pa
+
+        return _pa.table({"url": pages["url"], "mean": pages["px_mean"]})
+
+    cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=48)
+    eng = RayCrawler(str(d), page_outlinks(spec), cs, str(tmp_path / "run"),
+                     mode="tasks", page_actions=emit_items)
+    eng.run(seeds=seed_urls(spec, 6))
+    items = sorted((tmp_path / "run" / "items").glob("batch-*.parquet"))
+    assert items
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_metadata(f).num_rows for f in items)
+    assert total == 48  # one item row per visited page
