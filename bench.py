@@ -31,6 +31,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CRAWL_ROWS = int(os.environ.get("KR_BENCH_ROWS", "120000"))
 CRAWL_PAGES = int(os.environ.get("KR_BENCH_PAGES", "60000"))
 CRAWL_BATCH = int(os.environ.get("KR_BENCH_BATCH", "65536"))
+# >0 enables per-host politeness (one fetch per host per window, virtual
+# clock) — the reference-faithful mode; default off for the headline
+# throughput measurement
+CRAWL_HOST_DELAY = float(os.environ.get("KR_BENCH_HOST_DELAY", "0"))
 # bench images are bigger than the unit-test corpus (decode compute must
 # dominate per-row overhead for the scaling measurement to be meaningful)
 MIN_DIM = int(os.environ.get("KR_BENCH_MIN_DIM", "16"))
@@ -102,6 +106,7 @@ def run_crawl(corpus_dir: str, n_rows: int) -> dict:
     cs = CrawlSpec(
         batch_size=CRAWL_BATCH,
         wait_time=25.0,  # virtual seconds — no wall sleeps
+        host_delay=CRAWL_HOST_DELAY,
         allowed_hosts=("*",),
         max_pages=CRAWL_PAGES,
     )

@@ -486,7 +486,8 @@ def _embedding_pairs_blocked(sf_dir: str, threshold: float) -> pd.DataFrame:
 
 
 def q_embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
-                              n_tables: int = 12, n_bits: int = 6) -> pd.DataFrame:
+                              n_tables: int = 12,
+                              n_bits: int | None = None) -> pd.DataFrame:
     """Embedding near-dup pairs via RANDOM-HYPERPLANE LSH — the
     10^10-row scale path for ``q_embedding_near_dups`` (exact all-pairs
     is quadratic; this is the documented approximate variant, recall<1
@@ -503,13 +504,50 @@ def q_embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
     Expected recall for a pair at cosine s: per-table collision
     p = (1 - acos(s)/pi)^n_bits, overall 1-(1-p)^n_tables — at the
     default threshold 0.35 that is ~0.48 (measured 0.50 at sf0.01);
-    raise n_tables for higher recall at linear cost. Deterministic
-    given the seeded hyperplanes; rows-only (always a subset of the
-    exact query's output — asserted in tests)."""
+    raise n_tables for higher recall at linear cost. ``n_bits``
+    defaults ADAPTIVELY to log2(N/8) (6 for small N): fixed-width
+    buckets hold N/2^n_bits vectors, so a constant width turns the
+    self-join quadratic as N grows — wider keys keep expected bucket
+    size ~8 (at scale this biases toward HIGH-threshold dedup, the
+    regime where hyperplane LSH has usable recall at all). When the
+    candidate-pair table exceeds 200k rows the exact-cosine verify
+    switches from candidate-bounded driver fetch to a fully
+    distributed two-join verify — only VERIFIED pairs reach the
+    driver. Deterministic given the seeded hyperplanes; rows-only
+    (always a subset of the exact query's output — asserted in
+    tests)."""
     import ray
     import ray.data as rd
 
     from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+
+    from kryptone_ray.pipelines.common import hash_shuffle
+
+    n_rows = parquet_rows(sf_dir, "embeddings")
+    if n_bits is None:
+        # ~1 expected vector per bucket (n_bits = log2 N): constant
+        # width turns the self-join quadratic in N, and even bucket
+        # size 6 at 200k vecs produced 14M random-collision candidates.
+        # Wider keys bias toward HIGH-threshold dedup — the regime
+        # where hyperplane LSH has usable recall at all (a pair at
+        # cosine 0.995 survives 18 bits with p=0.55 per table).
+        n_bits = 6 if n_rows <= 4096 else \
+            int(np.ceil(np.log2(n_rows)))
+
+    # the whole pipeline runs under HASH_SHUFFLE so the large-candidate
+    # path's repartition(keys=...) distinct is available (the strategy
+    # binds at dataset creation); no sort-based op is used here
+    with hash_shuffle():
+        return _embedding_lsh_pipeline(sf_dir, threshold, n_tables, n_bits,
+                                       n_rows)
+
+
+def _embedding_lsh_pipeline(sf_dir: str, threshold: float, n_tables: int,
+                            n_bits: int, n_rows: int) -> pd.DataFrame:
+    import ray
+    import ray.data as rd
+
+    from kryptone_ray.pipelines.common import join_partitions
 
     ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
@@ -535,7 +573,7 @@ def q_embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
         lambda df: df.rename(columns={"table": "table_r", "bucket": "bucket_r",
                                       "vec_id": "vec_id_r"}),
         batch_format="pandas", batch_size=None)
-    npart = join_partitions(parquet_rows(sf_dir, "embeddings") * n_tables)
+    npart = join_partitions(n_rows * n_tables)
     cand = buckets.join(right, "inner", num_partitions=npart,
                         on=("table", "bucket"), right_on=("table_r", "bucket_r"))
 
@@ -544,27 +582,81 @@ def q_embedding_near_dups_lsh(sf_dir: str, threshold: float = 0.35,
         return pd.DataFrame({"vec_a": sub["vec_id"],
                              "vec_b": sub["vec_id_r"]}).drop_duplicates()
 
-    pairs = cand.map_batches(emit, batch_format="pandas",
-                             batch_size=None).to_pandas().drop_duplicates()
-    if pairs.empty:
+    pairs_ds = cand.map_batches(emit, batch_format="pandas",
+                                batch_size=None).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64")})
 
-    cand_ids = frozenset(pairs["vec_a"]) | frozenset(pairs["vec_b"])
-    ids_ref = ray.put(cand_ids)
+    if n_pairs <= 2_000_000:
+        # candidate-bounded driver verify: fetch only candidate vectors
+        pairs = pairs_ds.to_pandas().drop_duplicates()
+        cand_ids = frozenset(pairs["vec_a"]) | frozenset(pairs["vec_b"])
+        ids_ref = ray.put(cand_ids)
 
-    def take_cand(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["vec_id"].isin(ray.get(ids_ref))]
+        def take_cand(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["vec_id"].isin(ray.get(ids_ref))]
 
-    cand_vecs = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
-        .map_batches(take_cand, batch_format="pandas", batch_size=4096) \
-        .to_pandas()  # bounded by candidate count
-    m = np.stack(cand_vecs["embedding"].to_numpy())
-    m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
-    row_of = {v: i for i, v in enumerate(cand_vecs["vec_id"])}
-    ai = pairs["vec_a"].map(row_of).to_numpy()
-    bi = pairs["vec_b"].map(row_of).to_numpy()
-    sims = np.einsum("ij,ij->i", m[ai], m[bi])
-    keep = sims >= threshold
-    out = pairs[keep].astype("int64")
+        cand_vecs = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+            .map_batches(take_cand, batch_format="pandas", batch_size=4096) \
+            .to_pandas()  # bounded by candidate count
+        m = np.stack(cand_vecs["embedding"].to_numpy())
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+        row_of = {v: i for i, v in enumerate(cand_vecs["vec_id"])}
+        ai = pairs["vec_a"].map(row_of).to_numpy()
+        bi = pairs["vec_b"].map(row_of).to_numpy()
+        sims = np.einsum("ij,ij->i", m[ai], m[bi])
+        out = pairs[sims >= threshold].astype("int64")
+        return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    # large candidate set: verify fully distributed. First a global
+    # DISTINCT over the pair table (hash-repartition by pair key +
+    # per-block dedupe) — a pair surfaces once per matching table and
+    # dragging duplicates through the vector joins would double the
+    # shuffled bytes; then attach both vectors via two hash joins and
+    # filter per block; only VERIFIED pairs (true near-dup density)
+    # ever reach the driver. The join operator rejects list<float>
+    # payloads, so vectors travel as packed float32 binary and are
+    # decoded per block via frombuffer.
+    pairs_ds = pairs_ds.repartition(
+        num_blocks=max(4, npart), keys=["vec_a", "vec_b"]) \
+        .map_batches(lambda df: df.drop_duplicates(),
+                     batch_format="pandas", batch_size=None) \
+        .materialize()
+    def pack(df: pd.DataFrame, id_out: str, bin_out: str) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+        m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True),
+                        1e-12, None).astype(np.float32)
+        return pd.DataFrame({id_out: df["vec_id"].to_numpy(),
+                             bin_out: [r.tobytes() for r in m]})
+
+    emb = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda df: pack(df, "vec_id", "emb_bin"),
+                     batch_format="pandas", batch_size=4096)
+    emb_b = T(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .map_batches(lambda df: pack(df, "vec_id_b", "emb_bin_b"),
+                     batch_format="pandas", batch_size=4096)
+    npart2 = join_partitions(n_pairs)
+    j1 = pairs_ds.join(emb, "inner", num_partitions=npart2,
+                       on=("vec_a",), right_on=("vec_id",))
+    j2 = j1.join(emb_b, "inner", num_partitions=npart2,
+                 on=("vec_b",), right_on=("vec_id_b",))
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        ma = np.frombuffer(b"".join(df["emb_bin"]),
+                           dtype=np.float32).reshape(len(df), -1)
+        mb = np.frombuffer(b"".join(df["emb_bin_b"]),
+                           dtype=np.float32).reshape(len(df), -1)
+        sims = np.einsum("ij,ij->i", ma, mb)
+        sub = df[sims >= np.float32(threshold)]
+        return pd.DataFrame({"vec_a": sub["vec_a"],
+                             "vec_b": sub["vec_b"]}).drop_duplicates()
+
+    out = j2.map_batches(verify_block, batch_format="pandas",
+                         batch_size=None).to_pandas().drop_duplicates()
+    out = out.astype("int64")
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

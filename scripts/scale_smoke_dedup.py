@@ -82,6 +82,47 @@ def ensure_table() -> None:
     (OUT / "_DONE").touch()
 
 
+N_VECS = N_DOCS  # embeddings table the same size
+DIM = 64
+
+
+def ensure_embeddings() -> None:
+    """N normalized random vectors + planted near-duplicates (i%100==1
+    is vec i-1 plus small noise → cosine ≈ 0.99)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    if (OUT / "_EMB_DONE").exists():
+        return
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        vecs = []
+        for i in ids:
+            if i % 100 == 1:
+                v = np.random.default_rng(i - 1).standard_normal(DIM)
+                v = v + 0.05 * np.random.default_rng(i).standard_normal(DIM)
+            else:
+                v = np.random.default_rng(i).standard_normal(DIM)
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+        return pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        })
+
+    ds = rd.range(N_VECS).map_batches(synth, batch_format="pyarrow",
+                                      batch_size=4096)
+    import pyarrow as pa
+
+    tables = list(ds.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    pq.write_table(pa.concat_tables(tables), OUT / "embeddings.parquet",
+                   row_group_size=65536)
+    (OUT / "_EMB_DONE").touch()
+
+
 def main() -> None:
     import ray
 
@@ -93,6 +134,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     ensure_table()
+    ensure_embeddings()
     from kryptone_ray.pipelines import dedup
 
     timings = {}
@@ -109,6 +151,19 @@ def main() -> None:
     sh = dedup.q_simhash_clusters(str(OUT))
     timings["simhash_clusters"] = round(time.time() - t0, 2)
 
+    from kryptone_ray.pipelines import ann
+
+    t0 = time.time()
+    knn = ann.q_knn_bruteforce(str(OUT))
+    timings["knn_bruteforce"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    lsh = dedup.q_embedding_near_dups_lsh(str(OUT), threshold=0.9)
+    timings["embedding_near_dups_lsh"] = round(time.time() - t0, 2)
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    got_vec_near = sum(1 for i in range(1, N_VECS, 100)
+                       if (i - 1, i) in lsh_pairs)
+
     planted_near = N_DOCS // 100  # one per i%100==1
     # planted near-dups are (i-1, i): count recovered by minhash
     mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
@@ -123,6 +178,10 @@ def main() -> None:
         "minhash_recovered_near_dups": got_near,
         "minhash_total_pairs": len(mh),
         "simhash_total_pairs": len(sh),
+        "knn_rows": len(knn),
+        "planted_vec_near_dups": N_VECS // 100,
+        "lsh_recovered_vec_near_dups": got_vec_near,
+        "lsh_total_pairs": len(lsh),
     }))
     ray.shutdown()
 
