@@ -15,7 +15,6 @@ Conventions (driver correctness gate, __ray_entry__.py):
 from __future__ import annotations
 
 import pandas as pd
-import pyarrow as pa
 import ray.data as rd
 
 

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from kryptone_ray.pipelines.common import T
 from kryptone_ray.utils.xxh64 import xxh64, xxh64_batch, xxh64_padded

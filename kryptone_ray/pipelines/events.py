@@ -9,10 +9,9 @@ same incremental-state shape as the reference's per-iteration counters
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
-from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
+from kryptone_ray.pipelines.common import T, partial_sum_count
 
 
 def _cents(df: pd.DataFrame) -> pd.DataFrame:

@@ -21,7 +21,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from kryptone_ray.corpus import codecs
-from kryptone_ray.corpus.synth import CORPUS_SCHEMA, CorpusSpec
+from kryptone_ray.corpus.synth import CorpusSpec
 
 _MM_ROWS = 300
 _MM_SEED = 1234

@@ -12,14 +12,11 @@ tables instead of shuffle-joining them.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
 
 from kryptone_ray.pipelines.common import (
     T, join_partitions, parquet_rows, partial_stats, partial_sum_count,
-    round_cols, small)
+    small)
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:

@@ -13,13 +13,10 @@ entries.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
-from kryptone_ray.pipelines.common import T, partial_sum_count, round_cols
+from kryptone_ray.pipelines.common import T, partial_sum_count
 from kryptone_ray.text import ops
 
 # corpora below this row count combine vocabulary partials on the
