@@ -80,7 +80,53 @@ def main(argv: list[str] | None = None) -> int:
     p_checks.add_argument("--spider", required=True)
     p_checks.add_argument("--corpus", default=None)
 
+    p_reset = sub.add_parser("reset",
+                             help="clear a run dir's crawl artifacts "
+                                  "(reset.py analog)")
+    p_reset.add_argument("--run-dir", required=True)
+    p_reset.add_argument("--keep-checkpoint", action="store_true")
+
+    p_ro = sub.add_parser("frontier-reorder",
+                          help="rank pattern-matching frontier urls first "
+                               "(reorder.py analog)")
+    p_ro.add_argument("--frontier", required=True)
+    p_ro.add_argument("--pattern", required=True)
+    p_ro.add_argument("--out", required=True)
+
+    p_ex = sub.add_parser("frontier-extract-urls",
+                          help="write urls matching path filters "
+                               "(extract_urls.py analog)")
+    p_ex.add_argument("--frontier", required=True)
+    p_ex.add_argument("--path", action="append", required=True,
+                      help="path substring filter (repeatable)")
+    p_ex.add_argument("--out", required=True)
+
+    p_fc = sub.add_parser("frontier-filter-cache",
+                          help="split frontier into to_visit/visited by "
+                               "pattern (filter_cache.py analog)")
+    p_fc.add_argument("--frontier", required=True)
+    p_fc.add_argument("--pattern", required=True)
+    p_fc.add_argument("--out", required=True)
+
     ns = ap.parse_args(argv)
+
+    if ns.cmd == "reset":
+        import pathlib
+        import shutil
+
+        run = pathlib.Path(ns.run_dir)
+        kinds = ["visits", "lineage", "metrics", "items", "spill",
+                 "seen_deltas"]
+        if not ns.keep_checkpoint:
+            kinds += ["checkpoint", "checkpoint.old", "checkpoint.tmp"]
+        removed = []
+        for k in kinds:
+            p = run / k
+            if p.exists():
+                shutil.rmtree(p)
+                removed.append(k)
+        print(json.dumps({"removed": removed}))
+        return 0
 
     import ray
 
@@ -94,6 +140,21 @@ def main(argv: list[str] | None = None) -> int:
             ran = checks_registry.run(corpus_dir=ns.corpus,
                                       spider_cls=resolve(ns.spider))
             print(json.dumps({"checks": ran, "ok": True}))
+            return 0
+        if ns.cmd.startswith("frontier-"):
+            from kryptone_ray.pipelines import crawlops
+
+            if ns.cmd == "frontier-reorder":
+                n = crawlops.frontier_reorder(ns.frontier, ns.pattern, ns.out)
+                print(json.dumps({"rows": n, "out": ns.out}))
+            elif ns.cmd == "frontier-extract-urls":
+                n = crawlops.frontier_extract_urls(ns.frontier,
+                                                   tuple(ns.path), ns.out)
+                print(json.dumps({"rows": n, "out": ns.out}))
+            else:
+                counts = crawlops.frontier_filter_cache(ns.frontier,
+                                                        ns.pattern, ns.out)
+                print(json.dumps({"counts": counts, "out": ns.out}))
             return 0
         if ns.cmd == "start":
             c = _build(ns)

@@ -252,3 +252,62 @@ def q_images_by_extension(sf_dir: str) -> pd.DataFrame:
     )
     out = parts.groupby("ext", sort=False)["n"].sum().reset_index()
     return out.sort_values("ext").reset_index(drop=True)
+
+
+# ---- generalized frontier-maintenance pipelines (CLI surface) --------
+# The q_* queries above run over the pinned snapshot for the driver
+# gate; these parameterized forms are what `python -m kryptone_ray
+# frontier-*` exposes — read an arbitrary frontier parquet directory,
+# transform, write results as partitioned parquet (reference contracts:
+# management/commands/{reorder,filter_cache,extract_urls}.py).
+
+
+def frontier_reorder(frontier_dir: str, pattern: str, out_dir: str) -> int:
+    """reorder.py: rank regex-matching URLs first (ties by url), write
+    the reordered frontier; returns the row count."""
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df["has_match"] = df["url"].str.contains(pattern, regex=True)
+        return df
+
+    ds = (rd.read_parquet(frontier_dir)
+          .map_batches(flag, batch_format="pandas", batch_size=8192)
+          .sort(["has_match", "url"], descending=[True, False]))
+    ds.write_parquet(out_dir)
+    return rd.read_parquet(out_dir).count()
+
+
+def frontier_extract_urls(frontier_dir: str, paths: tuple[str, ...],
+                          out_dir: str) -> int:
+    """extract_urls.py: write URLs matching a URLIgnoreTest-style path
+    filter; returns the matching count."""
+    test = UrlIgnoreTest("cli", paths=tuple(paths))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        f = urlkit.parse_batch(df["url"].tolist())
+        return df[np.asarray(test.mask(f))]
+
+    ds = rd.read_parquet(frontier_dir).map_batches(
+        match, batch_format="pandas", batch_size=8192)
+    ds.write_parquet(out_dir)
+    return rd.read_parquet(out_dir).count()
+
+
+def frontier_filter_cache(frontier_dir: str, pattern: str,
+                          out_dir: str) -> dict:
+    """filter_cache.py: split the frontier into to_visit / visited by
+    regex; writes both partitions, returns the bucket sizes."""
+    import pathlib
+
+    def split(df: pd.DataFrame, keep_match: bool) -> pd.DataFrame:
+        m = df["url"].str.contains(pattern, regex=True)
+        return df[m if keep_match else ~m]
+
+    base = pathlib.Path(out_dir)
+    counts = {}
+    for bucket, keep in (("visited", True), ("to_visit", False)):
+        ds = rd.read_parquet(frontier_dir).map_batches(
+            lambda df, k=keep: split(df, k),
+            batch_format="pandas", batch_size=8192)
+        ds.write_parquet(str(base / bucket))
+        counts[bucket] = rd.read_parquet(str(base / bucket)).count()
+    return counts

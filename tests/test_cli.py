@@ -128,3 +128,66 @@ def test_cli_test_run_and_resume(world, tmp_path, capsys, ray_session):
     assert rc == 0
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m2["pages_visited"] == 40
+
+
+def test_cli_frontier_commands(world, tmp_path, capsys, ray_session):
+    """frontier-reorder / frontier-extract-urls / frontier-filter-cache
+    run real read→transform→write pipelines over an arbitrary frontier
+    parquet dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    spec, d = world
+    frontier = tmp_path / "frontier"
+    frontier.mkdir()
+    urls = [spec.url_of(i) for i in range(200)]
+    pq.write_table(pa.table({"url": pa.array(urls)}),
+                   frontier / "part-0.parquet")
+
+    out1 = tmp_path / "reordered"
+    rc = main(["frontier-reorder", "--frontier", str(frontier),
+               "--pattern", "/img/", "--out", str(out1)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 200
+    got = rd.read_parquet(str(out1)).to_pandas()
+    assert got["has_match"].iloc[0] or not got["has_match"].any()
+
+    out2 = tmp_path / "extracted"
+    rc = main(["frontier-extract-urls", "--frontier", str(frontier),
+               "--path", "/item/", "--out", str(out2)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exp = sum(1 for u in urls if "/item/" in u)
+    assert res["rows"] == exp
+
+    out3 = tmp_path / "cache"
+    rc = main(["frontier-filter-cache", "--frontier", str(frontier),
+               "--pattern", "/cat/", "--out", str(out3)])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["counts"]["visited"] + res["counts"]["to_visit"] == 200
+
+
+def test_cli_reset(world, tmp_path, capsys, ray_session):
+    spec, d = world
+    run_dir = tmp_path / "run"
+    rc = main([
+        "test-run", "--spider", "cli_spider_mod:Shop",
+        "--corpus", str(d), "--outlinks", "cli_spider_mod:links",
+        "--run-dir", str(run_dir), "--windows", "8", "--pages", "16",
+        "--mode", "local", "--checkpoint-every", "1",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert (run_dir / "visits").exists()
+    rc = main(["reset", "--run-dir", str(run_dir), "--keep-checkpoint"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "visits" in res["removed"]
+    assert not (run_dir / "visits").exists()
+    assert (run_dir / "checkpoint").exists()  # kept
+    rc = main(["reset", "--run-dir", str(run_dir)])
+    assert rc == 0
+    assert not (run_dir / "checkpoint").exists()
