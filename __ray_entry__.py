@@ -12,9 +12,17 @@ here (nor in kryptone_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import logging
 import tempfile
 from collections.abc import Callable
 from typing import Any
+
+# ray probes hash(pa.Schema) for a dedup early-exit; schemas carrying
+# pandas metadata (a dict) are unhashable, so every parquet read warns
+# and then unifies fine — pure log noise, silenced for driver runs.
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).setLevel(logging.ERROR)
 
 
 def entry() -> Any:
