@@ -19,10 +19,16 @@ from typing import Any
 
 # ray probes hash(pa.Schema) for a dedup early-exit; schemas carrying
 # pandas metadata (a dict) are unhashable, so every parquet read warns
-# and then unifies fine — pure log noise, silenced for driver runs.
+# and then unifies fine — pure log noise. A filter (not setLevel: ray's
+# dataset-logging setup re-applies levels on first execution) drops it.
+class _DropSchemaHashNoise(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
 logging.getLogger(
     "ray.data._internal.arrow_ops.transform_pyarrow"
-).setLevel(logging.ERROR)
+).addFilter(_DropSchemaHashNoise())
 
 
 def entry() -> Any:
