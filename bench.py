@@ -144,13 +144,20 @@ def run_crawl(corpus_dir: str, n_rows: int) -> dict:
 
 
 def _quiet_schema_warn():
-    """Worker-side: silence ray's pa.Schema-unhashable warning (see
-    main()); runs in every worker via worker_process_setup_hook."""
+    """Silence ray's pa.Schema-unhashable warning ("Failed to hash the
+    schemas") — hash(pa.Schema) with pandas metadata raises, ray warns,
+    then unifies fine. A FILTER, not setLevel: ray's dataset-logger
+    setup re-applies levels on first execution. Runs on the driver and
+    in every worker via worker_process_setup_hook."""
     import logging
+
+    class _Drop(logging.Filter):
+        def filter(self, record):
+            return "Failed to hash the schemas" not in record.getMessage()
 
     logging.getLogger(
         "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(logging.ERROR)
+    ).addFilter(_Drop())
 
 
 def main() -> None:
@@ -168,15 +175,7 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    import logging
-
-    # "Failed to hash the schemas (for deduplication)" — ray probes
-    # hash(pa.Schema) for an early-exit; schemas carrying pandas
-    # metadata (a dict) are unhashable, so every parquet read warns and
-    # then unifies fine. Pure log noise; silence that one logger.
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(logging.ERROR)
+    _quiet_schema_warn()
 
     import __ray_entry__ as entrymod
 
@@ -235,15 +234,7 @@ def crawl_only() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    # "Failed to hash the schemas (for deduplication)" — ray probes
-    # hash(pa.Schema) for an early-exit; schemas carrying pandas
-    # metadata (a dict) are unhashable, so every parquet read warns and
-    # then unifies fine. Pure log noise; silence that one logger.
-    logging.getLogger(
-        "ray.data._internal.arrow_ops.transform_pyarrow"
-    ).setLevel(logging.ERROR)
+    _quiet_schema_warn()
     import ray.data as rd
 
     rd.range(10_000).map_batches(lambda t: t, batch_format="pyarrow",
