@@ -35,6 +35,9 @@ CRAWL_BATCH = int(os.environ.get("KR_BENCH_BATCH", "65536"))
 # clock) — the reference-faithful mode; default off for the headline
 # throughput measurement
 CRAWL_HOST_DELAY = float(os.environ.get("KR_BENCH_HOST_DELAY", "0"))
+# >0 runs the frontier through ShardedFrontierScheduler actors (host-
+# hash sharded, two-phase peek/commit) instead of the driver-local heap
+CRAWL_SCHED_SHARDS = int(os.environ.get("KR_BENCH_SCHED_SHARDS", "0"))
 # bench images are bigger than the unit-test corpus (decode compute must
 # dominate per-row overhead for the scaling measurement to be meaningful)
 MIN_DIM = int(os.environ.get("KR_BENCH_MIN_DIM", "16"))
@@ -117,6 +120,7 @@ def run_crawl(corpus_dir: str, n_rows: int) -> dict:
         spec=cs,
         run_dir=run_dir,
         num_seen_shards=8,
+        scheduler_shards=CRAWL_SCHED_SHARDS,
         mode=os.environ.get("KR_BENCH_MODE", "tasks"),
         fetch_concurrency=max(2, NUM_CPUS // 4),
         ray_batch_rows=1024,

@@ -158,6 +158,10 @@ def main() -> None:
     timings["knn_bruteforce"] = round(time.time() - t0, 2)
 
     t0 = time.time()
+    ivf = ann.q_knn_ivf(str(OUT))
+    timings["knn_ivf"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
     lsh = dedup.q_embedding_near_dups_lsh(str(OUT), threshold=0.9)
     timings["embedding_near_dups_lsh"] = round(time.time() - t0, 2)
     lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
@@ -179,6 +183,11 @@ def main() -> None:
         "minhash_total_pairs": len(mh),
         "simhash_total_pairs": len(sh),
         "knn_rows": len(knn),
+        "knn_ivf_rows": len(ivf),
+        # IVF is approximate; overlap with exact brute-force top-5 per
+        # query measures its recall on real (random+planted) vectors
+        "ivf_overlap_with_exact": len(
+            set(map(tuple, ivf.values)) & set(map(tuple, knn.values))),
         "planted_vec_near_dups": N_VECS // 100,
         "lsh_recovered_vec_near_dups": got_vec_near,
         "lsh_total_pairs": len(lsh),
