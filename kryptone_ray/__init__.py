@@ -12,4 +12,22 @@ No code is copied from the reference; file:line citations in
 docstrings point at the behavior being reproduced.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import kryptone_ray` light — the
+    engine pulls in ray/pyarrow only when actually used)."""
+    if name == "SiteCrawler":
+        from kryptone_ray.crawler import SiteCrawler
+
+        return SiteCrawler
+    if name == "RayCrawler":
+        from kryptone_ray.engine.crawl import RayCrawler
+
+        return RayCrawler
+    if name == "registry":
+        from kryptone_ray.registry import registry
+
+        return registry
+    raise AttributeError(name)
