@@ -144,13 +144,15 @@ class SiteCrawler:
         page in this run_dir's visit log — discovering ONLY urls never
         seen before. The prior seen state must be loaded (fresh engines
         restore it from the run checkpoint automatically)."""
+        # a FRESH facade over an existing run_dir holds no seen state —
+        # without restoring it the refresh would re-discover every url
+        # instead of only new ones. Restore from the run checkpoint
+        # whenever the in-memory seen set is empty.
+        ck = self.engine.run_dir / "checkpoint"
+        if self.engine.seen.size() == 0 and ck.exists():
+            self.engine.resume(list(self._meta.start_urls) or [""])
         if pages is None:
             vt = self.engine.visits_table()
-            if vt is None:
-                ck = self.engine.run_dir / "checkpoint"
-                if ck.exists():
-                    self.engine.resume(list(self._meta.start_urls) or [""])
-                    vt = self.engine.visits_table()
             if vt is None:
                 raise ValueError("no prior visits to refresh")
             import pyarrow.compute as pc

@@ -195,3 +195,33 @@ def test_hooks_run_in_task_mode(world, tmp_path, ray_session):
 
     total = sum(pq.read_metadata(f).num_rows for f in items)
     assert total == 48  # one item row per visited page
+
+
+def test_fresh_facade_refresh_restores_seen_from_checkpoint(world, tmp_path):
+    """A NEW facade instance over an existing run_dir must restore the
+    seen state before refreshing — otherwise every url would count as
+    newly discovered."""
+    spec, d = world
+    seeds = seed_urls(spec, 4)
+
+    class C(SiteCrawler):
+        class Meta:
+            domains = ["*"]
+
+    run_dir = tmp_path / "run"
+    # run to COMPLETION (frontier drained) — refresh's precondition;
+    # resuming an unfinished run re-enqueues its leftover frontier,
+    # which is continuation, not refresh
+    c1 = C(str(d), page_outlinks(spec), str(run_dir), batch_size=64,
+           mode="local")
+    c1.start(start_urls=seeds, checkpoint_every=1)
+    n_seen = len(c1.seen_urls)
+    assert c1.engine.sched.size() == 0
+
+    # brand-new facade (fresh process analog): empty in-memory seen set
+    c2 = C(str(d), page_outlinks(spec), str(run_dir), batch_size=64,
+           mode="local")
+    assert c2.engine.seen.size() == 0
+    c2.refresh()
+    # refresh revisited pages but discovered NOTHING new
+    assert len(c2.seen_urls) == n_seen
