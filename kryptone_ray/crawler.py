@@ -149,7 +149,16 @@ class SiteCrawler:
         # instead of only new ones. Restore from the run checkpoint
         # whenever the in-memory seen set is empty.
         ck = self.engine.run_dir / "checkpoint"
-        if self.engine.seen.size() == 0 and ck.exists():
+        if self.engine.seen.size() == 0:
+            if not ck.exists():
+                raise ValueError(
+                    "refresh() needs the prior seen state: this engine's "
+                    "seen set is empty and no checkpoint exists under "
+                    f"{self.engine.run_dir} — run start(checkpoint_every=N) "
+                    "first, or refresh from the original facade instance "
+                    "(otherwise every url would re-count as newly "
+                    "discovered)"
+                )
             self.engine.resume(list(self._meta.start_urls) or [""])
         if pages is None:
             vt = self.engine.visits_table()

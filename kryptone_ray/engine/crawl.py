@@ -457,11 +457,18 @@ class RayCrawler:
         urls never seen before join the frontier — exactly the
         reference's 'keep the new urls that have appeared' semantics.
 
-        ``pages`` (previously visited urls) are enqueued directly,
+        ``pages`` (previously visited urls, deduplicated here — the
+        simulator's refresh does the same) are enqueued directly,
         bypassing the anti-join (they are already in the seen set after
         ``resume()``/``restore``); the engine must already hold the prior
-        seen state."""
+        seen state. The ``max_pages`` budget applies to the REFRESH run
+        itself (the simulator counts a refresh from zero), so the
+        visited counter restarts; visit_idx keeps continuing from the
+        scheduler's counter."""
         from urllib.parse import urlparse
+
+        pages = list(dict.fromkeys(pages))
+        self.pages_visited = 0
 
         if self.vcfg is None:
             su = start_url if start_url is not None else pages[-1]

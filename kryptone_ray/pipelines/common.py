@@ -89,7 +89,17 @@ def join_partitions(rows: int, rows_per_partition: int = 200_000,
     aggregator actor per partition (~fixed startup each), so partitions
     scale with the larger side's row count instead of being a constant —
     small inputs pay minimal overhead, 100-TB inputs get the
-    parallelism (callers cap at ``hi`` per node-count)."""
+    parallelism (callers cap at ``hi`` per node-count).
+
+    SIZING INVARIANT (load-bearing): the post-join per-block pandas
+    combines (q3 / bucketed_join / as-of) treat each map_batches block
+    as one complete hash partition — all rows of a key together. That
+    holds as long as a partition stays under Ray's block-split size
+    (``DataContext.target_max_block_size``, 128 MiB default):
+    ~200k skinny rows/partition ≈ 10-50 MiB, a >2x margin. When raising
+    ``hi`` for a real cluster, keep rows_per_partition × row-width well
+    under the block-split size or a split partition would straddle a
+    key across two combine calls."""
     return max(lo, min(hi, rows // rows_per_partition + 1))
 
 

@@ -189,48 +189,39 @@ def q_frontier_reorder(sf_dir: str) -> pd.DataFrame:
 
 
 def q_extract_urls(sf_dir: str) -> pd.DataFrame:
-    """management/commands/extract_urls.py analog: apply a URLIgnoreTest
-    over the frontier parquet snapshot (vectorized mask per batch),
-    WRITE the matching urls as partitioned parquet (the command's CSV
-    contract, resumable output), and return them sorted."""
-    import pathlib
+    """management/commands/extract_urls.py analog over the pinned
+    snapshot — delegates to the parameterized ``frontier_extract_urls``
+    pipeline (mask → write parquet → read back) and returns the urls
+    sorted. The output dir is removed after the read-back (the result is
+    fully materialized)."""
+    import shutil
+    import tempfile as _tf
 
     snap = _frontier_snapshot_dir()
-    out_dir = pathlib.Path(tempfile.mkdtemp(prefix="kr_extract_urls_"))
-
-    test = UrlIgnoreTest("items", paths=("/item/",))
-
-    def match(df: pd.DataFrame) -> pd.DataFrame:
-        f = urlkit.parse_batch(df["url"].tolist())
-        return df[np.asarray(test.mask(f))]
-
-    ds = rd.read_parquet(snap).map_batches(match, batch_format="pandas",
-                                           batch_size=8192)
-    ds.write_parquet(str(out_dir))
-    out = rd.read_parquet(str(out_dir)).to_pandas()
+    out_dir = _tf.mkdtemp(prefix="kr_extract_urls_")
+    try:
+        frontier_extract_urls(snap, ("/item/",), out_dir)
+        out = rd.read_parquet(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return out.sort_values("url").reset_index(drop=True)
 
 
 def q_filter_cache(sf_dir: str) -> pd.DataFrame:
-    """management/commands/filter_cache.py analog: stream the frontier
-    snapshot, classify each URL to to_visit/visited by pattern
-    (vectorized), aggregate bucket sizes with per-batch partials."""
+    """management/commands/filter_cache.py analog over the pinned
+    snapshot — delegates to the parameterized ``frontier_filter_cache``
+    split-and-write pipeline; returns the bucket sizes."""
+    import shutil
+    import tempfile as _tf
+
     snap = _frontier_snapshot_dir()
-
-    def classify(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["url"].str.contains("/cat/", regex=False)
-        return pd.DataFrame({"bucket": np.where(m, "visited", "to_visit")})
-
-    parts = (
-        rd.read_parquet(snap)
-        .map_batches(classify, batch_format="pandas", batch_size=8192)
-        .map_batches(lambda df: df.groupby("bucket", sort=False)
-                     .size().reset_index(name="n"),
-                     batch_format="pandas", batch_size=8192)
-        .to_pandas()
-    )
-    out = parts.groupby("bucket", sort=False)["n"].sum().reset_index()
-    return out.sort_values("bucket").reset_index(drop=True)
+    out_dir = _tf.mkdtemp(prefix="kr_filter_cache_")
+    try:
+        counts = frontier_filter_cache(snap, "/cat/", out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = pd.DataFrame(sorted(counts.items()), columns=["bucket", "n"])
+    return out.reset_index(drop=True)
 
 
 def q_images_by_extension(sf_dir: str) -> pd.DataFrame:

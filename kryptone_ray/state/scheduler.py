@@ -84,7 +84,11 @@ class FrontierSchedulerLocal:
                 heap.extend(items)
                 heapq.heapify(heap)
                 self.total += len(items)
-                if self.spill_dir is not None and len(heap) > self.spill_threshold:
+                # _spill halves the heap — LOOP until the documented RAM
+                # bound holds (a single 1M-url wave for one host would
+                # otherwise leave 500k entries in memory)
+                while (self.spill_dir is not None
+                       and len(self.heaps[host]) > self.spill_threshold):
                     self._spill(host)
             return self.total
         for url, host, depth in zip(urls, hosts, depths):
