@@ -225,3 +225,32 @@ def test_fresh_facade_refresh_restores_seen_from_checkpoint(world, tmp_path):
     c2.refresh()
     # refresh revisited pages but discovered NOTHING new
     assert len(c2.seen_urls) == n_seen
+
+
+def test_refresh_with_max_pages_budget_matches_simulator(world, tmp_path):
+    """The max_pages budget applies to the REFRESH run itself (counted
+    from zero, like the simulator) — a refresh after a budget-limited
+    crawl must not be a silent no-op."""
+    spec, d = world
+    seeds = seed_urls(spec, 4)
+    cs = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=24)
+    base_links = page_outlinks(spec)
+
+    eng = RayCrawler(str(d), base_links, cs, str(tmp_path / "run"),
+                     mode="local")
+    eng.run(seeds=seeds)
+    assert eng.pages_visited == 24
+    vt = eng.visits_table().take(pc.sort_indices(eng.visits_table()["visit_idx"]))
+    pages = list(dict.fromkeys(vt["url"].to_pylist()))
+
+    golden = GoldenSimulator(base_links, cs).run(seeds)
+    sim_refresh = GoldenSimulator(base_links, cs).run(
+        seeds, refresh_pages=pages, prior_seen=golden.seen)
+    # simulator refresh visits min(len(pages), max_pages) pages
+    assert len(sim_refresh.visits) == 24
+
+    n_before = len(eng.visits_table())
+    eng.run_refresh(list(pages) + [pages[0]])  # duplicate must be dropped
+    assert eng.pages_visited == 24  # budget restarted, fully used
+    assert len(eng.visits_table()) == n_before + 24
