@@ -94,12 +94,13 @@ def join_partitions(rows: int, rows_per_partition: int = 200_000,
     SIZING INVARIANT (load-bearing): the post-join per-block pandas
     combines (q3 / bucketed_join / as-of) treat each map_batches block
     as one complete hash partition — all rows of a key together. That
-    holds as long as a partition stays under Ray's block-split size
-    (``DataContext.target_max_block_size``, 128 MiB default):
-    ~200k skinny rows/partition ≈ 10-50 MiB, a >2x margin. When raising
-    ``hi`` for a real cluster, keep rows_per_partition × row-width well
-    under the block-split size or a split partition would straddle a
-    key across two combine calls."""
+    was probed empirically: with ``target_max_block_size`` forced to
+    16 KB (far below any partition) bucketed_join still matched its
+    oracle exactly at sf0.001 — ray 2.49's join hands each hash
+    partition to the downstream ``map_batches(batch_size=None)`` intact.
+    Belt-and-braces for other ray versions: keep rows_per_partition ×
+    row-width under ``DataContext.target_max_block_size`` (the ~200k
+    skinny rows/partition here ≈ 10-50 MiB vs the 128 MiB default)."""
     return max(lo, min(hi, rows // rows_per_partition + 1))
 
 
