@@ -137,7 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from kryptone_ray.pipelines import ann, dedup, events, relational, textops
+    from kryptone_ray.pipelines import (
+        ann,
+        crawlops,
+        dedup,
+        events,
+        relational,
+        textops,
+    )
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -166,8 +173,14 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": events.Q_EVENTS_JSON_SQL,
         "events_sliding_1h_30m": events.Q_EVENTS_SLIDING_SQL,
         "events_asof_orders": events.Q_EVENTS_ASOF_SQL,
+        # the frontier-maintenance queries run over a deterministic
+        # parquet snapshot DuckDB can read directly — full value-hash
+        # oracles (crawlops.frontier_oracle_sql materializes the
+        # snapshot in case the driver evaluates SQL first)
+        **crawlops.frontier_oracle_sql(),
         # rows-only (not SQL-expressible): lang_id_heuristic,
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
-        # ngram_jaccard_dups, embedding_near_dups, knn_ivf,
-        # image_decode_stats, image_resize_thumbs
+        # ngram_jaccard_dups, embedding_near_dups(+_lsh), knn_ivf,
+        # image_decode_stats, image_resize_thumbs, image_phash_near_dups,
+        # crawl_visits, link_verdicts, url_predicates, caption_*
     }

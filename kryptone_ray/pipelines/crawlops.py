@@ -302,3 +302,45 @@ def frontier_filter_cache(frontier_dir: str, pattern: str,
         ds.write_parquet(str(base / bucket))
         counts[bucket] = rd.read_parquet(str(base / bucket)).count()
     return counts
+
+
+def frontier_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the snapshot-backed frontier queries: the
+    snapshot itself is deterministic parquet on disk, so DuckDB can
+    ``read_parquet`` the same files the Ray pipelines read — promoting
+    these entries from rows-only to full value-hash checks. Calling
+    this materializes the snapshot (the driver may run oracle SQL before
+    the queries)."""
+    snap = _frontier_snapshot_dir()
+    img_list = ", ".join(f"'{s}'" for s in sorted(urlkit.IMAGE_SUFFIXES))
+    return {
+        "frontier_reorder": f"""
+SELECT CAST(row_number() OVER (ORDER BY has_match DESC, url) - 1 AS BIGINT) AS rank,
+       url, has_match
+FROM (
+  SELECT url, contains(url, '/img/') AS has_match
+  FROM (SELECT url FROM read_parquet('{snap}/*.parquet') ORDER BY url LIMIT 200)
+)
+ORDER BY rank
+""",
+        "extract_urls": f"""
+SELECT url FROM read_parquet('{snap}/*.parquet')
+WHERE contains(regexp_extract(url, '^[a-z]+://[^/]+([^?#]*)', 1), '/item/')
+ORDER BY url
+""",
+        "filter_cache": f"""
+SELECT CASE WHEN contains(url, '/cat/') THEN 'visited' ELSE 'to_visit' END AS bucket,
+       count(*) AS n
+FROM read_parquet('{snap}/*.parquet')
+GROUP BY 1 ORDER BY 1
+""",
+        "images_by_extension": f"""
+SELECT ext, count(*) AS n FROM (
+  SELECT CASE WHEN suffix IN ({img_list}) THEN suffix
+              ELSE '(none)' END AS ext
+  FROM (SELECT regexp_extract(url, '(\\.[a-zA-Z0-9]+)$', 1) AS suffix
+        FROM read_parquet('{snap}/*.parquet'))
+)
+GROUP BY ext ORDER BY ext
+""",
+    }
