@@ -178,9 +178,10 @@ def oracle_sql() -> dict[str, str]:
         # oracles (crawlops.frontier_oracle_sql materializes the
         # snapshot in case the driver evaluates SQL first)
         **crawlops.frontier_oracle_sql(),
+        **crawlops.caption_oracle_sql(),
         # rows-only (not SQL-expressible): lang_id_heuristic,
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # ngram_jaccard_dups, embedding_near_dups(+_lsh), knn_ivf,
         # image_decode_stats, image_resize_thumbs, image_phash_near_dups,
-        # crawl_visits, link_verdicts, url_predicates, caption_*
+        # crawl_visits, link_verdicts, url_predicates
     }

@@ -98,24 +98,55 @@ def q_url_predicates(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["predicate", "n"])
 
 
+def _caption_snapshot_dir() -> str:
+    """Pinned (fmt, caption) snapshot as parquet — gives DuckDB access
+    to the same caption rows the Ray pipelines read, so the caption
+    queries get full value-hash oracles."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_captions_{_SPEC.seed}_{_SPEC.n_rows}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({
+                "id": pa.array(range(_SPEC.n_rows), type=pa.int64()),
+                "fmt": pa.array([_SPEC.fmt(i) for i in range(_SPEC.n_rows)],
+                                type=pa.string()),
+                "caption": pa.array(
+                    [_SPEC.caption(i) for i in range(_SPEC.n_rows)],
+                    type=pa.string()),
+            }),
+            base / "captions.parquet",
+        )
+        marker.touch()
+    return str(base)
+
+
 def q_caption_prices(sf_dir: str) -> pd.DataFrame:
     """Price extraction from corpus captions (parse_price,
-    utils/text.py:20-45) — per-format caption price stats."""
+    utils/text.py:20-45) — per-format caption price stats, vectorized
+    regex over the caption snapshot (PRICE first, euro-form fallback —
+    the reference's exact precedence)."""
+    snap = _caption_snapshot_dir()
 
-    def f(t: pa.Table) -> pa.Table:
-        idxs = [int(i) for i in t["id"].to_pylist()]
-        fmts, prices = [], []
-        for i in idxs:
-            cap = _SPEC.caption(i)
-            m = ops.PRICE.search(cap) or ops.PRICE_EURO.match(cap)
-            if m:
-                fmts.append(_SPEC.fmt(i))
-                prices.append(ops.parse_price(m.group(0)))
-        return pa.table({"fmt": pa.array(fmts, type=pa.string()),
-                         "price": pa.array(prices, type=pa.float64())})
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        p1 = df["caption"].str.extract(r"(\d+,?\d+)", expand=False)
+        price = pd.to_numeric(p1.str.replace(",", ".", regex=False),
+                              errors="coerce")
+        # euro fallback (caption-start \d+€\d+) — PRICE takes precedence
+        euro = df["caption"].str.extract(r"^(\d+€\d+)", expand=False)
+        fallback = pd.to_numeric(euro.str.replace("€", ".", regex=False),
+                                 errors="coerce")
+        price = price.fillna(fallback)
+        out = pd.DataFrame({"fmt": df["fmt"], "price": price})
+        return out[out["price"].notna()]
 
-    ds = rd.range(_SPEC.n_rows).map_batches(f, batch_format="pyarrow", batch_size=128)
-    df = ds.to_pandas()
+    df = rd.read_parquet(snap).map_batches(
+        f, batch_format="pandas", batch_size=256).to_pandas()
     g = df.groupby("fmt")
     out = pd.DataFrame({
         "fmt": list(g.groups),
@@ -127,17 +158,48 @@ def q_caption_prices(sf_dir: str) -> pd.DataFrame:
 
 def q_caption_emails(sf_dir: str) -> pd.DataFrame:
     """Distinct emails across corpus captions (EmailMixin analog,
-    contrib/seo.py:587-643): flat_map + distinct."""
+    contrib/seo.py:587-643): vectorized findall over the snapshot +
+    distinct."""
+    snap = _caption_snapshot_dir()
 
-    def f(t: pa.Table) -> pa.Table:
-        emails: list[str] = []
-        for i in t["id"].to_pylist():
-            emails.extend(ops.extract_emails(_SPEC.caption(int(i))))
-        return pa.table({"email": pa.array(emails, type=pa.string())})
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        found = df["caption"].str.findall(ops.EMAIL_REGEX.pattern).explode()
+        return pd.DataFrame({"email": found.dropna()})
 
-    ds = rd.range(_SPEC.n_rows).map_batches(f, batch_format="pyarrow", batch_size=128)
-    emails = sorted(set(ds.to_pandas()["email"]))
-    return pd.DataFrame({"email": emails})
+    df = rd.read_parquet(snap).map_batches(
+        f, batch_format="pandas", batch_size=256).to_pandas()
+    return pd.DataFrame({"email": sorted(set(df["email"]))})
+
+
+def caption_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles over the caption snapshot (materialized here in
+    case the driver evaluates SQL before the queries)."""
+    snap = _caption_snapshot_dir()
+    return {
+        "caption_prices": f"""
+SELECT fmt, count(*) AS n_prices,
+       round(sum(price), 2) AS total
+FROM (
+  SELECT fmt,
+         CASE WHEN p1 <> ''
+              THEN CAST(replace(p1, ',', '.') AS DOUBLE)
+              WHEN regexp_matches(caption, '^\d+€\d+')
+              THEN CAST(replace(regexp_extract(caption, '^\d+€\d+'),
+                                '€', '.') AS DOUBLE)
+         END AS price
+  FROM (SELECT fmt, caption,
+               regexp_extract(caption, '\d+,?\d+') AS p1
+        FROM read_parquet('{snap}/captions.parquet'))
+)
+WHERE price IS NOT NULL
+GROUP BY fmt ORDER BY fmt
+""",
+        "caption_emails": f"""
+SELECT DISTINCT unnest(regexp_extract_all(caption, '\S+@\S+')) AS email
+FROM read_parquet('{snap}/captions.parquet')
+ORDER BY email
+""",
+    }
 
 
 def _frontier_snapshot_dir() -> str:
