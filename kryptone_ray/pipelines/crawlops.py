@@ -176,7 +176,7 @@ def caption_oracle_sql() -> dict[str, str]:
     case the driver evaluates SQL before the queries)."""
     snap = _caption_snapshot_dir()
     return {
-        "caption_prices": f"""
+        "caption_prices": rf"""
 SELECT fmt, count(*) AS n_prices,
        round(sum(price), 2) AS total
 FROM (
@@ -194,7 +194,7 @@ FROM (
 WHERE price IS NOT NULL
 GROUP BY fmt ORDER BY fmt
 """,
-        "caption_emails": f"""
+        "caption_emails": rf"""
 SELECT DISTINCT unnest(regexp_extract_all(caption, '\S+@\S+')) AS email
 FROM read_parquet('{snap}/captions.parquet')
 ORDER BY email
