@@ -31,7 +31,10 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
     q_ids, q_mat = _norm_batch(q_df)
     q_ref = ray.put((q_ids, q_mat))
 
-    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # small blocks: map tasks dispatch per BLOCK — a one-file table at
+    # the default block size would run the matmul stage serially
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+           rows_per_block=8192)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         qi, qm = ray.get(q_ref)
@@ -114,7 +117,8 @@ def q_knn_ivf(sf_dir: str, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
     tests/golden/dedup_knn_ivf_sf001.json."""
     import ray
 
-    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"],
+           rows_per_block=8192)  # parallel Lloyd/probe passes (see knn)
     seed = ds.sort("vec_id").limit(n_cells).to_pandas()
     _, cent = _norm_batch(seed)
     cent = cent.copy()

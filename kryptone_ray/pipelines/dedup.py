@@ -29,7 +29,8 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: one representative (min doc_id) per distinct text +
     duplicate count. Hash-partitioned groupby on the content hash; the
     text itself never shuffles (only hash + doc_id)."""
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+           rows_per_block=8192)  # parallel hashing on one-file tables
 
     # partial-aggregate shape: per batch, one (hash, min doc_id, count)
     # row per DISTINCT text — the text never leaves its batch, only the
