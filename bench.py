@@ -288,7 +288,16 @@ def scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r = {n: run(n) for n in (2, 4, 8, 16)}
+    # the headline 2-vs-8 pair gets TWO fresh processes per level with
+    # the per-level max kept: co-tenant noise only ever LOWERS a level's
+    # throughput, and the efficiency ratio divides two levels measured
+    # minutes apart — one noisy level skews it far more than it skews
+    # any single number. 4 and 16 (context pair) run once.
+    r: dict[int, dict] = {}
+    for n in (2, 8, 4, 16, 2, 8):
+        m = run(n)
+        if n not in r or m["images_per_sec"] > r[n]["images_per_sec"]:
+            r[n] = m
 
     def eff(lo: int, hi: int) -> float:
         return round((r[hi]["images_per_sec"] / r[lo]["images_per_sec"])
@@ -306,8 +315,10 @@ def scaling() -> None:
         "scaling_efficiency_4v16": eff(4, 16),
         "note": "each level taskset-pinned to its core count, fresh "
                 "process, same input, best of 3 timed crawls after "
-                "warm-up; the 4v16 pair saturates this single box's "
-                "shared ~20 effective cores / one memory system",
+                "warm-up (2 and 8 CPU levels: best of two fresh "
+                "processes — co-tenant noise only lowers a level); the "
+                "4v16 pair saturates this single box's shared ~20 "
+                "effective cores / one memory system",
     }))
 
 
