@@ -144,59 +144,89 @@ def band_buckets_batch(doc_ids: np.ndarray, sigs: np.ndarray,
     )
 
 
-def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs, distributed end to end:
+# corpora below this doc count generate candidate pairs with a driver
+# pandas self-merge over the (metadata-sized) bucket table — the
+# hash-shuffle self-join's fixed cost (~2 s of aggregator actor
+# startup + barrier locally) dominates at sf0.1's 5k docs; above it
+# the distributed self-join runs (tests force it by patching to 0).
+MINHASH_DISTRIBUTED_MIN_DOCS = 100_000
+# above this candidate-pair count the exact-Jaccard verify switches
+# from candidate-bounded driver fetch + broadcast text dict to a fully
+# distributed two-join verify (same switch as the embedding-LSH path —
+# an adversarial corpus can inflate candidate density past driver
+# memory even when the corpus itself streams).
+MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS = 2_000_000
 
-    1. signatures + band buckets per batch (vectorized XXH64);
-    2. candidate pairs via a native hash-shuffle SELF-JOIN of the
-       bucket table on (band, bucket) — each join partition emits its
-       own pairs, no driver groupby (a degenerate hot bucket inflates
+
+def _jaccard_verify_rows(doc_a, doc_b, text_a, text_b,
+                         threshold: float) -> pd.DataFrame:
+    rows = []
+    for a_id, b_id, ta, tb in zip(doc_a, doc_b, text_a, text_b):
+        sa, sb = _shingles(ta), _shingles(tb)
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            rows.append((a_id, b_id, round(j, 6)))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) -> pd.DataFrame:
+    """MinHash+LSH near-dup pairs:
+
+    1. signatures + band buckets per batch (vectorized XXH64) — always
+       distributed (the compute-heavy stage);
+    2. candidate pairs: below ``MINHASH_DISTRIBUTED_MIN_DOCS`` a driver
+       pandas self-merge over the metadata-sized bucket table; above it
+       a native hash-shuffle SELF-JOIN on (band, bucket) — each join
+       partition emits its own pairs (a degenerate hot bucket inflates
        its partition quadratically; at 10^10 docs cap bucket size or
        salt the band key);
-    3. exact shingle-Jaccard verify runs distributed over the pair
-       table with ONLY the candidate docs' texts broadcast
-       (``ray.put``) — the documents table itself is never collected.
+    3. exact shingle-Jaccard verify: candidate-bounded fetch + broadcast
+       text dict up to ``MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS``
+       candidates, then a fully distributed two-join verify (pair table
+       DISTINCT via hash-repartition, texts attached via two hash
+       joins, per-block Jaccard filter) — pairs and texts never
+       materialize on the driver above the switch.
 
-    Driver-side state is bounded by the candidate count (near-dup
-    density), never the corpus. Rows-only (LSH not SQL-expressible);
-    deterministic given the pinned permutation seed and pinned against
+    Rows-only (LSH not SQL-expressible); deterministic given the pinned
+    permutation seed and pinned against
     tests/golden/dedup_minhash_lsh_pairs_sf001.json."""
     import ray
     import ray.data as rd
 
-    from kryptone_ray.pipelines.common import join_partitions, parquet_rows
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows)
 
-    # small blocks: map tasks dispatch PER BLOCK, so a one-file table
-    # read at the default block size runs the (compute-heavy) signature
-    # stage serially — 512-row blocks parallelize it across the pool
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
-           rows_per_block=512)
+    n_docs = parquet_rows(sf_dir, "documents")
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
         sigs = minhash_signatures_batch(df["text"].tolist())
         return band_buckets_batch(df["doc_id"].to_numpy(), sigs, bands)
-
-    buckets = ds.map_batches(sig_batch, batch_format="pandas",
-                             batch_size=512).materialize()
-
-    def rename_right(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"doc_id": "doc_id_r", "band": "band_r",
-                                  "bucket": "bucket_r"})
-
-    right = buckets.map_batches(rename_right, batch_format="pandas",
-                                batch_size=None)
-    npart = join_partitions(parquet_rows(sf_dir, "documents") * bands)
-    cand = buckets.join(right, "inner", num_partitions=npart,
-                        on=("band", "bucket"), right_on=("band_r", "bucket_r"))
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["doc_id"] < df["doc_id_r"]]
         out = pd.DataFrame({"doc_a": sub["doc_id"], "doc_b": sub["doc_id_r"]})
         return out.drop_duplicates()
 
-    pairs = cand.map_batches(emit_pairs, batch_format="pandas",
-                             batch_size=None).to_pandas()
-    pairs = pairs.drop_duplicates().reset_index(drop=True)
+    if n_docs < MINHASH_DISTRIBUTED_MIN_DOCS:
+        # small blocks: map tasks dispatch PER BLOCK, so a one-file
+        # table read at the default block size runs the signature
+        # stage serially — 512-row blocks parallelize it
+        ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=512)
+        bkt = ds.map_batches(sig_batch, batch_format="pandas",
+                             batch_size=512).to_pandas()
+        m = bkt.merge(bkt.rename(columns={"doc_id": "doc_id_r"}),
+                      on=["band", "bucket"])
+        pairs = emit_pairs(m).drop_duplicates().reset_index(drop=True)
+    else:
+        with hash_shuffle():
+            pairs = _minhash_candidates_distributed(
+                sf_dir, bands, threshold, n_docs, sig_batch, emit_pairs)
+            if isinstance(pairs, pd.DataFrame) and "jaccard" in pairs.columns:
+                return pairs  # distributed verify already ran
     if pairs.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
 
@@ -211,15 +241,10 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
         .to_pandas()  # bounded by candidate count, not corpus size
 
     def verify(df: pd.DataFrame, text_of) -> pd.DataFrame:
-        rows = []
-        for a_id, b_id in zip(df["doc_a"], df["doc_b"]):
-            sa, sb = _shingles(text_of[a_id]), _shingles(text_of[b_id])
-            if not sa or not sb:
-                continue
-            j = len(sa & sb) / len(sa | sb)
-            if j >= threshold:
-                rows.append((a_id, b_id, round(j, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+        return _jaccard_verify_rows(
+            df["doc_a"], df["doc_b"],
+            [text_of[a] for a in df["doc_a"]],
+            [text_of[b] for b in df["doc_b"]], threshold)
 
     if len(pairs) <= 50_000:
         # candidate set is tiny: verifying in-process beats paying a
@@ -233,6 +258,68 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
 
         out = rd.from_pandas(pairs).map_batches(
             verify_batch, batch_format="pandas", batch_size=4096).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _minhash_candidates_distributed(sf_dir: str, bands: int,
+                                    threshold: float, n_docs: int,
+                                    sig_batch, emit_pairs):
+    """Distributed candidate generation (+ verify above the pair
+    switch). Runs under ``hash_shuffle()`` (the repartition-distinct
+    needs the strategy bound at dataset creation). Returns either a
+    pairs DataFrame (caller verifies) or a verified (doc_a, doc_b,
+    jaccard) DataFrame when the distributed verify ran."""
+    from kryptone_ray.pipelines.common import join_partitions
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+           rows_per_block=512)
+    buckets = ds.map_batches(sig_batch, batch_format="pandas",
+                             batch_size=512).materialize()
+
+    def rename_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"doc_id": "doc_id_r", "band": "band_r",
+                                  "bucket": "bucket_r"})
+
+    right = buckets.map_batches(rename_right, batch_format="pandas",
+                                batch_size=None)
+    npart = join_partitions(n_docs * bands)
+    cand = buckets.join(right, "inner", num_partitions=npart,
+                        on=("band", "bucket"), right_on=("band_r", "bucket_r"))
+    pairs_ds = cand.map_batches(emit_pairs, batch_format="pandas",
+                                batch_size=None).materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs <= MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS:
+        return pairs_ds.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    # distributed verify: DISTINCT the pair table first (a pair
+    # surfaces once per matching band; dragging duplicates through the
+    # text joins would multiply the shuffled bytes), then attach both
+    # texts via two hash joins and Jaccard-filter per block — only
+    # VERIFIED pairs (true near-dup density) reach the driver.
+    pairs_ds = pairs_ds.repartition(num_blocks=max(4, npart),
+                                    keys=["doc_a", "doc_b"]) \
+        .map_batches(lambda df: df.drop_duplicates(),
+                     batch_format="pandas", batch_size=None) \
+        .materialize()
+    docs_a = T(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda df: df.rename(columns={"text": "text_a"}),
+                     batch_format="pandas", batch_size=8192)
+    docs_b = T(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(lambda df: df.rename(
+            columns={"doc_id": "doc_id_b", "text": "text_b"}),
+            batch_format="pandas", batch_size=8192)
+    npart2 = join_partitions(n_pairs)
+    j1 = pairs_ds.join(docs_a, "inner", num_partitions=npart2,
+                       on=("doc_a",), right_on=("doc_id",))
+    j2 = j1.join(docs_b, "inner", num_partitions=npart2,
+                 on=("doc_b",), right_on=("doc_id_b",))
+
+    def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+        return _jaccard_verify_rows(df["doc_a"], df["doc_b"],
+                                    df["text_a"], df["text_b"], threshold)
+
+    out = j2.map_batches(verify_block, batch_format="pandas",
+                         batch_size=None).to_pandas().drop_duplicates()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -13,6 +13,15 @@ import pandas as pd
 
 from kryptone_ray.pipelines.common import T, partial_sum_count
 
+# events tables below this row count sessionize on the driver (one
+# vectorized pandas pass); above it the hash-repartition + per-block
+# pass kicks in. The distributed shape pays ~2 s of fixed shuffle cost
+# locally (aggregator actor startup + barrier), which dominates at
+# sf0.1 (100k events) — the same gate shape as
+# textops.DISTRIBUTED_COMBINE_MIN_ROWS (tests force the distributed
+# path by patching this to 0).
+DISTRIBUTED_SESSIONS_MIN_ROWS = 500_000
+
 
 def _cents(df: pd.DataFrame) -> pd.DataFrame:
     """value has exact 2 decimals → integer-cents sums are bit-identical
@@ -67,31 +76,58 @@ ORDER BY event_type, window_start
 """
 
 
+def sessionize_frame(df: pd.DataFrame, gap_minutes: int) -> pd.DataFrame:
+    """One fully vectorized sessionization pass over a frame holding
+    ALL events of each of its users: sort by (user, ts, event_id), mark
+    session starts (user change OR gap > threshold), global cumsum →
+    session ids, then two grouped reductions. No per-user Python loop —
+    the round-2 per-group loop paid ~1 ms/user of pandas dispatch."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    new_sess = df["user_id"].ne(df["user_id"].shift()) | (
+        df["ts"].diff() > pd.Timedelta(minutes=gap_minutes))
+    sid = new_sess.cumsum()
+    per_sess = pd.DataFrame(
+        {"user_id": df["user_id"].to_numpy(), "sid": sid.to_numpy()}
+    ).groupby(["user_id", "sid"], sort=False).size().reset_index(name="n")
+    g = per_sess.groupby("user_id", sort=False)
+    return pd.DataFrame(
+        {"user_id": list(g.groups),
+         "n_sessions": g.size().to_numpy().astype("int64"),
+         "max_session_events": g["n"].max().to_numpy().astype("int64"),
+         "n_events": g["n"].sum().to_numpy().astype("int64")}
+    )
+
+
 def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     """Sessionization: per-user session count + max session length, a
-    session breaking on gaps > 30 min. Hash-partition by user (every
-    user's events land in ONE block) + a per-block pandas pass over its
-    users — replaces ``groupby().map_groups``, whose per-group Python
-    dispatch was 2.7x slower at sf0.1. Ordering assumption: sort inside
-    the group — ties on ts broken by event_id."""
-    from kryptone_ray.pipelines.common import hash_shuffle
+    session breaking on gaps > 30 min. Below the gate the whole
+    (user_id, event_id, ts) projection fits the driver and one
+    vectorized pass beats the shuffle's fixed cost; above it,
+    hash-partition by user (every user's events land in ONE block,
+    partition count sized from the footer row count like
+    ``join_partitions`` — a fixed count would cap per-block memory at
+    1/16th of the table) + the same vectorized pass per block.
+    Ordering assumption: sort inside the group — ties on ts broken by
+    event_id."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows)
 
-    def sess_block(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for uid, g in df.groupby("user_id", sort=False):
-            g = g.sort_values(["ts", "event_id"])
-            gaps = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-            sid = gaps.cumsum()
-            sizes = sid.value_counts()
-            out.append((uid, int(sid.nunique()), int(sizes.max()), len(g)))
-        return pd.DataFrame(out, columns=["user_id", "n_sessions",
-                                          "max_session_events", "n_events"])
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        df = T(sf_dir, "events",
+               columns=["user_id", "event_id", "ts"]).to_pandas()
+        out = sessionize_frame(df, gap_minutes)
+    else:
+        def sess_block(df: pd.DataFrame) -> pd.DataFrame:
+            return sessionize_frame(df, gap_minutes)
 
-    with hash_shuffle():
-        ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-        out = ds.repartition(num_blocks=16, keys=["user_id"]) \
-            .map_batches(sess_block, batch_format="pandas",
-                         batch_size=None).to_pandas()
+        with hash_shuffle():
+            ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+            out = ds.repartition(num_blocks=join_partitions(n_rows),
+                                 keys=["user_id"]) \
+                .map_batches(sess_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 

@@ -18,6 +18,22 @@ from kryptone_ray.pipelines.common import (
     T, join_partitions, parquet_rows, partial_stats, partial_sum_count,
     small)
 
+# fact tables below this row count combine their per-batch partials on
+# the driver and merge against a driver-read dimension; above it the
+# native hash-shuffle join runs. The join's fixed cost (one aggregator
+# actor per partition + an all-to-all barrier) is ~2 s locally, which
+# dominates at sf0.1 (600k lineitem rows) — same gate shape as
+# textops.DISTRIBUTED_COMBINE_MIN_ROWS (tests force the distributed
+# path by patching this to 0).
+DISTRIBUTED_JOIN_MIN_ROWS = 2_000_000
+
+# dimension sides below this row count broadcast as a driver-built
+# dict/frozenset via ray.put (customer is 1.5M rows/SF in TPC-H — it
+# GROWS with scale factor, so an unconditional broadcast becomes a
+# multi-GB driver object at 100 TB); above it the query falls back to
+# the native hash join it already uses fact×fact.
+BROADCAST_MAX_ROWS = 5_000_000
+
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: filtered scan → computed columns → grouped
@@ -169,27 +185,60 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-def q_customer_order_stats(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join: aggregate the big side (orders) first, then
-    map the small dimension (customer) over it driver-side — the
-    broadcast-small-side join pattern (SURVEY §2.6; no shuffle join)."""
+def q_customer_order_stats(sf_dir: str):
+    """Aggregate the big side (orders) first with per-batch partials,
+    then attach the customer dimension. Customer GROWS with scale
+    factor (1.5M rows/SF), so the attach is bounded: below
+    ``BROADCAST_MAX_ROWS`` a driver-side merge (broadcast-small-side
+    pattern, SURVEY §2.6 — no shuffle); above it the orders partials
+    stay a Dataset and meet customer in the native hash-shuffle join,
+    combined per block (the join co-partitions by custkey)."""
     ds = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
         df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
         return df[["o_custkey", "cents"]]
 
-    agg = partial_sum_count(
-        ds.map_batches(cents, batch_format="pandas", batch_size=65536),
-        keys=["o_custkey"],
-        sums={"cents": "cents"},
-        count_name="n_orders",
-    )
-    agg["total_spent"] = agg.pop("cents") / 100.0
-    cust = small(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
-    out = cust.merge(agg, left_on="c_custkey", right_on="o_custkey", how="inner")
-    out = out[["c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"]]
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    ds = ds.map_batches(cents, batch_format="pandas", batch_size=65536)
+
+    if parquet_rows(sf_dir, "customer") <= BROADCAST_MAX_ROWS:
+        agg = partial_sum_count(ds, keys=["o_custkey"],
+                                sums={"cents": "cents"},
+                                count_name="n_orders")
+        agg["total_spent"] = agg.pop("cents") / 100.0
+        cust = small(sf_dir, "customer",
+                     columns=["c_custkey", "c_name", "c_mktsegment"])
+        out = cust.merge(agg, left_on="c_custkey", right_on="o_custkey",
+                         how="inner")
+        out = out[["c_custkey", "c_name", "c_mktsegment", "n_orders",
+                   "total_spent"]]
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False)["cents"].agg(["sum", "size"])
+        g.columns = ["cents", "n_orders"]
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    cust_ds = T(sf_dir, "customer",
+                columns=["c_custkey", "c_name", "c_mktsegment"])
+    npart = join_partitions(parquet_rows(sf_dir, "orders"))
+    joined = parts.join(cust_ds, "inner", num_partitions=npart,
+                        on=("o_custkey",), right_on=("c_custkey",))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False).agg(
+            cents=("cents", "sum"), n_orders=("n_orders", "sum"),
+            c_name=("c_name", "first"), c_mktsegment=("c_mktsegment", "first"))
+        return pd.DataFrame(
+            {"c_custkey": g["o_custkey"], "c_name": g["c_name"],
+             "c_mktsegment": g["c_mktsegment"],
+             "n_orders": g["n_orders"].astype("int64"),
+             "total_spent": g["cents"] / 100.0}
+        )
+
+    return joined.map_batches(combine, batch_format="pandas",
+                              batch_size=None)
 
 
 Q_CUST_ORDERS_SQL = """
@@ -211,19 +260,47 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     distributed two-key sort + limit."""
     import ray
 
-    cust = small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    keys_ref = ray.put(frozenset(
-        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]))
     cutoff = pd.Timestamp("1998-03-15")
 
-    def sel_orders(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        df = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(keys)]
-        return df[["o_orderkey", "o_orderdate"]]
+    # BOUNDED broadcast: customer grows with scale factor (1.5M
+    # rows/SF), so above BROADCAST_MAX_ROWS the segment-filtered key
+    # set goes through the native hash join instead of a driver-built
+    # frozenset.
+    if parquet_rows(sf_dir, "customer") <= BROADCAST_MAX_ROWS:
+        cust = small(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        keys_ref = ray.put(frozenset(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]))
 
-    orders_ds = T(sf_dir, "orders",
-                  columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
-        .map_batches(sel_orders, batch_format="pandas", batch_size=65536)
+        def sel_orders(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(keys_ref)
+            df = df[(df["o_orderdate"] < cutoff) & df["o_custkey"].isin(keys)]
+            return df[["o_orderkey", "o_orderdate"]]
+
+        orders_ds = T(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(sel_orders, batch_format="pandas", batch_size=65536)
+    else:
+        def sel_building(df: pd.DataFrame) -> pd.DataFrame:
+            return df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]]
+
+        cust_ds = T(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"]) \
+            .map_batches(sel_building, batch_format="pandas",
+                         batch_size=65536)
+
+        def date_filter(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["o_orderdate"] < cutoff]
+
+        orders_f = T(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(date_filter, batch_format="pandas",
+                         batch_size=65536)
+        orders_ds = orders_f.join(
+            cust_ds, "inner",
+            num_partitions=join_partitions(parquet_rows(sf_dir, "orders")),
+            on=("o_custkey",), right_on=("c_custkey",)) \
+            .map_batches(lambda df: df[["o_orderkey", "o_orderdate"]],
+                         batch_format="pandas", batch_size=65536)
 
     def line_rev(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] > cutoff]
@@ -292,48 +369,94 @@ def q5_nation_volume(sf_dir: str) -> pd.DataFrame:
 
     nation = small(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"])
     region = small(sf_dir, "region", columns=["r_regionkey", "r_name"])
-    cust = small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    supp = small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-
     nkeys = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
-    maps_ref = ray.put((
-        dict(zip(cust["c_custkey"], cust["c_nationkey"])),
-        dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
-        dict(zip(nkeys["n_nationkey"], nkeys["n_name"])),
-    ))
+    nation_ref = ray.put(dict(zip(nkeys["n_nationkey"], nkeys["n_name"])))
 
-    def order_nation(df: pd.DataFrame) -> pd.DataFrame:
-        cn, _, _ = ray.get(maps_ref)
-        return pd.DataFrame(
-            {"o_orderkey": df["o_orderkey"],
-             "c_nation": df["o_custkey"].map(cn).astype("int64")}
-        )
+    # BOUNDED broadcast: customer/supplier grow with scale factor
+    # (1.5M / 0.1M rows/SF), so above BROADCAST_MAX_ROWS their key→
+    # nation maps go through native hash joins instead of driver-built
+    # dicts. nation/region are FIXED size (25/5 rows) and always
+    # broadcast.
+    broadcast_dims = (parquet_rows(sf_dir, "customer")
+                      <= BROADCAST_MAX_ROWS)
 
-    orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(order_nation, batch_format="pandas", batch_size=65536)
+    if broadcast_dims:
+        cust = small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        supp = small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        maps_ref = ray.put((
+            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+            dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+        ))
 
-    def line_rev(df: pd.DataFrame) -> pd.DataFrame:
-        _, sn, _ = ray.get(maps_ref)
-        cents = (df["l_extendedprice"] * 100).round().astype("int64")
-        disc_bp = (df["l_discount"] * 100).round().astype("int64")
-        part = pd.DataFrame(
-            {"l_orderkey": df["l_orderkey"],
-             "s_nation": df["l_suppkey"].map(sn).astype("int64"),
-             "rev_e4": cents * (100 - disc_bp)}
-        )
-        return part.groupby(["l_orderkey", "s_nation"], sort=False,
-                            as_index=False)["rev_e4"].sum()
+        def order_nation(df: pd.DataFrame) -> pd.DataFrame:
+            cn, _ = ray.get(maps_ref)
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"],
+                 "c_nation": df["o_custkey"].map(cn).astype("int64")}
+            )
 
-    line_ds = T(sf_dir, "lineitem",
-                columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
-        .map_batches(line_rev, batch_format="pandas", batch_size=65536)
+        orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+            .map_batches(order_nation, batch_format="pandas", batch_size=65536)
+
+        def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+            _, sn = ray.get(maps_ref)
+            cents = (df["l_extendedprice"] * 100).round().astype("int64")
+            disc_bp = (df["l_discount"] * 100).round().astype("int64")
+            part = pd.DataFrame(
+                {"l_orderkey": df["l_orderkey"],
+                 "s_nation": df["l_suppkey"].map(sn).astype("int64"),
+                 "rev_e4": cents * (100 - disc_bp)}
+            )
+            return part.groupby(["l_orderkey", "s_nation"], sort=False,
+                                as_index=False)["rev_e4"].sum()
+
+        line_ds = T(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+            .map_batches(line_rev, batch_format="pandas", batch_size=65536)
+    else:
+        cust_ds = T(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
+            .join(cust_ds, "inner",
+                  num_partitions=join_partitions(parquet_rows(sf_dir, "orders")),
+                  on=("o_custkey",), right_on=("c_custkey",)) \
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"o_orderkey": df["o_orderkey"],
+                     "c_nation": df["c_nationkey"].astype("int64")}),
+                batch_format="pandas", batch_size=65536)
+
+        def line_cents(df: pd.DataFrame) -> pd.DataFrame:
+            cents = (df["l_extendedprice"] * 100).round().astype("int64")
+            disc_bp = (df["l_discount"] * 100).round().astype("int64")
+            return pd.DataFrame(
+                {"l_orderkey": df["l_orderkey"],
+                 "l_suppkey": df["l_suppkey"],
+                 "rev_e4": cents * (100 - disc_bp)}
+            )
+
+        supp_ds = T(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        nline = parquet_rows(sf_dir, "lineitem")
+        line_ds = T(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]) \
+            .map_batches(line_cents, batch_format="pandas", batch_size=65536) \
+            .join(supp_ds, "inner", num_partitions=join_partitions(nline),
+                  on=("l_suppkey",), right_on=("s_suppkey",)) \
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"l_orderkey": df["l_orderkey"],
+                     "s_nation": df["s_nationkey"].astype("int64"),
+                     "rev_e4": df["rev_e4"]})
+                .groupby(["l_orderkey", "s_nation"], sort=False,
+                         as_index=False)["rev_e4"].sum(),
+                batch_format="pandas", batch_size=65536)
 
     npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
     joined = line_ds.join(orders_ds, "inner", num_partitions=npart,
                           on=("l_orderkey",), right_on=("o_orderkey",))
 
     def same_nation(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, nn = ray.get(maps_ref)
+        nn = ray.get(nation_ref)
         sub = df[(df["c_nation"] == df["s_nation"]) & df["c_nation"].isin(nn.keys())]
         out = pd.DataFrame({"n_name": sub["c_nation"].map(nn),
                             "rev_e4": sub["rev_e4"]})
@@ -363,12 +486,13 @@ ORDER BY revenue DESC, n_name
 
 def q_bucketed_join(sf_dir: str):
     """Hash-partitioned join with BOTH sides large: lineitem is
-    pre-aggregated per batch (combiner) then globally by a distributed
-    ``groupby().sum()``; orders STREAMS as a Dataset (never captured in a
-    task closure or materialized on the driver); the two sides meet in
-    Ray's native hash-shuffle join, each of ``num_partitions`` join
-    partitions seeing only its hash range of either side. Produces order
-    line counts per order with totals."""
+    pre-aggregated per batch (combiner); below the gate the partials
+    (one row per orderkey per batch — bounded by |orders| × n_batches,
+    never |lineitem|) combine on the driver and merge against a
+    driver-read orders projection; above it orders STREAMS as a Dataset
+    and the two sides meet in Ray's native hash-shuffle join, each of
+    ``num_partitions`` join partitions seeing only its hash range of
+    either side. Produces order line counts per order with totals."""
 
     def line_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_orderkey", sort=False)["l_quantity"].agg(["sum", "size"])
@@ -377,6 +501,19 @@ def q_bucketed_join(sf_dir: str):
 
     line = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
         .map_batches(line_partial, batch_format="pandas", batch_size=65536)
+
+    if parquet_rows(sf_dir, "lineitem") < DISTRIBUTED_JOIN_MIN_ROWS:
+        parts = line.to_pandas()
+        g = parts.groupby("l_orderkey", sort=False, as_index=False).sum()
+        odf = small(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        out = g.merge(odf, left_on="l_orderkey", right_on="o_orderkey",
+                      how="inner")
+        return pd.DataFrame(
+            {"o_orderkey": out["o_orderkey"],
+             "n_lines": out["n_lines"].astype("int64"),
+             "sum_qty": out["sum_qty"],
+             "o_totalprice": out["o_totalprice"]}
+        )
 
     orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     npart = join_partitions(parquet_rows(sf_dir, "lineitem"))

@@ -1,0 +1,112 @@
+"""Round-3 small-input gates: every gated pipeline has a driver-combine
+shape (fast below the gate — no shuffle fixed cost) and a distributed
+shape (the 100-TB path). Both must produce identical output; these
+tests force the distributed / fallback paths by patching the gate
+constants to 0, the same pattern as
+test_dedup_distributed.test_wordfreq_tfidf_hash_path_equals_driver_path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _df(res):
+    import ray.data as rd
+
+    return res.to_pandas() if isinstance(res, rd.Dataset) else res
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_join_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = _df(relational.q_bucketed_join(SF))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(relational.q_bucketed_join(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_sessions_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_sessions(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_sessions(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+def test_sessions_partition_count_grows_with_rows():
+    """The distributed sessionization sizes its hash partitions from
+    the footer row count (round-2 verdict: a fixed 16 caps per-block
+    memory at 1/16th of the table)."""
+    from kryptone_ray.pipelines.common import join_partitions
+
+    lo = join_partitions(100_000)
+    hi = join_partitions(10_000_000)
+    assert hi > lo
+    assert join_partitions(10**10) == 64  # capped per node-count
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_distributed_candidates_equal_driver(monkeypatch):
+    from kryptone_ray.pipelines import dedup
+
+    small = dedup.q_minhash_lsh_pairs(SF01)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    big = dedup.q_minhash_lsh_pairs(SF01)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_distributed_verify_equals_broadcast(monkeypatch):
+    """Forcing the >2M-candidate switch to 0 routes the exact-Jaccard
+    verify through the two-join distributed path — pairs and texts
+    never land on the driver — with byte-identical output."""
+    from kryptone_ray.pipelines import dedup
+
+    small = dedup.q_minhash_lsh_pairs(SF01)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS", 0)
+    big = dedup.q_minhash_lsh_pairs(SF01)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q3_join_fallback_equals_broadcast(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    bc = relational.q3_shipping_priority(SF)
+    monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
+    jn = relational.q3_shipping_priority(SF)
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q5_join_fallback_equals_broadcast(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    bc = relational.q5_nation_volume(SF)
+    monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
+    jn = relational.q5_nation_volume(SF)
+    pd.testing.assert_frame_equal(bc, jn, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customer_order_stats_join_fallback_equals_broadcast(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    bc = _df(relational.q_customer_order_stats(SF))
+    monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
+    jn = _df(relational.q_customer_order_stats(SF))
+    pd.testing.assert_frame_equal(_norm(bc), _norm(jn), check_dtype=False)
