@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_predicates": crawlops.q_url_predicates,
         "caption_prices": crawlops.q_caption_prices,
         "caption_emails": crawlops.q_caption_emails,
+        "page_audits": crawlops.q_page_audits,
         "frontier_reorder": crawlops.q_frontier_reorder,
         "extract_urls": crawlops.q_extract_urls,
         "filter_cache": crawlops.q_filter_cache,
@@ -173,13 +174,15 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": events.Q_EVENTS_JSON_SQL,
         "events_sliding_1h_30m": events.Q_EVENTS_SLIDING_SQL,
         "events_asof_orders": events.Q_EVENTS_ASOF_SQL,
+        # generated from the same marker table as the predictor
+        "lang_id_heuristic": textops.lang_id_oracle_sql(),
         # the frontier-maintenance queries run over a deterministic
         # parquet snapshot DuckDB can read directly — full value-hash
         # oracles (crawlops.frontier_oracle_sql materializes the
         # snapshot in case the driver evaluates SQL first)
         **crawlops.frontier_oracle_sql(),
         **crawlops.caption_oracle_sql(),
-        # rows-only (not SQL-expressible): lang_id_heuristic,
+        # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # ngram_jaccard_dups, embedding_near_dups(+_lsh), knn_ivf,
         # image_decode_stats, image_resize_thumbs, image_phash_near_dups,

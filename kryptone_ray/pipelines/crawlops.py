@@ -107,13 +107,15 @@ def _caption_snapshot_dir() -> str:
     import pyarrow.parquet as pq
 
     base = pathlib.Path(tempfile.gettempdir()) / \
-        f"kr_captions_{_SPEC.seed}_{_SPEC.n_rows}"
+        f"kr_captions_{_SPEC.seed}_{_SPEC.n_rows}_v2"
     marker = base / "_SUCCESS"
     if not marker.exists():
         base.mkdir(parents=True, exist_ok=True)
         pq.write_table(
             pa.table({
                 "id": pa.array(range(_SPEC.n_rows), type=pa.int64()),
+                "url": pa.array([_SPEC.url_of(i) for i in range(_SPEC.n_rows)],
+                                type=pa.string()),
                 "fmt": pa.array([_SPEC.fmt(i) for i in range(_SPEC.n_rows)],
                                 type=pa.string()),
                 "caption": pa.array(
@@ -171,6 +173,47 @@ def q_caption_emails(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"email": sorted(set(df["email"]))})
 
 
+def q_page_audits(sf_dir: str) -> pd.DataFrame:
+    """Per-page SEO audit record — the data-shaped fields of the
+    reference's ``audit_page`` (contrib/seo.py:550-584: url,
+    page_content_length, is_https, per-page word frequency) assembled
+    over the pinned corpus, the page text being the caption (the
+    DOM/live-HTTP fields — title/description via driver.execute_script,
+    seo.py:338-359; the status probe, seo.py:533-548 — have no corpus
+    analog). Per-page top token uses the oracle-checked tokenizer
+    convention (plain lower().split(' '); the reference's richer
+    fit_transform tokenizer powers the rows-only caption entries), with
+    the same (count desc, token asc) tie-break as word_frequency.
+    Vectorized: explode tokens per batch, one grouped count + stable
+    sort per batch — pages never cross batches, so per-page audits are
+    exact without a shuffle."""
+    snap = _caption_snapshot_dir()
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["caption"].str.lower().str.split(" ")
+        ex = toks.explode()
+        cnt = (
+            pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+            .groupby(["row", "token"], sort=False).size().reset_index(name="n")
+            .sort_values(["row", "n", "token"], ascending=[True, False, True],
+                         kind="stable")
+        )
+        top = cnt.groupby("row", sort=True).first()
+        out = pd.DataFrame(
+            {"url": df["url"],
+             "content_length": df["caption"].str.len().astype("int64"),
+             "is_https": df["url"].str.startswith("https").astype("int64"),
+             "n_tokens": toks.map(len).astype("int64")}
+        )
+        out["top_token"] = top["token"].reindex(df.index).to_numpy()
+        out["top_token_count"] = top["n"].reindex(df.index).to_numpy().astype("int64")
+        return out
+
+    df = rd.read_parquet(snap, columns=["url", "caption"]).map_batches(
+        audit, batch_format="pandas", batch_size=256).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def caption_oracle_sql() -> dict[str, str]:
     """DuckDB oracles over the caption snapshot (materialized here in
     case the driver evaluates SQL before the queries)."""
@@ -198,6 +241,25 @@ GROUP BY fmt ORDER BY fmt
 SELECT DISTINCT unnest(regexp_extract_all(caption, '\S+@\S+')) AS email
 FROM read_parquet('{snap}/captions.parquet')
 ORDER BY email
+""",
+        "page_audits": rf"""
+WITH toks AS (
+  SELECT url, unnest(string_split(lower(caption), ' ')) AS token
+  FROM read_parquet('{snap}/captions.parquet')
+), cnt AS (
+  SELECT url, token, count(*) AS n FROM toks GROUP BY url, token
+), top AS (
+  SELECT url, token AS top_token, CAST(n AS BIGINT) AS top_token_count,
+         row_number() OVER (PARTITION BY url ORDER BY n DESC, token) AS rn
+  FROM cnt
+)
+SELECT s.url, length(s.caption) AS content_length,
+       CAST(s.url LIKE 'https%' AS BIGINT) AS is_https,
+       CAST(len(string_split(lower(s.caption), ' ')) AS BIGINT) AS n_tokens,
+       t.top_token, t.top_token_count
+FROM read_parquet('{snap}/captions.parquet') s
+JOIN top t ON t.url = s.url AND t.rn = 1
+ORDER BY s.url
 """,
     }
 

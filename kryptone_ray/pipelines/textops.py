@@ -208,8 +208,11 @@ FROM documents GROUP BY lang ORDER BY lang
 def q_lang_id_heuristic(sf_dir: str) -> pd.DataFrame:
     """Function-word language-ID heuristic vs the labeled ``lang`` column:
     confusion counts (predicted × labeled). The predictor
-    (text/ops.py lang_id) is deterministic; no SQL oracle (rows-only) —
-    the heuristic's marker loops are not reasonably SQL-expressible."""
+    (text/ops.py lang_id) is deterministic; its SQL oracle
+    (``lang_id_oracle_sql``) is GENERATED from the same marker table —
+    non-overlapping occurrence counts via length(replace(...)) mirror
+    ``str.count`` exactly, and the CASE branch order mirrors the
+    strictly-greater update loop (earliest marker language wins ties)."""
     ds = T(sf_dir, "documents", columns=["lang", "text"])
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -219,6 +222,42 @@ def q_lang_id_heuristic(sf_dir: str) -> pd.DataFrame:
     ds = ds.map_batches(f, batch_format="pandas", batch_size=8192)
     out = partial_sum_count(ds, keys=["lang", "predicted"], sums={}, count_name="n")
     return out.sort_values(["lang", "predicted"]).reset_index(drop=True)
+
+
+def lang_id_oracle_sql() -> str:
+    """DuckDB mirror of ``ops.lang_id``, generated from the same
+    ``_LANG_MARKERS`` table so predictor and oracle cannot drift.
+    ``str.count`` is non-overlapping left-to-right, exactly what
+    (length(p) - length(replace(p, m, ''))) / len(m) computes. The
+    Python loop updates only on STRICTLY greater hit counts, so the
+    first marker language in insertion order wins ties — mirrored by
+    the CASE branch order with >= comparisons."""
+    langs = list(ops._LANG_MARKERS)
+
+    def hits(lang: str) -> str:
+        terms = [
+            f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
+            for m in ops._LANG_MARKERS[lang]
+        ]
+        return " + ".join(terms)
+
+    hit_cols = ", ".join(f"{hits(l)} AS h_{l}" for l in langs)
+    branches = []
+    for i, l in enumerate(langs):
+        conds = [f"h_{l} > 0"] + [f"h_{l} >= h_{r}" for r in langs[i + 1:]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{l}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH padded AS (
+  SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents
+), h AS (
+  SELECT lang, {hit_cols} FROM padded
+), pred AS (
+  SELECT lang, {case} AS predicted FROM h
+)
+SELECT lang, predicted, count(*) AS n
+FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+"""
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:

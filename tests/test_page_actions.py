@@ -91,3 +91,28 @@ def test_page_actions_with_model_hooks(tmp_path):
     files = sorted((tmp_path / "r2" / "items").glob("batch-*.parquet"))
     items = pa.concat_tables([pq.read_table(f) for f in files])
     assert all(c == c.upper() for c in items["caption"].to_pylist())
+
+
+def test_page_audits_record_fields(ray_session):
+    """SEO audit-record assembly (reference contrib/seo.py:550-584):
+    every corpus page gets one audit row; per-page top token matches a
+    direct recount with the (count desc, token asc) tie-break."""
+    from kryptone_ray.pipelines.crawlops import _SPEC, q_page_audits
+
+    out = q_page_audits("")
+    assert len(out) == _SPEC.n_rows
+    assert list(out.columns) == ["url", "content_length", "is_https",
+                                 "n_tokens", "top_token", "top_token_count"]
+    # spot-check 20 rows against a direct scalar recount
+    by_url = out.set_index("url")
+    for i in range(0, _SPEC.n_rows, _SPEC.n_rows // 20):
+        url, cap = _SPEC.url_of(i), _SPEC.caption(i)
+        row = by_url.loc[url]
+        assert row["content_length"] == len(cap)
+        assert row["is_https"] == int(url.startswith("https"))
+        toks = cap.lower().split(" ")
+        assert row["n_tokens"] == len(toks)
+        from collections import Counter
+
+        best = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert (row["top_token"], row["top_token_count"]) == best
