@@ -23,18 +23,25 @@ from kryptone_ray.pipelines.common import T, partial_sum_count
 DISTRIBUTED_SESSIONS_MIN_ROWS = 500_000
 
 
-def _cents(df: pd.DataFrame) -> pd.DataFrame:
+def _cents_arrow(t, keep: list[str]):
     """value has exact 2 decimals → integer-cents sums are bit-identical
-    across engines (see relational.q1 note)."""
-    df["cents"] = (df["value"] * 100).round().astype("int64")
-    return df.drop(columns=["value"])
+    across engines (see relational.q1 note). Zero-copy Arrow in,
+    pyarrow.compute kernels — no per-batch pandas conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+    return pa.table([t[c] for c in keep] + [cents], names=keep + ["cents"])
 
 
 def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
     ds = T(sf_dir, "events", columns=["event_type", "value"]) \
-        .map_batches(_cents, batch_format="pandas", batch_size=65536)
-    out = partial_sum_count(ds, keys=["event_type"], sums={"cents": "cents"},
-                            count_name="n")
+        .map_batches(lambda t: _cents_arrow(t, ["event_type"]),
+                     batch_format="pyarrow", batch_size=65536)
+    out = partial_sum_count_arrow(ds, keys=["event_type"],
+                                  sums={"cents": "cents"}, count_name="n")
     out["total_value"] = out.pop("cents") / 100.0
     out = out[["event_type", "total_value", "n"]]
     return out.sort_values("event_type").reset_index(drop=True)
@@ -51,15 +58,21 @@ def q_events_tumbling_1h(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour windows per event type: window key computed
     vectorized per batch (floor to hour), then partial-agg groupby —
     windows never materialize per-row state."""
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
     ds = T(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_start"] = df["ts"].dt.floor("h")
-        df["cents"] = (df["value"] * 100).round().astype("int64")
-        return df[["event_type", "window_start", "cents"]]
+    def f(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    ds = ds.map_batches(f, batch_format="pandas", batch_size=65536)
-    out = partial_sum_count(
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table([t["event_type"], win, cents],
+                        names=["event_type", "window_start", "cents"])
+
+    ds = ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
+    out = partial_sum_count_arrow(
         ds, keys=["event_type", "window_start"],
         sums={"cents": "cents"}, count_name="n",
     )
@@ -154,10 +167,13 @@ FROM sized GROUP BY user_id ORDER BY user_id
 
 
 def q_events_topk_users(sf_dir: str) -> pd.DataFrame:
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
     ds = T(sf_dir, "events", columns=["user_id", "value"]) \
-        .map_batches(_cents, batch_format="pandas", batch_size=65536)
-    agg = partial_sum_count(ds, keys=["user_id"], sums={"cents": "cents"},
-                            count_name="n")
+        .map_batches(lambda t: _cents_arrow(t, ["user_id"]),
+                     batch_format="pyarrow", batch_size=65536)
+    agg = partial_sum_count_arrow(ds, keys=["user_id"],
+                                  sums={"cents": "cents"}, count_name="n")
     agg["total_value"] = agg.pop("cents") / 100.0
     agg = agg[["user_id", "total_value", "n"]]
     agg = agg.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
@@ -179,20 +195,25 @@ def q_events_sliding_1h_30m(sf_dir: str) -> pd.DataFrame:
     per-row state), then the usual partial-agg groupby. Window key =
     window START, so an event at 10:47 lands in the 10:30 and 10:00
     windows."""
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
     ds = T(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    def expand(df: pd.DataFrame) -> pd.DataFrame:
-        f30 = df["ts"].dt.floor("30min")
-        cents = (df["value"] * 100).round().astype("int64")
-        a = pd.DataFrame({"event_type": df["event_type"],
-                          "window_start": f30, "cents": cents})
-        b = pd.DataFrame({"event_type": df["event_type"],
-                          "window_start": f30 - pd.Timedelta(minutes=30),
-                          "cents": cents})
-        return pd.concat([a, b], ignore_index=True)
+    def expand(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    out = partial_sum_count(
-        ds.map_batches(expand, batch_format="pandas", batch_size=65536),
+        f30 = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        prev = pc.subtract(
+            f30, pa.scalar(30 * 60 * 1_000_000, type=pa.duration("us")))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        names = ["event_type", "window_start", "cents"]
+        a = pa.table([t["event_type"], f30, cents], names=names)
+        b = pa.table([t["event_type"], prev, cents], names=names)
+        return pa.concat_tables([a, b])
+
+    out = partial_sum_count_arrow(
+        ds.map_batches(expand, batch_format="pyarrow", batch_size=65536),
         keys=["event_type", "window_start"], sums={"cents": "cents"},
         count_name="n",
     )

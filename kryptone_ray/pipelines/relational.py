@@ -47,26 +47,33 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     # "cents" space (int64) so pipeline and SQL oracle are bit-identical
     # regardless of summation order (float order differs between numpy
     # partials and DuckDB). int64 headroom: cents(≈1e7)×1e4 scale ×1e7
-    # rows ≈ 1e18 < 2^63.
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-02")]
-        cents = (df["l_extendedprice"] * 100).round().astype("int64")
-        disc_bp = (df["l_discount"] * 100).round().astype("int64")
-        tax_bp = (df["l_tax"] * 100).round().astype("int64")
-        out = pd.DataFrame(
-            {
-                "l_returnflag": df["l_returnflag"],
-                "l_linestatus": df["l_linestatus"],
-                "qty": df["l_quantity"].round().astype("int64"),
-                "cents": cents,
-                "disc_e4": cents * (100 - disc_bp),
-                "charge_e6": cents * (100 - disc_bp) * (100 + tax_bp),
-            }
-        )
-        return out
+    # rows ≈ 1e18 < 2^63. Zero-copy Arrow batches + pyarrow.compute —
+    # no per-batch pandas conversion on this pure-numeric path.
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    ds = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
-    out = partial_sum_count(
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+
+        def e2(col):
+            return pc.cast(pc.round(pc.multiply(t[col], 100)), pa.int64())
+
+        cents, disc_bp, tax_bp = e2("l_extendedprice"), e2("l_discount"), \
+            e2("l_tax")
+        disc_e4 = pc.multiply(cents, pc.subtract(100, disc_bp))
+        charge_e6 = pc.multiply(disc_e4, pc.add(100, tax_bp))
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return pa.table(
+            [t["l_returnflag"], t["l_linestatus"], qty, cents, disc_e4,
+             charge_e6],
+            names=["l_returnflag", "l_linestatus", "qty", "cents",
+                   "disc_e4", "charge_e6"])
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = partial_sum_count_arrow(
         ds,
         keys=["l_returnflag", "l_linestatus"],
         sums={
@@ -114,14 +121,23 @@ def q_filter_project(sf_dir: str):
            columns=["l_orderkey", "l_linenumber", "l_quantity",
                     "l_extendedprice", "l_discount"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_quantity"] > 45.0]
-        cents = (df["l_extendedprice"] * 100).round().astype("int64")
-        disc_bp = (df["l_discount"] * 100).round().astype("int64")
-        df["revenue"] = cents * (100 - disc_bp) / 1e4  # exact 4-decimal
-        return df[["l_orderkey", "l_linenumber", "l_quantity", "revenue"]]
+    def f(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+
+        def e2(col):
+            return pc.cast(pc.round(pc.multiply(t[col], 100)), pa.int64())
+
+        rev_e4 = pc.multiply(e2("l_extendedprice"),
+                             pc.subtract(100, e2("l_discount")))
+        revenue = pc.divide(pc.cast(rev_e4, pa.float64()), 1e4)  # exact 4-decimal
+        return pa.table(
+            [t["l_orderkey"], t["l_linenumber"], t["l_quantity"], revenue],
+            names=["l_orderkey", "l_linenumber", "l_quantity", "revenue"])
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=65536)
 
 
 Q_FILTER_PROJECT_SQL = """
@@ -160,14 +176,20 @@ Q_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegme
 
 
 def q_count_by_priority(sf_dir: str) -> pd.DataFrame:
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
     ds = T(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
-        return df[["o_orderpriority", "cents"]]
+    def cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    out = partial_sum_count(
-        ds.map_batches(cents, batch_format="pandas", batch_size=65536),
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)), pa.int64())
+        return pa.table([t["o_orderpriority"], c],
+                        names=["o_orderpriority", "cents"])
+
+    out = partial_sum_count_arrow(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=65536),
         keys=["o_orderpriority"],
         sums={"cents": "cents"},
         count_name="n_orders",
@@ -195,16 +217,21 @@ def q_customer_order_stats(sf_dir: str):
     combined per block (the join co-partitions by custkey)."""
     ds = T(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
-        return df[["o_custkey", "cents"]]
+    def cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    ds = ds.map_batches(cents, batch_format="pandas", batch_size=65536)
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)), pa.int64())
+        return pa.table([t["o_custkey"], c], names=["o_custkey", "cents"])
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", batch_size=65536)
 
     if parquet_rows(sf_dir, "customer") <= BROADCAST_MAX_ROWS:
-        agg = partial_sum_count(ds, keys=["o_custkey"],
-                                sums={"cents": "cents"},
-                                count_name="n_orders")
+        from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+        agg = partial_sum_count_arrow(ds, keys=["o_custkey"],
+                                      sums={"cents": "cents"},
+                                      count_name="n_orders")
         agg["total_spent"] = agg.pop("cents") / 100.0
         cust = small(sf_dir, "customer",
                      columns=["c_custkey", "c_name", "c_mktsegment"])
@@ -315,6 +342,22 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     line_ds = T(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
         .map_batches(line_rev, batch_format="pandas", batch_size=65536)
+
+    # small-input gate: both sides are already filtered + per-batch
+    # combined, so below the gate the partials merge on the driver
+    # (bounded by matching orders, never lineitem) instead of paying
+    # the hash join's fixed cost.
+    if parquet_rows(sf_dir, "lineitem") < DISTRIBUTED_JOIN_MIN_ROWS:
+        lp = line_ds.to_pandas()
+        lp = lp.groupby("l_orderkey", sort=False, as_index=False)["rev_e4"].sum()
+        od = orders_ds.to_pandas()
+        m = lp.merge(od, left_on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+        top = m.sort_values(["rev_e4", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+        top = top.reset_index(drop=True)
+        top["revenue"] = top.pop("rev_e4") / 1e4
+        return top[["l_orderkey", "revenue", "o_orderdate"]]
 
     # The hash join partitions BOTH sides by orderkey, so every partial
     # row of a key lands in one output block — the global combine is a
@@ -451,6 +494,24 @@ def q5_nation_volume(sf_dir: str) -> pd.DataFrame:
                          as_index=False)["rev_e4"].sum(),
                 batch_format="pandas", batch_size=65536)
 
+    nn = dict(zip(nkeys["n_nationkey"], nkeys["n_name"]))
+
+    # small-input gate: the per-batch combined lineitem partials and
+    # the skinny (orderkey, nation) orders projection merge on the
+    # driver below the gate — integer-cents sums are order-independent,
+    # so the result is bit-identical to the distributed combine.
+    if parquet_rows(sf_dir, "lineitem") < DISTRIBUTED_JOIN_MIN_ROWS:
+        lp = line_ds.to_pandas()
+        od = orders_ds.to_pandas()
+        m = lp.merge(od, left_on="l_orderkey", right_on="o_orderkey",
+                     how="inner")
+        sub = m[(m["c_nation"] == m["s_nation"]) & m["c_nation"].isin(nn)]
+        agg = sub.groupby("c_nation", sort=False)["rev_e4"].sum()
+        out = pd.DataFrame({"n_name": agg.index.map(nn),
+                            "revenue": agg.to_numpy() / 1e4})
+        return out.sort_values(["revenue", "n_name"],
+                               ascending=[False, True]).reset_index(drop=True)
+
     npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
     joined = line_ds.join(orders_ds, "inner", num_partitions=npart,
                           on=("l_orderkey",), right_on=("o_orderkey",))
@@ -582,18 +643,20 @@ GROUP BY p_type ORDER BY p_type
 def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
     """Calendar-window aggregate (date_functions.py analog over data):
     order count + exact-cents revenue per month."""
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
     ds = T(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "month": df["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
-                "cents": (df["o_totalprice"] * 100).round().astype("int64"),
-            }
-        )
+    def f(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    out = partial_sum_count(
-        ds.map_batches(f, batch_format="pandas", batch_size=65536),
+        month = pc.floor_temporal(t["o_orderdate"], unit="month")
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)), pa.int64())
+        return pa.table([month, c], names=["month", "cents"])
+
+    out = partial_sum_count_arrow(
+        ds.map_batches(f, batch_format="pyarrow", batch_size=65536),
         keys=["month"], sums={"cents": "cents"}, count_name="n_orders",
     )
     out["total_price"] = out.pop("cents") / 100.0
@@ -614,12 +677,16 @@ def q_customer_balance_stats(sf_dir: str) -> pd.DataFrame:
     cents space; avg = single division)."""
     ds = T(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        df["cents"] = (df["c_acctbal"] * 100).round().astype("int64")
-        return df[["c_mktsegment", "cents"]]
+    def f(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        c = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)), pa.int64())
+        return pa.table([t["c_mktsegment"], c],
+                        names=["c_mktsegment", "cents"])
 
     stats = partial_stats(
-        ds.map_batches(f, batch_format="pandas", batch_size=65536),
+        ds.map_batches(f, batch_format="pyarrow", batch_size=65536),
         keys=["c_mktsegment"], col="cents", count_name="n",
     )
     out = pd.DataFrame(

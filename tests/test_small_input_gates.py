@@ -110,3 +110,23 @@ def test_customer_order_stats_join_fallback_equals_broadcast(monkeypatch):
     monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
     jn = _df(relational.q_customer_order_stats(SF))
     pd.testing.assert_frame_equal(_norm(bc), _norm(jn), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q3_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = relational.q3_shipping_priority(SF)
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = relational.q3_shipping_priority(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q5_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = relational.q5_nation_volume(SF)
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = relational.q5_nation_volume(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
