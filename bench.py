@@ -72,7 +72,8 @@ def ensure_corpus(n_rows: int) -> str:
 
     from kryptone_ray.corpus.store import write_corpus_distributed
 
-    out = pathlib.Path(f"/tmp/kr_bench_corpus_{n_rows}_{MIN_DIM}x{MAX_DIM}")
+    # v2: blob-sidecar random-access layout (corpus/store.py)
+    out = pathlib.Path(f"/tmp/kr_bench_corpus_{n_rows}_{MIN_DIM}x{MAX_DIM}_v2")
     done = out / "_DONE"
     if done.exists():
         return str(out)
@@ -188,7 +189,7 @@ def main() -> None:
 
     corpus_dir = ensure_corpus(CRAWL_ROWS)
     # warm the page cache so we measure compute + shuffle, not cold disk
-    for f in pathlib.Path(corpus_dir).glob("*.parquet"):
+    for f in pathlib.Path(corpus_dir).glob("*.*"):
         f.read_bytes()
     # warm the worker pool (python worker cold-start is ~seconds at 32
     # CPUs and would otherwise land inside the first timed window)
@@ -255,7 +256,7 @@ def crawl_only() -> None:
     rd.range(10_000).map_batches(lambda t: t, batch_format="pyarrow",
                                  batch_size=100).count()
     corpus_dir = ensure_corpus(CRAWL_ROWS)
-    for f in pathlib.Path(corpus_dir).glob("*.parquet"):
+    for f in pathlib.Path(corpus_dir).glob("*.*"):
         f.read_bytes()
     run_crawl(corpus_dir, CRAWL_ROWS)  # warm-up (untimed)
     runs = [run_crawl(corpus_dir, CRAWL_ROWS) for _ in range(3)]

