@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
         "embedding_near_dups": dedup.q_embedding_near_dups,
         "embedding_near_dups_lsh": dedup.q_embedding_near_dups_lsh,
+        "neardup_clusters": dedup.q_neardup_clusters,
         # similarity search
         "knn_bruteforce": ann.q_knn_bruteforce,
         "knn_ivf": ann.q_knn_ivf,
@@ -176,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": events.Q_EVENTS_ASOF_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
+        # re-derives urlparse fields from raw strings with SQL string ops
+        "url_predicates": crawlops.url_predicates_oracle_sql(),
         # the frontier-maintenance queries run over a deterministic
         # parquet snapshot DuckDB can read directly — full value-hash
         # oracles (crawlops.frontier_oracle_sql materializes the
@@ -186,5 +189,5 @@ def oracle_sql() -> dict[str, str]:
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # ngram_jaccard_dups, embedding_near_dups(+_lsh), knn_ivf,
         # image_decode_stats, image_resize_thumbs, image_phash_near_dups,
-        # crawl_visits, link_verdicts, url_predicates
+        # crawl_visits, link_verdicts, neardup_clusters
     }

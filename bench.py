@@ -289,13 +289,12 @@ def scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # the headline 2-vs-8 pair gets TWO fresh processes per level with
-    # the per-level max kept: co-tenant noise only ever LOWERS a level's
-    # throughput, and the efficiency ratio divides two levels measured
-    # minutes apart — one noisy level skews it far more than it skews
-    # any single number. 4 and 16 (context pair) run once.
+    # EVERY level gets TWO fresh processes with the per-level max kept:
+    # co-tenant noise only ever LOWERS a level's throughput, and the
+    # efficiency ratio divides two levels measured minutes apart — one
+    # noisy level skews it far more than it skews any single number.
     r: dict[int, dict] = {}
-    for n in (2, 8, 4, 16, 2, 8):
+    for n in (2, 8, 4, 16, 2, 8, 4, 16):
         m = run(n)
         if n not in r or m["images_per_sec"] > r[n]["images_per_sec"]:
             r[n] = m

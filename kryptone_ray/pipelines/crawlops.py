@@ -79,23 +79,118 @@ def q_link_verdicts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("verdict").reset_index(drop=True)
 
 
+_PREDICATES = ("is_valid", "is_empty", "is_path", "has_fragment",
+               "has_query", "is_image", "is_file", "is_secured",
+               "is_social_link")
+
+
+def _predicate_input_urls() -> list[str]:
+    """Pinned predicate-suite input: corpus URLs + fragment/query noise
+    variants + degenerate strings. Query variants only on path-carrying
+    URLs (a query on a bare host makes pathlib-suffix semantics diverge
+    from any reasonable SQL mirror — out of the reference's profile)."""
+    base = _corpus_urls()
+    return (base
+            + [u + "#frag" for u in base[:50]]
+            + [u + "?page=2" for u in base[:40]]
+            + [u + "?q=x#sec" for u in base[40:70]]
+            + ["", "/rel", "https://social.test/x facebook.com",
+               "http://twitter.com/a", "https://h0.corpus.test/file.pdf",
+               "https://h0.corpus.test/a.", "https://h0.corpus.test/.png"])
+
+
+def _url_snapshot_dir() -> str:
+    """Pinned url-list snapshot as parquet — DuckDB reads the same rows
+    the Ray pipeline reads, so the predicate census gets a full
+    value-hash oracle."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_urlpred_{_SPEC.seed}_{_SPEC.n_rows}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({"url": pa.array(_predicate_input_urls(),
+                                      type=pa.string())}),
+            base / "urls.parquet",
+        )
+        marker.touch()
+    return str(base)
+
+
 def q_url_predicates(sf_dir: str) -> pd.DataFrame:
-    """URL predicate suite over all corpus URLs + noise variants
-    (urls.py:157-246 as batch masks): counts per predicate."""
-    urls = _corpus_urls() + [u + "#frag" for u in _corpus_urls()[:50]] + ["", "/rel"]
-    f = urlkit.parse_batch(urls)
-    rows = [
-        ("is_valid", int(f.is_valid().sum())),
-        ("is_empty", int(f.is_empty().sum())),
-        ("is_path", int(f.is_path().sum())),
-        ("has_fragment", int(f.has_fragment().sum())),
-        ("has_query", int(f.has_query().sum())),
-        ("is_image", int(f.is_image().sum())),
-        ("is_file", int(f.is_file().sum())),
-        ("is_secured", int(f.is_secured().sum())),
-        ("is_social_link", int(f.is_social_link().sum())),
-    ]
-    return pd.DataFrame(rows, columns=["predicate", "n"])
+    """URL predicate suite (urls.py:157-246 as batch masks): counts per
+    predicate over the pinned snapshot. Distributed: per-batch predicate
+    partial counts inside ``map_batches``, tiny driver combine. The
+    DuckDB oracle (``url_predicates_oracle_sql``) re-derives every
+    predicate from the RAW url strings with independent SQL string ops
+    — cross-checking urlkit's vectorized urlparse against a second
+    implementation."""
+    snap = _url_snapshot_dir()
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        f = urlkit.parse_batch(df["url"].tolist())
+        return pd.DataFrame(
+            {"predicate": list(_PREDICATES),
+             "n": [int(getattr(f, p)().sum()) for p in _PREDICATES]}
+        )
+
+    parts = rd.read_parquet(snap).map_batches(
+        census, batch_format="pandas", batch_size=256).to_pandas()
+    out = parts.groupby("predicate", sort=False, as_index=False)["n"].sum()
+    return out.sort_values("predicate").reset_index(drop=True)
+
+
+def url_predicates_oracle_sql() -> str:
+    """SQL mirror of the predicate suite, generated from the same
+    suffix/marker sets as urlkit (cannot drift) but re-deriving the
+    urlparse fields from the raw strings with DuckDB string ops:
+    fragment = after first '#'; query = nonempty after first '?' of the
+    pre-fragment part; suffix = pathlib rule (text from the last '.' of
+    the final '/'-segment iff that dot is neither first nor last — the
+    '.(\\.[^.]+)$' regex enforces both bounds) over the path when a
+    query is present, else over the whole raw url."""
+    snap = _url_snapshot_dir()
+
+    def in_list(vals) -> str:
+        return ", ".join("'" + v.replace("'", "''") + "'" for v in sorted(vals))
+
+    social = " OR ".join(f"url LIKE '%{m}%'" for m in urlkit.SOCIAL_HOST_MARKERS)
+    # suffix source: urlkit.as_path_suffix — path (pre-'?') when a query
+    # exists, else the whole raw url (fragment INCLUDED, as the
+    # reference's as_path does)
+    sfx = r"""
+      CASE WHEN url = '' THEN ''
+           WHEN regexp_matches(split_part(url, '#', 1), '\?.')
+           THEN regexp_extract(regexp_extract(rtrim(split_part(split_part(url, '#', 1), '?', 1), '/'), '[^/]*$'), '.(\.[^.]+)$', 1)
+           ELSE regexp_extract(regexp_extract(rtrim(url, '/'), '[^/]*$'), '.(\.[^.]+)$', 1)
+      END"""
+    preds = {
+        "is_valid": "url LIKE 'http://%' OR url LIKE 'https://%'",
+        "is_empty": "url = ''",
+        "is_path": "url LIKE '/%'",
+        "has_fragment": "url LIKE '%#%' AND url <> ''",
+        "has_query": r"regexp_matches(split_part(url, '#', 1), '\?.') AND url <> ''",
+        "is_image": f"sfx IN ({in_list(urlkit.IMAGE_SUFFIXES)}) AND url <> ''",
+        "is_file": f"sfx IN ({in_list(urlkit.FILE_SUFFIXES)}) AND url <> ''",
+        "is_secured": "url LIKE 'https:%' AND url <> ''",
+        "is_social_link": f"({social}) AND url <> ''",
+    }
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS predicate, "
+        f"CAST(sum(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) AS n FROM f"
+        for name, expr in preds.items()
+    )
+    return f"""
+WITH f AS (
+  SELECT url, {sfx} AS sfx
+  FROM read_parquet('{snap}/urls.parquet')
+)
+SELECT predicate, n FROM ({selects}) ORDER BY predicate
+"""
 
 
 def _caption_snapshot_dir() -> str:

@@ -747,3 +747,53 @@ def _embedding_lsh_pipeline(sf_dir: str, threshold: float, n_tables: int,
                          batch_size=None).to_pandas().drop_duplicates()
     out = out.astype("int64")
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def q_neardup_clusters(sf_dir: str, bands: int = 16,
+                       threshold: float = 0.6) -> pd.DataFrame:
+    """Near-dup CLUSTERS — the step a training-data pipeline actually
+    wants after pair generation: connected components over the verified
+    MinHash pair graph, one row per multi-member cluster with the kept
+    representative (min doc_id) and the member count. Everything else
+    in the cluster is the removal set.
+
+    Scale shape: the pair list is near-dup-density-bounded (never
+    corpus-sized), so the union-find runs on the driver with path
+    compression + union-by-size — O(pairs α). At 10^10 docs with a
+    pair list too large for one node, switch to iterative min-label
+    propagation (repeat: label = min(label, min over neighbors) via a
+    hash-join per round, O(log diameter) rounds — MMDS ch.10 shape);
+    near-dup graphs are overwhelmingly tiny cliques, so rounds ≈ 2.
+
+    Rows-only (minhash is not SQL-expressible); deterministic given the
+    pinned permutation seed; transitivity property-tested (a→b→c chains
+    collapse into one cluster)."""
+    pairs = q_minhash_lsh_pairs(sf_dir, bands=bands, threshold=threshold)
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size.get(ra, 1) < size.get(rb, 1):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] = size.get(ra, 1) + size.get(rb, 1)
+
+    members: dict[int, list[int]] = {}
+    nodes = set(map(int, pairs["doc_a"])) | set(map(int, pairs["doc_b"]))
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    rows = [(min(v), len(v)) for v in members.values()]
+    out = pd.DataFrame(rows, columns=["representative", "n_members"])
+    return out.sort_values("representative").reset_index(drop=True)

@@ -187,3 +187,23 @@ def test_wordfreq_tfidf_hash_path_equals_driver_path(monkeypatch):
     big_tf = textops.q_tfidf_top_terms(SF)
     pd.testing.assert_frame_equal(small_wf, big_wf, check_dtype=False)
     pd.testing.assert_frame_equal(small_tf, big_tf, check_dtype=False)
+
+
+def test_neardup_clusters_transitive(monkeypatch):
+    """a-b, b-c, plus an isolated pair: components must collapse chains
+    (union-find transitivity), representative = min id, sizes exact."""
+    fake = pd.DataFrame({"doc_a": [1, 2, 9, 5], "doc_b": [2, 3, 1, 6],
+                         "jaccard": [0.9] * 4})
+    monkeypatch.setattr(dedup, "q_minhash_lsh_pairs",
+                        lambda sf_dir, bands=16, threshold=0.6: fake)
+    out = dedup.q_neardup_clusters("")
+    assert out.to_dict("list") == {"representative": [1, 5],
+                                   "n_members": [4, 2]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_clusters_matches_golden():
+    out = dedup.q_neardup_clusters(SF)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  _golden("neardup_clusters"),
+                                  check_dtype=False)
