@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
+        "token_counts_bpe": textops.q_token_counts_bpe,
         "word_frequency": textops.q_word_frequency,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "doc_quality": textops.q_doc_quality,
@@ -163,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_balance_stats": relational.Q_CUSTOMER_BALANCE_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
+        # same regex on both sides (python re == RE2 for this pattern)
+        "token_counts_bpe": textops.token_counts_bpe_oracle_sql(),
         "word_frequency": textops.Q_WORD_FREQ_SQL,
         "tfidf_top_terms": textops.Q_TFIDF_SQL,
         "doc_quality": textops.Q_DOC_QUALITY_SQL,

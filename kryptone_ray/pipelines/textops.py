@@ -278,3 +278,42 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("source").map_groups(count_distinct, batch_format="pandas").to_pandas()
     return out.sort_values("source").reset_index(drop=True)
+
+
+# BPE-ish pre-tokenizer (GPT-2 shape: contraction suffixes, space-glued
+# letter runs, digit runs, punctuation runs — expressible identically in
+# Python re and DuckDB's RE2, so the count gets a full SQL oracle).
+# Explicit Latin-1 letter range instead of \p{L}: Python re has no \p.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?[0-9]+| ?[^A-Za-zÀ-ÿ0-9\s']+|\s+"
+
+
+def q_token_counts_bpe(sf_dir: str) -> pd.DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (task brief:
+    "token counting (whitespace + a BPE-ish regex)"; the whitespace
+    variant is ``q_token_counts``): per-source total pre-token count +
+    docs. Vectorized ``Series.str.count`` (one compiled-regex pass per
+    batch; count of non-overlapping matches == len(findall)); the
+    oracle mirrors it with RE2 ``regexp_extract_all`` over the same
+    pattern."""
+    ds = T(sf_dir, "documents", columns=["source", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_bpe"] = df["text"].str.count(BPE_PATTERN).astype("int64")
+        return df[["source", "n_bpe"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=8192)
+    out = partial_sum_count(ds, keys=["source"],
+                            sums={"total_bpe_tokens": "n_bpe"},
+                            count_name="n_docs")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def token_counts_bpe_oracle_sql() -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
