@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
         "image_phash_near_dups": multimodal.q_image_phash_near_dups,
+        "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
         "link_verdicts": crawlops.q_link_verdicts,

@@ -282,3 +282,95 @@ def q_image_phash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             rows.append((a, b, int(dd)))
     return pd.DataFrame(sorted(set(rows)),
                         columns=["image_a", "image_b", "hamming"])
+
+
+class ImageHistogramEmbedActor:
+    """Feature-extract stage producing an EMBEDDING per image: 8x8
+    nearest-neighbor luminance thumbnail, flattened to a 64-dim
+    L2-normalized float32 vector — a real decode→embed path with no
+    external model dependency. (Channel HISTOGRAMS were tried first and
+    rejected: the synthetic corpus' noise-like pixels make every
+    histogram near-uniform, collapsing all cosines within 1e-6 of each
+    other — thumbnails keep per-image structure and spread the cosine
+    distribution.) Codec dispatch bound at actor init."""
+
+    GRID = 8
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def embed(self, px: np.ndarray) -> np.ndarray:
+        h, w, _ = px.shape
+        yi = (np.arange(self.GRID) * h // self.GRID).astype(int)
+        xi = (np.arange(self.GRID) * w // self.GRID).astype(int)
+        lum = px[yi][:, xi].astype(np.float64).mean(axis=2).reshape(-1)
+        n = np.linalg.norm(lum)
+        return (lum / n if n else lum).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        vecs = [
+            self.embed(self.decode(d["bytes"][i], d["fmt"][i],
+                                   d["w"][i], d["h"][i]))
+            for i in range(len(batch))
+        ]
+        return pa.table(
+            {"image_id": batch["image_id"],
+             "embedding": pa.array([v.tolist() for v in vecs],
+                                   type=pa.list_(pa.float32()))}
+        )
+
+
+def q_image_knn(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
+    """Image similarity search — the multimodal↔ANN composite: actor-pool
+    decode → histogram embedding → brute-force cosine top-k against a
+    broadcast query matrix (the kNN shape of ``ann.q_knn_bruteforce``:
+    per-batch matmul + local top-k partials, driver merges k × n_batches
+    rows). Queries are the corpus' first ``n_queries`` images; self-
+    matches excluded. Rank/id output only (hash-stable); rows-only
+    (codec + float scoring not SQL-expressible), golden-pinned."""
+    import ray
+
+    spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
+    emb = _corpus_ds().map_batches(
+        ImageHistogramEmbedActor, batch_format="pyarrow", batch_size=64,
+        concurrency=2).materialize()
+
+    q_ids = [spec.url_of(i) for i in range(n_queries)]
+
+    def is_q(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["image_id"].isin(q_ids)]
+
+    qdf = emb.map_batches(is_q, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy())
+    q_ref = ray.put((qdf["image_id"].tolist(), qmat))
+
+    def topk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, qm = ray.get(q_ref)
+        m = np.stack(df["embedding"].to_numpy())
+        # float64 matmul: scores must round identically whatever the
+        # batch shape (float32 accumulation order shifts the 6th decimal)
+        sims = qm.astype(np.float64) @ m.T.astype(np.float64)
+        out = []
+        cand_ids = df["image_id"].to_numpy()
+        for qi, qid in enumerate(ids):
+            # round BEFORE ranking so in-batch order, the global merge
+            # and any reference recount share one tie-break domain
+            s = np.round(sims[qi], 6)
+            mask = cand_ids != qid
+            idx = np.flatnonzero(mask)
+            order = idx[np.lexsort((cand_ids[idx], -s[idx]))][:k]
+            for m_i in order:
+                out.append((qid, cand_ids[m_i], float(s[m_i])))
+        return pd.DataFrame(out, columns=["query_id", "match_id", "cosine"])
+
+    parts = emb.map_batches(topk_partial, batch_format="pandas",
+                            batch_size=None).to_pandas()
+    # global top-k from per-batch partials; tie-break (cosine desc,
+    # match_id asc) mirrors the in-batch lexsort
+    parts = parts.sort_values(["query_id", "cosine", "match_id"],
+                              ascending=[True, False, True], kind="stable")
+    out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out.insert(1, "rank", out.groupby("query_id").cumcount().astype("int64"))
+    return out[["query_id", "rank", "match_id"]]

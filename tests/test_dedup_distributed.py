@@ -207,3 +207,36 @@ def test_neardup_clusters_matches_golden():
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   _golden("neardup_clusters"),
                                   check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_knn_matches_local_bruteforce_and_golden():
+    """decode → histogram-embed → kNN: the distributed per-batch
+    top-k partial merge must equal a single-process brute force over
+    all embeddings, and stay pinned."""
+    from kryptone_ray.corpus import codecs
+    from kryptone_ray.corpus.synth import CorpusSpec
+    from kryptone_ray.pipelines import multimodal
+
+    out = multimodal.q_image_knn("")
+    golden = pd.read_json(pathlib.Path(__file__).parent / "golden" /
+                          "mm_image_knn.json", orient="split")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), golden,
+                                  check_dtype=False)
+
+    spec = CorpusSpec(n_rows=multimodal._MM_ROWS, n_hosts=8,
+                      seed=multimodal._MM_SEED)
+    actor = multimodal.ImageHistogramEmbedActor()
+    embs = {}
+    for i in range(multimodal._MM_ROWS):
+        r = spec.row(i)
+        px = codecs.decode(r["bytes"], r["fmt"], r["w"], r["h"])
+        embs[r["image_id"]] = actor.embed(px)
+    qid = spec.url_of(2)
+    qv = embs[qid].astype(np.float64)
+    sims = sorted(
+        ((float(qv @ v.astype(np.float64)), k)
+         for k, v in embs.items() if k != qid),
+        key=lambda t: (-round(t[0], 6), t[1]))
+    expect = [k for _, k in sims[:5]]
+    assert out[out["query_id"] == qid]["match_id"].tolist() == expect
