@@ -171,6 +171,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textops.Q_TFIDF_SQL,
         "doc_quality": textops.Q_DOC_QUALITY_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "embedding_near_dups": dedup.Q_EMBEDDING_NEAR_DUPS_SQL,
+        "ngram_jaccard_dups": dedup.Q_NGRAM_JACCARD_SQL,
         "knn_bruteforce": ann.Q_KNN_SQL,
         "events_by_type": events.Q_EVENTS_BY_TYPE_SQL,
         "events_tumbling_1h": events.Q_EVENTS_TUMBLING_SQL,
@@ -191,7 +193,7 @@ def oracle_sql() -> dict[str, str]:
         **crawlops.caption_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
-        # ngram_jaccard_dups, embedding_near_dups(+_lsh), knn_ivf,
+        # embedding_near_dups_lsh, knn_ivf, image_knn,
         # image_decode_stats, image_resize_thumbs, image_phash_near_dups,
         # crawl_visits, link_verdicts, neardup_clusters
     }

@@ -797,3 +797,47 @@ def q_neardup_clusters(sf_dir: str, bands: int = 16,
     rows = [(min(v), len(v)) for v in members.values()]
     out = pd.DataFrame(rows, columns=["representative", "n_members"])
     return out.sort_values("representative").reset_index(drop=True)
+
+
+# q_embedding_near_dups oracle: DuckDB's list_cosine_similarity over the
+# all-pairs self-join — the same exact quadratic the blocked task version
+# computes. Both sides score float32 inputs; verified margin to the 0.35
+# threshold is ~3e-5 at sf0.001/0.01 (far above float32 rounding), so the
+# float32-matmul vs double-SQL difference cannot flip a pair.
+Q_EMBEDDING_NEAR_DUPS_SQL = """
+WITH n AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+ORDER BY vec_a, vec_b
+"""
+
+# q_ngram_jaccard_dups oracle: 5-gram sets via substr over a LATERAL
+# range (substr truncates near the end exactly like the python slice,
+# and greatest(len-4, 1) reproduces the short-text single-gram case),
+# per-source pair intersection counts, |A∪B| = sa + sb - inter, and the
+# same IEEE double >= 0.8 comparison as the pipeline.
+Q_NGRAM_JACCARD_SQL = """
+WITH d AS (
+  SELECT doc_id, source, lower(text) AS t FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source, substr(t, i, 5) AS gram
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(t) - 4, 1) + 1)) AS i) ix(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.source AS source, count(*) AS i
+  FROM g a JOIN g b ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.source
+), dup AS (
+  SELECT DISTINCT x.doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.da
+  JOIN sizes sb ON sb.doc_id = inter.db
+  CROSS JOIN LATERAL (VALUES (inter.da), (inter.db)) AS x(doc_id)
+  WHERE CAST(inter.i AS DOUBLE) / (sa.sz + sb.sz - inter.i) >= 0.8
+)
+SELECT d.source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup
+FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
