@@ -227,6 +227,29 @@ class UrlFrame:
         raise ValueError("Operator is not valid")
 
 
+# One C-level regex pass replaces per-row stdlib urlparse for the two
+# shapes that dominate a crawl frontier (http(s) absolute urls and
+# scheme-less relatives) — urlparse was 12µs/url and the single hottest
+# call of the expand/validate stage. Anything outside the proven-
+# equivalent profile falls back to stdlib per row: other schemes
+# (':' without a leading http(s)://), ';' (urlparse splits path params),
+# control chars (urlsplit strips \t\r\n), or backslashes.
+_FAST_SPLIT = re.compile(
+    r"^(?:(http|https)://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$")
+# '[' / ']' included: urlparse VALIDATES IPv6 bracket hosts (raising
+# ValueError on malformed ones) — the fast path must not accept them
+_NEEDS_STDLIB = re.compile(r"[;\t\r\n\\\[\]]")
+
+
+def _parse_one(u: str):
+    try:
+        p = urlparse(u)
+        return p.scheme, p.netloc, p.path, p.query, p.fragment
+    except ValueError:
+        # mirrors the ``except ValueError`` branch at urls.py:90-96
+        return "", "", "", "", ""
+
+
 def parse_batch(urls) -> UrlFrame:
     """Parse a batch of URL strings in one pass → :class:`UrlFrame`.
 
@@ -235,7 +258,8 @@ def parse_batch(urls) -> UrlFrame:
     and they are dropped by ``is_empty``/domain checks downstream).
     Unparseable URLs (e.g. invalid IPv6 literals) get empty components —
     mirroring the ``except ValueError`` branch at urls.py:90-96.
-    """
+    Fast-path/stdlib equivalence is asserted over the whole conformance
+    corpus (tests/test_urlkit.py)."""
     n = len(urls)
     raw = np.empty(n, dtype=object)
     scheme = np.empty(n, dtype=object)
@@ -250,15 +274,19 @@ def parse_batch(urls) -> UrlFrame:
         elif not isinstance(u, str):
             u = str(u)
         raw[i] = u
-        try:
-            p = urlparse(u)
-            scheme[i] = p.scheme
-            netloc[i] = p.netloc
-            path[i] = p.path
-            query[i] = p.query
-            fragment[i] = p.fragment
-        except ValueError:
-            scheme[i] = netloc[i] = path[i] = query[i] = fragment[i] = ""
+        fast = (m := _FAST_SPLIT.match(u)) is not None and \
+            not _NEEDS_STDLIB.search(u) and \
+            (":" not in u or u.startswith(("http://", "https://"))) and \
+            not u.startswith("//")  # scheme-less netloc-relative form
+        if fast:
+            sc, nl, pt, q, fr = m.groups()
+            scheme[i] = sc or ""
+            netloc[i] = nl or ""
+            path[i] = pt or ""
+            query[i] = q or ""
+            fragment[i] = fr or ""
+        else:
+            scheme[i], netloc[i], path[i], query[i], fragment[i] = _parse_one(u)
         suffix[i] = as_path_suffix(u, path[i], query[i])
     return UrlFrame(raw, scheme, netloc, path, query, fragment, suffix)
 

@@ -137,3 +137,36 @@ def test_is_file_full_wordlist_parity():
     # spot-check against the raw file contents (reference membership)
     assert ".php" in urlkit.FILE_SUFFIXES and ".xpi" in set(lines)
     assert ".notanext9z" not in urlkit.FILE_SUFFIXES
+
+
+def test_parse_batch_fast_path_equals_stdlib_everywhere():
+    """The regex fast path must produce EXACTLY stdlib urlparse's
+    (scheme, netloc, path, query, fragment) on every conformance-corpus
+    url plus adversarial shapes (multiple '?'/'#', ports, userinfo,
+    params, IPv6, control chars, other schemes) — anything it can't
+    prove falls back to stdlib, so equality here is equality always."""
+    from urllib.parse import urlparse
+
+    from kryptone_ray.utils import urlkit
+    from tests.url_corpus import MALFORMED, WELL_FORMED
+
+    cases = list(WELL_FORMED) + list(MALFORMED) + [
+        "", "/rel", "a#b", "a?x#b", "http://h##a", "http://h#f?q",
+        "http://h?a?b#c", "https://u:p@h:8080/p:1/x;y?q=1#z",
+        "http://h/p;params", "mailto:x@y", "HTTP://H/", "ftp://h/",
+        "http://h/\tx", "http://[::1]/", "http://[::1:2::3]/",
+        "http://h/a\\b", "//netloc-relative/p", "?onlyquery", "#onlyfrag",
+    ]
+    f = urlkit.parse_batch(cases)
+    for i, u in enumerate(cases):
+        if u is None:  # parse_batch's None/non-str normalization
+            u = ""
+        elif not isinstance(u, str):
+            u = str(u)
+        try:
+            p = urlparse(u)
+            exp = (p.scheme, p.netloc, p.path, p.query, p.fragment)
+        except ValueError:
+            exp = ("", "", "", "", "")
+        got = (f.scheme[i], f.netloc[i], f.path[i], f.query[i], f.fragment[i])
+        assert got == exp, (u, got, exp)
