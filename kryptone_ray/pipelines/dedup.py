@@ -419,6 +419,30 @@ def q_simhash_clusters(sf_dir: str, max_hamming: int = 3,
              "simhash": hv.astype("int64")}
         )
 
+    if parquet_rows(sf_dir, "documents") < MINHASH_DISTRIBUTED_MIN_DOCS:
+        # small-input gate (same threshold as minhash): signatures stay
+        # distributed (the compute), the 4n-row keyed table merges on
+        # the driver — identical census/cap/hamming semantics without
+        # the self-join's fixed cost
+        kdf = ds.map_batches(f, batch_format="pandas",
+                             batch_size=512).to_pandas()
+        vc = kdf.groupby(["chunk", "key"], sort=False).size()
+        hot = vc[vc > hot_bucket_cap].index
+        if len(hot):
+            mask = pd.MultiIndex.from_frame(kdf[["chunk", "key"]]).isin(hot)
+            kdf = kdf[~mask]
+        m = kdf.merge(kdf.rename(columns={"doc_id": "doc_id_r",
+                                          "simhash": "simhash_r"}),
+                      on=["chunk", "key"])
+        sub = m[m["doc_id"] < m["doc_id_r"]]
+        d = hamming64(sub["simhash"].to_numpy().astype(np.uint64),
+                      sub["simhash_r"].to_numpy().astype(np.uint64))
+        keep = d <= max_hamming
+        pairs = pd.DataFrame({"doc_a": sub["doc_id"].to_numpy()[keep],
+                              "doc_b": sub["doc_id_r"].to_numpy()[keep],
+                              "hamming": d[keep]}).drop_duplicates()
+        return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
     keyed = ds.map_batches(f, batch_format="pandas",
                            batch_size=512).materialize()
 
@@ -471,46 +495,68 @@ def q_simhash_clusters(sf_dir: str, max_hamming: int = 3,
     return pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _ngram_per_source(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    grams = [
+        {t[i : i + 5] for i in range(max(1, len(t) - 4))}
+        for t in g["text"].str.lower()
+    ]
+    n = len(g)
+    dup = np.zeros(n, dtype=bool)
+    # Exact-preserving size-ratio prune (AllPairs length filter):
+    # J(A,B) >= t implies |A| and |B| within a factor 1/t of each
+    # other, so after sorting by gram-set size each doc only
+    # compares forward while size_j <= size_i / t. Turns the
+    # worst-case quadratic scan on a hot (Zipf) source into
+    # near-linear when sizes vary; identical output by construction.
+    sizes = np.array([len(s) for s in grams])
+    order = np.argsort(sizes, kind="stable")
+    for oi in range(n):
+        i = order[oi]
+        limit = sizes[i] / threshold
+        for oj in range(oi + 1, n):
+            j = order[oj]
+            if sizes[j] > limit:
+                break
+            inter = len(grams[i] & grams[j])
+            if inter == 0:
+                continue
+            jac = inter / len(grams[i] | grams[j])
+            if jac >= threshold:
+                dup[i] = dup[j] = True
+    return pd.DataFrame(
+        {"source": [g["source"].iloc[0]], "n_docs": [n],
+         "n_near_dup": [int(dup.sum())]}
+    )
+
+
 def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Character-n-gram Jaccard near-dup count per source: docs whose
     5-gram Jaccard vs ANOTHER doc in the same source exceeds threshold.
-    Quadratic within source groups only (groupby partitions the work);
-    rows-only."""
+    Quadratic within source groups only (the source partitioning is the
+    unit of work either way). Below the gate the table reads to the
+    driver and one raw Ray task per source runs the scan (the documented
+    Dataset-API exception: a per-group quadratic over a handful of
+    groups needs neither a sort nor a shuffle, and Ray's sort-based
+    ``groupby().map_groups`` pays ~1.5 s fixed to dispatch 5 one-task
+    groups); above it the sort groupby co-locates sources at corpus
+    scale. Oracle-checked (Q_NGRAM_JACCARD_SQL)."""
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    if parquet_rows(sf_dir, "documents") < MINHASH_DISTRIBUTED_MIN_DOCS:
+        import ray
+
+        df = T(sf_dir, "documents",
+               columns=["doc_id", "source", "text"]).to_pandas()
+        scan = ray.remote(_ngram_per_source)
+        refs = [scan.remote(g, threshold)
+                for _, g in df.groupby("source", sort=False)]
+        out = pd.concat(ray.get(refs), ignore_index=True)
+        return out.sort_values("source").reset_index(drop=True)
+
     ds = T(sf_dir, "documents", columns=["doc_id", "source", "text"])
-
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        grams = [
-            {t[i : i + 5] for i in range(max(1, len(t) - 4))}
-            for t in g["text"].str.lower()
-        ]
-        n = len(g)
-        dup = np.zeros(n, dtype=bool)
-        # Exact-preserving size-ratio prune (AllPairs length filter):
-        # J(A,B) >= t implies |A| and |B| within a factor 1/t of each
-        # other, so after sorting by gram-set size each doc only
-        # compares forward while size_j <= size_i / t. Turns the
-        # worst-case quadratic scan on a hot (Zipf) source into
-        # near-linear when sizes vary; identical output by construction.
-        sizes = np.array([len(s) for s in grams])
-        order = np.argsort(sizes, kind="stable")
-        for oi in range(n):
-            i = order[oi]
-            limit = sizes[i] / threshold
-            for oj in range(oi + 1, n):
-                j = order[oj]
-                if sizes[j] > limit:
-                    break
-                inter = len(grams[i] & grams[j])
-                if inter == 0:
-                    continue
-                jac = inter / len(grams[i] | grams[j])
-                if jac >= threshold:
-                    dup[i] = dup[j] = True
-        return pd.DataFrame(
-            {"source": [g["source"].iloc[0]], "n_docs": [n], "n_near_dup": [int(dup.sum())]}
-        )
-
-    out = ds.groupby("source").map_groups(per_source, batch_format="pandas").to_pandas()
+    out = ds.groupby("source").map_groups(
+        lambda g: _ngram_per_source(g, threshold),
+        batch_format="pandas").to_pandas()
     return out.sort_values("source").reset_index(drop=True)
 
 
@@ -654,27 +700,45 @@ def _embedding_lsh_pipeline(sf_dir: str, threshold: float, n_tables: int,
                  "vec_id": df["vec_id"].to_numpy()}))
         return pd.concat(out, ignore_index=True)
 
-    buckets = ds.map_batches(bucketize, batch_format="pandas",
-                             batch_size=1024).materialize()
-    right = buckets.map_batches(
-        lambda df: df.rename(columns={"table": "table_r", "bucket": "bucket_r",
-                                      "vec_id": "vec_id_r"}),
-        batch_format="pandas", batch_size=None)
-    npart = join_partitions(n_rows * n_tables)
-    cand = buckets.join(right, "inner", num_partitions=npart,
-                        on=("table", "bucket"), right_on=("table_r", "bucket_r"))
-
     def emit(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["vec_id"] < df["vec_id_r"]]
         return pd.DataFrame({"vec_a": sub["vec_id"],
                              "vec_b": sub["vec_id_r"]}).drop_duplicates()
 
-    pairs_ds = cand.map_batches(emit, batch_format="pandas",
-                                batch_size=None).materialize()
-    n_pairs = pairs_ds.count()
-    if n_pairs == 0:
-        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                             "vec_b": pd.Series(dtype="int64")})
+    npart = join_partitions(n_rows * n_tables)
+    if n_rows < MINHASH_DISTRIBUTED_MIN_DOCS:
+        # small-input gate (same threshold as minhash): hyperplane
+        # projections stay distributed, the metadata-sized bucket table
+        # merges on the driver instead of paying the self-join fixed cost
+        bdf = ds.map_batches(bucketize, batch_format="pandas",
+                             batch_size=1024).to_pandas()
+        m = bdf.merge(bdf.rename(columns={"vec_id": "vec_id_r"}),
+                      on=["table", "bucket"])
+        pairs = emit(m).drop_duplicates()
+        n_pairs = len(pairs)
+        if n_pairs == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        import ray.data as _rd
+
+        pairs_ds = _rd.from_pandas(pairs.reset_index(drop=True))
+    else:
+        buckets = ds.map_batches(bucketize, batch_format="pandas",
+                                 batch_size=1024).materialize()
+        right = buckets.map_batches(
+            lambda df: df.rename(columns={"table": "table_r",
+                                          "bucket": "bucket_r",
+                                          "vec_id": "vec_id_r"}),
+            batch_format="pandas", batch_size=None)
+        cand = buckets.join(right, "inner", num_partitions=npart,
+                            on=("table", "bucket"),
+                            right_on=("table_r", "bucket_r"))
+        pairs_ds = cand.map_batches(emit, batch_format="pandas",
+                                    batch_size=None).materialize()
+        n_pairs = pairs_ds.count()
+        if n_pairs == 0:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
 
     if n_pairs <= 2_000_000:
         # candidate-bounded driver verify: fetch only candidate vectors
