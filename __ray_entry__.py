@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_props": events.q_events_json_props,
         "events_sliding_1h_30m": events.q_events_sliding_1h_30m,
         "events_asof_orders": events.q_events_asof_orders,
+        "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
@@ -181,6 +182,8 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": events.Q_EVENTS_JSON_SQL,
         "events_sliding_1h_30m": events.Q_EVENTS_SLIDING_SQL,
         "events_asof_orders": events.Q_EVENTS_ASOF_SQL,
+        # same semantics, sort-merge strategy — same oracle
+        "events_asof_sortmerge": events.Q_EVENTS_ASOF_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         # re-derives urlparse fields from raw strings with SQL string ops

@@ -9,6 +9,7 @@ same incremental-state shape as the reference's per-iteration counters
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from kryptone_ray.pipelines.common import T, partial_sum_count
@@ -280,6 +281,72 @@ def q_events_asof_orders(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("user_id", sort=False, as_index=False).sum()
     out["n_matched"] = out["n_matched"].astype("int64")
     out["sum_asof_orderkey"] = out["sum_asof_orderkey"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_events_asof_orders_sortmerge(sf_dir: str) -> pd.DataFrame:
+    """AS-OF JOIN, sort-merge strategy — the documented alternative for
+    UNBOUNDED per-key fan-out (the hash-join path materializes every
+    event × candidate-order row of a key; fine at ~10 orders/customer,
+    quadratic when a key has millions of both). Shape: tag-union the two
+    tables, hash-repartition by key so each block holds BOTH sides of
+    its keys, and run ``pd.merge_asof`` per block — O(n log n) per
+    block, no fan-out ever materialized. Ordering/tie-break identical to
+    ``q_events_asof_orders`` (latest o_orderdate <= ts, larger
+    o_orderkey wins date ties — guaranteed by sorting orders by
+    (ts, o_orderkey) and merge_asof taking the LAST qualifying row);
+    equality with the join path is asserted in tests."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows)
+
+    def tag_events(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["user_id"],
+             "ts": df["ts"].astype("datetime64[us]"),  # unify for union
+             "event_id": df["event_id"],
+             "o_orderkey": np.int64(-1), "tag": "e"})
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"key": df["o_custkey"],
+             "ts": df["o_orderdate"].astype("datetime64[us]"),
+             "event_id": np.int64(-1),
+             "o_orderkey": df["o_orderkey"], "tag": "o"})
+
+    def asof_block(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["tag"] == "e"]
+        od = df[df["tag"] == "o"]
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "n_matched": pd.Series(dtype="int64"),
+                              "sum_asof_orderkey": pd.Series(dtype="int64")})
+        if ev.empty or od.empty:
+            return empty
+        ev = ev[["key", "ts", "event_id"]].sort_values(
+            ["ts", "event_id"], kind="stable")
+        od = od[["key", "ts", "o_orderkey"]].sort_values(
+            ["ts", "o_orderkey"], kind="stable")
+        m = pd.merge_asof(ev, od, on="ts", by="key", direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        if m.empty:
+            return empty
+        g = m.groupby("key", sort=False)
+        return pd.DataFrame(
+            {"user_id": list(g.groups),
+             "n_matched": g.size().to_numpy().astype("int64"),
+             "sum_asof_orderkey":
+                 g["o_orderkey"].sum().to_numpy().astype("int64")})
+
+    npart = join_partitions(parquet_rows(sf_dir, "events"))
+    with hash_shuffle():
+        ev = T(sf_dir, "events", columns=["user_id", "event_id", "ts"]) \
+            .map_batches(tag_events, batch_format="pandas", batch_size=65536)
+        od = T(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate"]) \
+            .map_batches(tag_orders, batch_format="pandas", batch_size=65536)
+        out = ev.union(od).repartition(num_blocks=npart, keys=["key"]) \
+            .map_batches(asof_block, batch_format="pandas",
+                         batch_size=None).to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 

@@ -107,3 +107,14 @@ def test_sliding_windows_cover_each_event_twice(tmp_path):
     assert len(merged) == len(out) == len(exp)
     assert (merged["n_got"] == merged["n_exp"]).all()
     assert np.allclose(merged["total_value_got"], merged["total_value_exp"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_sortmerge_equals_join_strategy():
+    """The sort-merge as-of (unbounded-fan-out scale path) must produce
+    exactly the hash-join strategy's output — same tie-breaks."""
+    from kryptone_ray.pipelines import events
+
+    a = events.q_events_asof_orders("/root/testdata/sf0.001")
+    b = events.q_events_asof_orders_sortmerge("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
