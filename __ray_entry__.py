@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h_30m": events.q_events_sliding_1h_30m,
         "events_asof_orders": events.q_events_asof_orders,
         "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
+        "hll_distinct_users": events.q_hll_distinct_users,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,

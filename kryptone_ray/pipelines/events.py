@@ -389,3 +389,81 @@ SELECT event_type, CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        count(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------- sketches
+
+HLL_P = 12  # 4096 registers — ~1.6% standard error (Flajolet et al. 2007)
+
+
+def hll_partial(values: np.ndarray) -> np.ndarray:
+    """(2^p,) uint8 register maxima for one batch of int64 keys —
+    HyperLogLog (Flajolet-Fourier-Gandouet-Meunier 2007): register =
+    top p hash bits, rank = leading-zero count of the remaining 64-p
+    bits + 1, register keeps the max rank. Fully vectorized; XXH64 of
+    the little-endian key bytes so the sketch is deterministic and
+    mergeable across engines."""
+    from kryptone_ray.utils.xxh64 import xxh64_padded
+
+    buf = np.ascontiguousarray(values.astype("<i8")).view(np.uint8) \
+        .reshape(len(values), 8)
+    h = xxh64_padded(buf, np.full(len(values), 8, dtype=np.int64))
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(HLL_P)) | np.uint64((1 << HLL_P) - 1)
+    # leading zeros of `rest` via float64 exponent would lose precision;
+    # use the bit_length identity instead: lz = 64 - bit_length(rest)
+    bl = np.zeros(len(values), dtype=np.int64)
+    r = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = r >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        r[m] >>= np.uint64(shift)
+    bl += 1  # bit_length of the residual 1
+    rank = (64 - bl + 1).astype(np.uint8)
+    out = np.zeros(1 << HLL_P, dtype=np.uint8)
+    np.maximum.at(out, reg, rank)
+    return out
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) and
+    large-range corrections."""
+    m = float(len(registers))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    elif est > (1 << 64) / 30.0:
+        est = -(2.0 ** 64) * np.log(1 - est / 2.0 ** 64)
+    return float(est)
+
+
+def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via a DISTRIBUTED
+    HyperLOGLOG sketch — the brief's "novel sketch" custom operator:
+    each batch emits one 4096-register partial per event type (a few KB,
+    never the keys), the driver combine is an elementwise register MAX
+    (associative/commutative — the defining sketch property, so the
+    shape survives any partitioning at 10^10 rows), and the estimate is
+    read off the merged registers. Deterministic given XXH64 →
+    golden-pinned; accuracy vs exact asserted in tests (rows-only:
+    DuckDB has no bit-exact HLL analog — its approx_count_distinct uses
+    a different sketch)."""
+    ds = T(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            rows.append((et, hll_partial(g["user_id"].to_numpy()).tobytes()))
+        return pd.DataFrame(rows, columns=["event_type", "registers"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = []
+    for et, g in parts.groupby("event_type", sort=True):
+        regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for b in g["registers"]:
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+        out.append((et, int(round(hll_estimate(regs)))))
+    return pd.DataFrame(out, columns=["event_type", "approx_distinct_users"])

@@ -6,6 +6,8 @@ exactly twice with consistent totals.
 
 from __future__ import annotations
 
+import pathlib
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -118,3 +120,38 @@ def test_asof_sortmerge_equals_join_strategy():
     a = events.q_events_asof_orders("/root/testdata/sf0.001")
     b = events.q_events_asof_orders_sortmerge("/root/testdata/sf0.001")
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_matches_golden():
+    from kryptone_ray.pipelines import events
+
+    out = events.q_hll_distinct_users("/root/testdata/sf0.01")
+    golden = pd.read_json(
+        pathlib.Path(__file__).parent / "golden" /
+        "events_hll_distinct_sf001.json", orient="split")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), golden,
+                                  check_dtype=False)
+
+
+def test_hll_sketch_accuracy_and_mergeability():
+    """Core sketch properties, no Ray: (a) merging per-batch partials by
+    elementwise max equals the one-shot sketch (associativity — what
+    makes the shape partition-proof); (b) estimate within 5% of truth
+    at 100k distinct keys (4096 registers → ~1.6% standard error)."""
+    import numpy as np
+
+    from kryptone_ray.pipelines.events import hll_estimate, hll_partial
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**62, 100_000, dtype=np.int64)
+    keys = np.unique(keys)
+    whole = hll_partial(keys)
+    merged = np.zeros_like(whole)
+    for chunk in np.array_split(keys, 13):
+        merged = np.maximum(merged, hll_partial(chunk))
+    assert (whole == merged).all()
+    est = hll_estimate(whole)
+    assert abs(est - len(keys)) / len(keys) < 0.05
+    # duplicates never move a register
+    assert (hll_partial(np.concatenate([keys, keys[:1000]])) == whole).all()
