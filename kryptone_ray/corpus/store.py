@@ -70,11 +70,21 @@ def _with_blob_offsets(sub: pa.Table) -> tuple[pa.Table, bytes]:
 
 
 def write_shard(sub: pa.Table, out: pathlib.Path, name: str,
-                row_group_size: int = ROW_GROUP_SIZE) -> None:
+                row_group_size: int = ROW_GROUP_SIZE,
+                single_copy: bool = False) -> None:
     """One range shard: parquet (atomic tmp+rename) + the ``.blob``
     random-access sidecar. The blob is published BEFORE the parquet so a
-    reader never sees offsets without their payload."""
+    reader never sees offsets without their payload.
+
+    ``single_copy=True`` drops the ``bytes`` column from the parquet —
+    the payload lives ONLY in the blob (the production/Lance layout:
+    half the storage and half the ingest write bytes). Takes then
+    REQUIRE the sidecar (the reader raises if it is missing instead of
+    silently falling back); the dual-copy default keeps direct parquet
+    scans working."""
     sub, blob = _with_blob_offsets(sub)
+    if single_copy:
+        sub = sub.drop_columns(["bytes"])
     tmpb = out / f".{name}.blob.tmp"
     tmpb.write_bytes(blob)
     os.replace(tmpb, out / f"{name}.blob")
@@ -84,7 +94,8 @@ def write_shard(sub: pa.Table, out: pathlib.Path, name: str,
 
 
 def write_corpus(table: pa.Table, out_dir: str | os.PathLike, num_shards: int = 8,
-                 row_group_size: int = ROW_GROUP_SIZE) -> None:
+                 row_group_size: int = ROW_GROUP_SIZE,
+                 single_copy: bool = False) -> None:
     """Driver-side writer (tests / small corpora): global sort by key,
     split into ``num_shards`` range files (atomic tmp+rename)."""
     out = pathlib.Path(out_dir)
@@ -97,11 +108,13 @@ def write_corpus(table: pa.Table, out_dir: str | os.PathLike, num_shards: int = 
         sub = table.slice(s * per, per)
         if len(sub) == 0:
             continue
-        write_shard(sub, out, f"part-{s:05d}", row_group_size)
+        write_shard(sub, out, f"part-{s:05d}", row_group_size,
+                    single_copy=single_copy)
 
 
 def write_corpus_distributed(ds, out_dir: str | os.PathLike,
-                             row_group_size: int = ROW_GROUP_SIZE) -> None:
+                             row_group_size: int = ROW_GROUP_SIZE,
+                             single_copy: bool = False) -> None:
     """Distributed writer: ``ds`` must already carry ``url_hash``; one
     sort shuffle, then each sorted block writes its own shard (parquet +
     blob sidecar) in parallel — files are range-disjoint because the
@@ -117,7 +130,7 @@ def write_corpus_distributed(ds, out_dir: str | os.PathLike,
 
         if len(t):
             write_shard(t, out, f"part-{_uuid.uuid4().hex[:12]}",
-                        row_group_size)
+                        row_group_size, single_copy=single_copy)
         return pa.table({"rows": pa.array([len(t)], type=pa.int64())})
 
     ds.sort(KEY).map_batches(write_block, batch_format="pyarrow",
@@ -162,8 +175,22 @@ class CorpusReader:
         self._schema_v1 = schema if "bytes_off" not in schema.names else \
             schema.remove(schema.get_field_index("bytes_len")).remove(
                 schema.get_field_index("bytes_off"))
-        self.fast = ("bytes_off" in schema.names
-                     and all(p.with_suffix(".blob").exists() for p in paths))
+        blobs_ok = all(p.with_suffix(".blob").exists() for p in paths)
+        if "bytes" not in schema.names:
+            # single-copy layout: the payload exists ONLY in the blob —
+            # a missing sidecar is corruption, not a fallback
+            if "bytes_off" not in schema.names:
+                raise ValueError(f"corpus {self.dir} has neither a bytes "
+                                 "column nor blob offsets")
+            if not blobs_ok:
+                raise FileNotFoundError(
+                    f"single-copy corpus {self.dir} is missing .blob "
+                    "sidecars — takes cannot be served")
+            self._schema_v1 = self._schema_v1.insert(
+                1, pa.field("bytes", pa.binary()))
+            self.fast = True
+        else:
+            self.fast = "bytes_off" in schema.names and blobs_ok
         self._meta_cols = [n for n in schema.names if n != "bytes"]
         self._bytes_pos = self._schema_v1.names.index("bytes")
         self._mmaps: dict[int, np.memmap | bytes] = {}

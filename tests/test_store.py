@@ -126,3 +126,38 @@ def test_blob_fast_path_equals_parquet_fallback(tmp_path):
     a = t_fast.take(pc.sort_indices(t_fast[key]))
     b = t_slow.take(pc.sort_indices(t_slow[key]))
     assert a.equals(b)
+
+
+def test_single_copy_layout_take_equals_dual(tmp_path):
+    """single_copy=True drops the parquet bytes column (payload only in
+    the blob — the production/Lance layout): takes must return the same
+    rows with the same v1 schema, and a missing sidecar must raise
+    instead of silently returning wrong data."""
+    spec = CorpusSpec(n_rows=200, n_hosts=4, seed=9)
+    table = make_corpus_table(spec)
+    d_dual = tmp_path / "dual"
+    d_slim = tmp_path / "slim"
+    write_corpus(table, d_dual, num_shards=3, row_group_size=64)
+    write_corpus(table, d_slim, num_shards=3, row_group_size=64,
+                 single_copy=True)
+    # parquet shards really are slimmer
+    import pyarrow.parquet as pq
+
+    slim_schema = pq.ParquetFile(next(d_slim.glob("*.parquet"))).schema_arrow
+    assert "bytes" not in slim_schema.names
+    urls = [spec.url_of(i) for i in range(0, 200, 9)]
+    a = CorpusReader(d_dual).take_urls(urls)
+    b = CorpusReader(d_slim).take_urls(urls)
+    assert a.schema.names == b.schema.names
+    import pyarrow.compute as pc
+
+    a = a.take(pc.sort_indices(a["image_id"]))
+    b = b.take(pc.sort_indices(b["image_id"]))
+    assert a.equals(b)
+
+    for blob in d_slim.glob("*.blob"):
+        blob.unlink()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        CorpusReader(d_slim)
