@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
         "token_counts_bpe": textops.q_token_counts_bpe,
+        "stratified_sample": textops.q_stratified_sample,
         "word_frequency": textops.q_word_frequency,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "doc_quality": textops.q_doc_quality,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
         "token_counts_bpe": textops.token_counts_bpe_oracle_sql(),
+        "stratified_sample": textops.Q_STRATIFIED_SAMPLE_SQL,
         "word_frequency": textops.Q_WORD_FREQ_SQL,
         "tfidf_top_terms": textops.Q_TFIDF_SQL,
         "doc_quality": textops.Q_DOC_QUALITY_SQL,

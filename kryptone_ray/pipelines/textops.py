@@ -320,3 +320,37 @@ SELECT source,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
+
+
+def q_stratified_sample(sf_dir: str, rate: float = 0.25) -> pd.DataFrame:
+    """Deterministic stratified downsampling — the training-data op a
+    100-TB pipeline runs constantly: keep a fixed fraction per language
+    stratum, selected by an INTEGER multiplicative hash of the doc id
+    (Knuth 2654435761 mod 2^32) so the sample is reproducible across
+    runs, engines and partitionings (no RNG state, no shuffle; the same
+    arithmetic is the SQL oracle). Per-batch filter + partial counts;
+    returns per-lang kept/total."""
+    ds = T(sf_dir, "documents", columns=["doc_id", "lang"])
+    cut = np.int64(int(rate * (1 << 32)))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["doc_id"].to_numpy().astype(np.int64)
+             * np.int64(2654435761)) % np.int64(1 << 32)
+        df["kept"] = (h < cut).astype("int64")
+        return df[["lang", "kept"]]
+
+    out = partial_sum_count(
+        ds.map_batches(f, batch_format="pandas", batch_size=65536),
+        keys=["lang"], sums={"n_kept": "kept"}, count_name="n_total")
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_STRATIFIED_SAMPLE_SQL = """
+SELECT lang,
+       CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296
+                          < CAST(0.25 * 4294967296 AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       count(*) AS n_total
+FROM documents GROUP BY lang ORDER BY lang
+"""
