@@ -25,18 +25,21 @@ from kryptone_ray.pipelines.common import T
 from kryptone_ray.utils.xxh64 import xxh64, xxh64_batch, xxh64_padded
 
 
-def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+def q_dedup_exact(sf_dir: str):
     """Exact dedup: one representative (min doc_id) per distinct text +
     duplicate count. Hash-partitioned groupby on the content hash; the
-    text itself never shuffles (only hash + doc_id)."""
-    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
-           rows_per_block=8192)  # parallel hashing on one-file tables
+    text itself never shuffles (only hash + doc_id).
 
-    # partial-aggregate shape: per batch, one (hash, min doc_id, count)
-    # row per DISTINCT text — the text never leaves its batch, only the
-    # hash partials shuffle to the (tiny) final combine. At 10^10 docs
-    # the final combine becomes groupby(text_hash) over partials; here
-    # the partials are already small enough for the driver.
+    Partial-aggregate shape: per batch, one (hash, min doc_id, count)
+    row per DISTINCT text. Below the gate the partials combine on the
+    driver; above it (the driver combine grows with DISTINCT-text
+    cardinality — at 10^10 docs it would be the whole dedup table) the
+    partials hash-repartition by text_hash and combine per block,
+    streaming the result as a Dataset."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["text_hash"] = xxh64_batch(df["text"].tolist()).astype("int64")
         g = df.groupby("text_hash", sort=False)["doc_id"]
@@ -44,12 +47,30 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
             {"doc_id": g.min(), "n_dups": g.size()}
         ).reset_index()
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=8192).to_pandas()
-    g = parts.groupby("text_hash", sort=False)
-    out = pd.DataFrame(
-        {"doc_id": g["doc_id"].min(), "n_dups": g["n_dups"].sum()}
-    ).reset_index(drop=True)
-    return out.sort_values("doc_id").reset_index(drop=True)
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_hash", sort=False)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"].min().astype("int64"),
+             "n_dups": g["n_dups"].sum().astype("int64")}
+        ).reset_index(drop=True)
+
+    n_docs = parquet_rows(sf_dir, "documents")
+    if n_docs < MINHASH_DISTRIBUTED_MIN_DOCS:
+        ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=8192)  # parallel hashing on one-file tables
+        parts = ds.map_batches(partial, batch_format="pandas",
+                               batch_size=8192).to_pandas()
+        out = combine(parts)
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    with hash_shuffle():
+        ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=8192)
+        return ds.map_batches(partial, batch_format="pandas",
+                              batch_size=8192) \
+            .repartition(num_blocks=join_partitions(n_docs),
+                         keys=["text_hash"]) \
+            .map_batches(combine, batch_format="pandas", batch_size=None)
 
 
 Q_DEDUP_EXACT_SQL = """

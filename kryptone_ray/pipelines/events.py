@@ -168,17 +168,55 @@ FROM sized GROUP BY user_id ORDER BY user_id
 
 
 def q_events_topk_users(sf_dir: str) -> pd.DataFrame:
-    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+    """Top-10 users by total value. Per-batch Arrow partials either way;
+    below the gate the (user, batch) partials combine on the driver,
+    above it (user cardinality grows with the table — the driver combine
+    would BE the user table at 10^10 rows) they hash-repartition by user
+    so each block's combine is globally exact for its users, each block
+    emits a LOCAL top-10, and the driver merges 10 × n_blocks rows —
+    the word_frequency at-scale top-k shape."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows,
+                                               partial_sum_count_arrow)
 
-    ds = T(sf_dir, "events", columns=["user_id", "value"]) \
-        .map_batches(lambda t: _cents_arrow(t, ["user_id"]),
-                     batch_format="pyarrow", batch_size=65536)
-    agg = partial_sum_count_arrow(ds, keys=["user_id"],
-                                  sums={"cents": "cents"}, count_name="n")
-    agg["total_value"] = agg.pop("cents") / 100.0
-    agg = agg[["user_id", "total_value", "n"]]
-    agg = agg.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
-    return agg.reset_index(drop=True)
+    def finish(agg: pd.DataFrame) -> pd.DataFrame:
+        agg["total_value"] = agg.pop("cents") / 100.0
+        agg = agg[["user_id", "total_value", "n"]]
+        return agg.sort_values(["total_value", "user_id"],
+                               ascending=[False, True]).head(10)
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        ds = T(sf_dir, "events", columns=["user_id", "value"]) \
+            .map_batches(lambda t: _cents_arrow(t, ["user_id"]),
+                         batch_format="pyarrow", batch_size=65536)
+        agg = partial_sum_count_arrow(ds, keys=["user_id"],
+                                      sums={"cents": "cents"},
+                                      count_name="n")
+        return finish(agg).reset_index(drop=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False)["cents"].agg(["sum", "size"])
+        g.columns = ["cents", "n"]
+        return g.reset_index()
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False, as_index=False).sum()
+        return finish(g)
+
+    with hash_shuffle():
+        ds = T(sf_dir, "events", columns=["user_id", "value"]) \
+            .map_batches(lambda t: _cents_arrow(t, ["user_id"]),
+                         batch_format="pyarrow", batch_size=65536) \
+            .map_batches(partial, batch_format="pandas", batch_size=65536)
+        cand = ds.repartition(num_blocks=join_partitions(n_rows),
+                              keys=["user_id"]) \
+            .map_batches(block_topk, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    return cand.sort_values(["total_value", "user_id"],
+                            ascending=[False, True]).head(10) \
+        .reset_index(drop=True)
 
 
 Q_EVENTS_TOPK_SQL = """

@@ -140,6 +140,10 @@ def main() -> None:
     timings = {}
     t0 = time.time()
     exact = dedup.q_dedup_exact(str(OUT))
+    import ray.data as _rd
+
+    if isinstance(exact, _rd.Dataset):  # distributed path above the gate
+        exact = exact.to_pandas()
     timings["dedup_exact"] = round(time.time() - t0, 2)
     n_exact_dups = int((exact["n_dups"] > 1).sum())
 

@@ -130,3 +130,23 @@ def test_q5_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = relational.q5_nation_volume(SF)
     pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_exact_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import dedup
+
+    small = _df(dedup.q_dedup_exact(SF))
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    big = _df(dedup.q_dedup_exact(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_users_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_topk_users(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_topk_users(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
