@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.q_part_type_stats,
         "orders_monthly": relational.q_orders_monthly,
         "customer_balance_stats": relational.q_customer_balance_stats,
+        "top_orders_per_customer": relational.q_top_orders_per_customer,
+        "customers_no_urgent": relational.q_customers_no_urgent,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -124,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": events.q_events_asof_orders,
         "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
         "hll_distinct_users": events.q_hll_distinct_users,
+        "events_value_band_join": events.q_events_value_band_join,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
@@ -166,6 +169,8 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": relational.Q_PART_TYPE_SQL,
         "orders_monthly": relational.Q_ORDERS_MONTHLY_SQL,
         "customer_balance_stats": relational.Q_CUSTOMER_BALANCE_SQL,
+        "top_orders_per_customer": relational.Q_TOP_ORDERS_PER_CUSTOMER_SQL,
+        "customers_no_urgent": relational.Q_CUSTOMERS_NO_URGENT_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
@@ -187,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_orders": events.Q_EVENTS_ASOF_SQL,
         # same semantics, sort-merge strategy — same oracle
         "events_asof_sortmerge": events.Q_EVENTS_ASOF_SQL,
+        "events_value_band_join": events.Q_EVENTS_VALUE_BAND_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         # re-derives urlparse fields from raw strings with SQL string ops

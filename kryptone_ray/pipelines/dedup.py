@@ -854,6 +854,13 @@ def q_neardup_clusters(sf_dir: str, bands: int = 16,
     pinned permutation seed; transitivity property-tested (a→b→c chains
     collapse into one cluster)."""
     pairs = q_minhash_lsh_pairs(sf_dir, bands=bands, threshold=threshold)
+    return _union_find_clusters(pairs, "doc_a", "doc_b")
+
+
+def _union_find_clusters(pairs: pd.DataFrame, col_a: str,
+                         col_b: str) -> pd.DataFrame:
+    """Driver union-find (path compression + union-by-size, O(pairs α))
+    over a density-bounded pair list → (representative, n_members)."""
     parent: dict[int, int] = {}
     size: dict[int, int] = {}
 
@@ -865,7 +872,7 @@ def q_neardup_clusters(sf_dir: str, bands: int = 16,
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+    for a, b in zip(pairs[col_a], pairs[col_b]):
         a, b = int(a), int(b)
         ra, rb = find(a), find(b)
         if ra == rb:
@@ -876,11 +883,13 @@ def q_neardup_clusters(sf_dir: str, bands: int = 16,
         size[ra] = size.get(ra, 1) + size.get(rb, 1)
 
     members: dict[int, list[int]] = {}
-    nodes = set(map(int, pairs["doc_a"])) | set(map(int, pairs["doc_b"]))
+    nodes = set(map(int, pairs[col_a])) | set(map(int, pairs[col_b]))
     for n in nodes:
         members.setdefault(find(n), []).append(n)
     rows = [(min(v), len(v)) for v in members.values()]
     out = pd.DataFrame(rows, columns=["representative", "n_members"])
+    out["representative"] = out["representative"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
     return out.sort_values("representative").reset_index(drop=True)
 
 

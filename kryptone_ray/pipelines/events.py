@@ -505,3 +505,109 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
             regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
         out.append((et, int(round(hll_estimate(regs)))))
     return pd.DataFrame(out, columns=["event_type", "approx_distinct_users"])
+
+
+def q_events_value_band_join(sf_dir: str, band_cents: int = 5) -> pd.DataFrame:
+    """NON-EQUI RANGE (BAND) JOIN — no equality key at all: every
+    (event, customer) pair where the customer's account balance falls
+    within ±``band_cents`` of the event value. The reference's
+    numeric-window matching (price-comparison shape, parse_price /
+    audit thresholds) expressed as a first-class distributed operator.
+
+    Scale shape (the classic bucketized range join): both sides compare
+    in exact integer cents. The numeric domain is cut into fixed-width
+    buckets (width >= band, so an interval overlaps at most 2);
+    customers emit ONE row to their point bucket, events emit one row
+    per bucket their ±band interval overlaps (<=2), then a hash
+    repartition on ``bucket`` co-locates every possibly-matching pair
+    and each block finishes locally with a sort + searchsorted window
+    sweep — each qualifying pair is produced exactly once (in the
+    customer's point bucket), so no distinct pass is needed. The
+    shuffle moves O(n) rows regardless of match density; nothing is
+    ever broadcast. Below the gate the bucket partials merge on the
+    driver (same emit/match code) instead of paying the shuffle's
+    fixed cost."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows)
+
+    width = max(100, 2 * band_cents)  # bucket width in cents
+    n_events = parquet_rows(sf_dir, "events")
+
+    def emit_events(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["value"] * 100).round().astype("int64")
+        lo = (cents - band_cents) // width
+        hi = (cents + band_cents) // width
+        base = pd.DataFrame({"bucket": lo, "cents": cents,
+                             "rid": df["event_id"], "is_probe": True})
+        spill = base.loc[hi != lo].assign(bucket=hi[hi != lo])
+        return pd.concat([base, spill], ignore_index=True)
+
+    def emit_cust(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        return pd.DataFrame({"bucket": cents // width, "cents": cents,
+                             "rid": df["c_custkey"], "is_probe": False})
+
+    def band_block(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["is_probe"]]
+        cu = df[~df["is_probe"]]
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "c_custkey": pd.Series(dtype="int64")})
+        if ev.empty or cu.empty:
+            return empty
+        out = []
+        # per-bucket window sweep: sort customers once, binary-search
+        # each event's [cents-band, cents+band] window
+        for _, g in df.groupby("bucket", sort=False):
+            e = g[g["is_probe"]]
+            c = g[~g["is_probe"]].sort_values("cents", kind="stable")
+            if e.empty or c.empty:
+                continue
+            cc = c["cents"].to_numpy()
+            cid = c["rid"].to_numpy()
+            lo = np.searchsorted(cc, e["cents"].to_numpy() - band_cents, "left")
+            hi = np.searchsorted(cc, e["cents"].to_numpy() + band_cents, "right")
+            n = hi - lo
+            keep = n > 0
+            if not keep.any():
+                continue
+            eids = np.repeat(e["rid"].to_numpy()[keep], n[keep])
+            idx = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo[keep], hi[keep])])
+            out.append(pd.DataFrame({"event_id": eids,
+                                     "c_custkey": cid[idx]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    def build_sides():
+        # shuffle strategy is captured at dataset CREATION — build the
+        # reads inside whichever context the branch needs
+        ev = T(sf_dir, "events", columns=["event_id", "value"]) \
+            .map_batches(emit_events, batch_format="pandas",
+                         batch_size=65536)
+        cu = T(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]) \
+            .map_batches(emit_cust, batch_format="pandas",
+                         batch_size=65536)
+        return ev, cu
+
+    if n_events < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        ev, cu = build_sides()
+        out = band_block(pd.concat([ev.to_pandas(), cu.to_pandas()],
+                                   ignore_index=True))
+    else:
+        with hash_shuffle():
+            ev, cu = build_sides()
+            out = ev.union(cu).repartition(
+                num_blocks=join_partitions(n_events), keys=["bucket"]) \
+                .map_batches(band_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out = out.astype("int64")
+    return out.sort_values(["event_id", "c_custkey"]).reset_index(drop=True)
+
+
+Q_EVENTS_VALUE_BAND_SQL = """
+SELECT e.event_id, c.c_custkey
+FROM events e JOIN customer c
+  ON abs(CAST(round(c.c_acctbal * 100) AS BIGINT)
+         - CAST(round(e.value * 100) AS BIGINT)) <= 5
+ORDER BY e.event_id, c.c_custkey
+"""

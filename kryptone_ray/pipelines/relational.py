@@ -709,3 +709,148 @@ SELECT c_mktsegment,
        count(*) AS n
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def q_top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """WINDOW RANK / top-k PER GROUP (``row_number() OVER (PARTITION BY
+    ... ORDER BY ...)`` shape — the reference's per-domain "best pages"
+    ranking, seo.py audit ordering analog): the k highest-value orders
+    of every customer with their rank.
+
+    Scale shape: top-k per key is a semilattice — per-batch PARTIAL
+    top-k inside ``map_batches`` first (each batch emits at most
+    k rows per key it saw), so the shuffle moves O(k × keys), never the
+    fact table. Below the gate the partials merge on the driver; above
+    it they hash-repartition by key and each block finishes its keys
+    independently (``batch_size=None`` = one complete hash partition,
+    see join_partitions invariant). Ordering ties broken by o_orderkey
+    asc — prices compare in exact integer cents on both sides."""
+    n_orders = parquet_rows(sf_dir, "orders")
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o_custkey": df["o_custkey"], "o_orderkey": df["o_orderkey"],
+             "cents": (df["o_totalprice"] * 100).round().astype("int64")})
+        out = out.sort_values(["o_custkey", "cents", "o_orderkey"],
+                              ascending=[True, False, True], kind="stable")
+        return out.groupby("o_custkey", sort=False).head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "cents", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("o_custkey", sort=False).head(k).copy()
+        df["rnk"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        return df
+
+    def build_parts():
+        # the shuffle strategy is captured at dataset CREATION, so the
+        # read is (re)built inside whichever context the branch needs
+        return T(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_totalprice"]) \
+            .map_batches(partial_topk, batch_format="pandas",
+                         batch_size=65536)
+
+    if n_orders < DISTRIBUTED_JOIN_MIN_ROWS:
+        out = final_topk(build_parts().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            # partials are k×keys-sized; repartition them, not orders
+            out = build_parts().repartition(
+                num_blocks=join_partitions(n_orders, rows_per_partition=500_000),
+                keys=["o_custkey"]) \
+                .map_batches(final_topk, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out["o_totalprice"] = out.pop("cents") / 100.0
+    out["rnk"] = out["rnk"].astype("int64")
+    out = out[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
+    return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+Q_TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, rn AS rnk, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= 3
+ORDER BY o_custkey, rnk
+"""
+
+
+def q_customers_no_urgent(sf_dir: str) -> pd.DataFrame:
+    """ANTI JOIN (``NOT EXISTS`` shape — the reference's seen-set
+    exclusion `urls_to_visit - visited_urls`, base.py add_urls analog,
+    expressed relationally): customers with no '1-URGENT' order.
+
+    Scale shape: the probe side pre-shrinks to DISTINCT custkeys per
+    batch (bounded by customer count, never orders). Below the gate the
+    distinct-key partials and the customer table anti-join on the
+    driver; above it both sides tag-union and hash-repartition by key
+    so each block anti-joins its keys locally — no broadcast of a
+    with-scale-growing side ever happens (BROADCAST_MAX_ROWS note on
+    q5)."""
+    n_orders = parquet_rows(sf_dir, "orders")
+
+    def urgent_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["o_orderpriority"] == "1-URGENT"]
+        return pd.DataFrame({"key": sub["o_custkey"].unique()})
+
+    def build_probe():
+        return T(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderpriority"]) \
+            .map_batches(urgent_keys, batch_format="pandas",
+                         batch_size=65536)
+
+    def build_cust():
+        return T(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    if n_orders < DISTRIBUTED_JOIN_MIN_ROWS:
+        have = build_probe().to_pandas()["key"].unique()
+        cdf = build_cust().to_pandas()
+        out = cdf[~cdf["c_custkey"].isin(have)]
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["c_custkey"],
+                                 "c_mktsegment": df["c_mktsegment"],
+                                 "is_probe": False})
+
+        def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["key"],
+                                 "c_mktsegment": "", "is_probe": True})
+
+        def anti_block(df: pd.DataFrame) -> pd.DataFrame:
+            have = df.loc[df["is_probe"], "key"].unique()
+            sub = df[~df["is_probe"] & ~df["key"].isin(have)]
+            return pd.DataFrame({"c_custkey": sub["key"],
+                                 "c_mktsegment": sub["c_mktsegment"]})
+
+        with hash_shuffle():
+            both = build_cust().map_batches(
+                tag_cust, batch_format="pandas", batch_size=65536) \
+                .union(build_probe().map_batches(
+                    tag_probe, batch_format="pandas", batch_size=65536))
+            out = both.repartition(
+                num_blocks=join_partitions(parquet_rows(sf_dir, "customer")),
+                keys=["key"]) \
+                .map_batches(anti_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out = out[["c_custkey", "c_mktsegment"]]
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUSTOMERS_NO_URGENT_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""

@@ -150,3 +150,33 @@ def test_topk_users_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
     big = events.q_events_topk_users(SF)
     pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_orders_per_customer_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = relational.q_top_orders_per_customer(SF)
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = relational.q_top_orders_per_customer(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_customers_no_urgent_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = relational.q_customers_no_urgent(SF)
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = relational.q_customers_no_urgent(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_band_join_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_value_band_join(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_value_band_join(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
