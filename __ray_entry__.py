@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_stats": relational.q_customer_balance_stats,
         "top_orders_per_customer": relational.q_top_orders_per_customer,
         "customers_no_urgent": relational.q_customers_no_urgent,
+        "orders_rollup": relational.q_orders_rollup,
+        "acctbal_quantiles": relational.q_acctbal_quantiles,
+        "customer_running_spend": relational.q_customer_running_spend,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -127,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
         "hll_distinct_users": events.q_hll_distinct_users,
         "events_value_band_join": events.q_events_value_band_join,
+        "events_gap_to_next": events.q_events_gap_to_next,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
@@ -171,6 +175,9 @@ def oracle_sql() -> dict[str, str]:
         "customer_balance_stats": relational.Q_CUSTOMER_BALANCE_SQL,
         "top_orders_per_customer": relational.Q_TOP_ORDERS_PER_CUSTOMER_SQL,
         "customers_no_urgent": relational.Q_CUSTOMERS_NO_URGENT_SQL,
+        "orders_rollup": relational.Q_ORDERS_ROLLUP_SQL,
+        "acctbal_quantiles": relational.Q_ACCTBAL_QUANTILES_SQL,
+        "customer_running_spend": relational.Q_CUSTOMER_RUNNING_SPEND_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
@@ -193,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         # same semantics, sort-merge strategy — same oracle
         "events_asof_sortmerge": events.Q_EVENTS_ASOF_SQL,
         "events_value_band_join": events.Q_EVENTS_VALUE_BAND_SQL,
+        "events_gap_to_next": events.Q_EVENTS_GAP_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         # re-derives urlparse fields from raw strings with SQL string ops

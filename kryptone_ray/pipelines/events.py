@@ -611,3 +611,56 @@ FROM events e JOIN customer c
          - CAST(round(e.value * 100) AS BIGINT)) <= 5
 ORDER BY e.event_id, c.c_custkey
 """
+
+
+def q_events_gap_to_next(sf_dir: str) -> pd.DataFrame:
+    """OFFSET WINDOW (``lead() OVER (PARTITION BY user ORDER BY ts)``
+    shape — the reference's inter-request politeness gap measurement,
+    base.py wait-loop timing): per event, the exact microseconds until
+    the SAME user's next event; a user's last event emits nothing.
+
+    Scale shape: identical partitioning requirement to sessionization —
+    each user's full history in one block — so it reuses the same
+    hash-repartition-by-user layout (footer-sized partition count)
+    with one vectorized sort + shift(-1) pass per block, and the same
+    driver pass below the gate. Ties on ts broken by event_id."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows)
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        same = df["user_id"].eq(df["user_id"].shift(-1))
+        # exact integer microseconds (ns view // 1000) — a float
+        # seconds delta truncates differently than SQL's boundary count
+        gap = (df["ts"].shift(-1) - df["ts"]).astype("timedelta64[ns]")
+        out = pd.DataFrame({"event_id": df["event_id"],
+                            "user_id": df["user_id"],
+                            "gap_us": gap.astype("int64") // 1000})[same]
+        return out
+
+    def build():
+        return T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        out = gaps(build().to_pandas())
+    else:
+        with hash_shuffle():
+            out = build().repartition(
+                num_blocks=join_partitions(n_rows),
+                keys=["user_id"]) \
+                .map_batches(gaps, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+Q_EVENTS_GAP_SQL = """
+WITH e AS (SELECT user_id, event_id, ts,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_id, user_id,
+       CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS gap_us
+FROM e WHERE nxt IS NOT NULL ORDER BY event_id
+"""

@@ -12,6 +12,7 @@ tables instead of shuffle-joining them.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from kryptone_ray.pipelines.common import (
@@ -853,4 +854,176 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 ORDER BY c_custkey
+"""
+
+
+def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUPING SETS / ROLLUP (``GROUP BY ROLLUP(year, priority)``
+    shape — the reference's nested url_distribution → per-domain →
+    global rollups, seo.py audit summary levels): order totals at
+    (year, priority), (year) and grand-total granularity in ONE pass.
+
+    Scale shape: the fact table reduces per batch to the FINEST level
+    only (one row per (year, priority) per batch — bounded by ~7 years
+    × 5 priorities regardless of table size), the coarser levels
+    derive from that combine on the driver with plain pandas groupbys.
+    No second scan, no shuffle beyond the tiny partials. Sentinels
+    (yr=-1, priority='ALL') encode the rolled-up levels so the hash
+    compare never sees NULL grouping keys."""
+    ds = T(sf_dir, "orders",
+           columns=["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        yr = pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        return pa.table([yr, t["o_orderpriority"], cents],
+                        names=["yr", "pri", "cents"])
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    fine = partial_sum_count_arrow(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        keys=["yr", "pri"], sums={"cents": "cents"}, count_name="n")
+
+    by_year = fine.groupby("yr", as_index=False)[["cents", "n"]].sum()
+    by_year["pri"] = "ALL"
+    total = pd.DataFrame({"yr": [-1], "pri": ["ALL"],
+                          "cents": [fine["cents"].sum()],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_year, total], ignore_index=True)
+    out["total_price"] = out.pop("cents") / 100.0
+    out["n"] = out["n"].astype("int64")
+    out = out.rename(columns={"pri": "o_orderpriority"})
+    out = out[["yr", "o_orderpriority", "total_price", "n"]]
+    return out.sort_values(["yr", "o_orderpriority"]).reset_index(drop=True)
+
+
+Q_ORDERS_ROLLUP_SQL = """
+WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT COALESCE(yr, -1) AS yr,
+       COALESCE(pri, 'ALL') AS o_orderpriority,
+       sum(cents) / 100.0 AS total_price, count(*) AS n
+FROM o GROUP BY ROLLUP(yr, pri)
+ORDER BY yr, o_orderpriority
+"""
+
+
+def q_acctbal_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT DISTRIBUTED QUANTILES per group (p25/p50/p75/p90 of
+    account balance per market segment) via value-count histograms —
+    the reference's Performance percentile reporting shape.
+
+    Scale shape: balances are exact 2-decimal money → the integer-cents
+    DOMAIN is bounded (~1.1M distinct values for TPC-H's [-999.99,
+    9999.99] range) no matter how many rows exist, so per-batch
+    ``value_counts`` partials (one row per (segment, cents) per batch)
+    combine on the driver into an exact histogram; quantiles read off
+    the cumsum with searchsorted. The fact table never shuffles and the
+    driver holds O(segments × domain), not O(rows). For unbounded
+    domains the same shape degrades to a t-digest/KLL sketch — this
+    operator deliberately exploits the fixed-point domain for
+    EXACTNESS. Quantile rule (matches the SQL oracle exactly): value at
+    1-based position ceil(q × n) of the sorted column."""
+    ds = T(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        out = pd.DataFrame({"seg": df["c_mktsegment"], "cents": cents}) \
+            .groupby(["seg", "cents"], sort=False).size().reset_index(name="n")
+        return out
+
+    parts = ds.map_batches(hist, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    h = parts.groupby(["seg", "cents"], as_index=False)["n"].sum()
+
+    qs = [0.25, 0.50, 0.75, 0.90]
+    rows = []
+    for seg, g in h.groupby("seg", sort=True):
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy()
+        values = g["cents"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        picks = [values[np.searchsorted(cum, int(np.ceil(q * n)), "left")]
+                 for q in qs]
+        rows.append([seg] + [p / 100.0 for p in picks])
+    out = pd.DataFrame(rows, columns=["c_mktsegment", "p25", "p50",
+                                      "p75", "p90"])
+    return out.reset_index(drop=True)
+
+
+Q_ACCTBAL_QUANTILES_SQL = """
+WITH c AS (SELECT c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+r AS (SELECT c_mktsegment, cents,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM c)
+SELECT c_mktsegment,
+       max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN cents END) / 100.0 AS p25,
+       max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN cents END) / 100.0 AS p50,
+       max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN cents END) / 100.0 AS p75,
+       max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN cents END) / 100.0 AS p90
+FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_customer_running_spend(sf_dir: str) -> pd.DataFrame:
+    """ORDERED PREFIX AGGREGATE (``sum() OVER (PARTITION BY ... ORDER
+    BY ...)`` running total — the reference's cumulative Performance
+    counters across iterations): each order annotated with the
+    customer's cumulative spend up to and including it.
+
+    Scale shape: running sums are NOT batch-decomposable (each row
+    needs every earlier row of its key), so the distributed path
+    hash-partitions by customer — every customer's orders in ONE block,
+    partition count footer-sized — and runs one vectorized
+    sort + grouped-cumsum pass per block. Below the gate the same pass
+    runs once on the driver. Ordering ties broken by o_orderkey;
+    sums in integer cents."""
+    n_orders = parquet_rows(sf_dir, "orders")
+
+    def running(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="stable")
+        cents = (df["o_totalprice"] * 100).round().astype("int64")
+        run = cents.groupby(df["o_custkey"], sort=False).cumsum()
+        return pd.DataFrame({"o_custkey": df["o_custkey"],
+                             "o_orderkey": df["o_orderkey"],
+                             "running_spend": run / 100.0})
+
+    def build():
+        return T(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_orderdate",
+                          "o_totalprice"])
+
+    if n_orders < DISTRIBUTED_JOIN_MIN_ROWS:
+        out = running(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            out = build().repartition(
+                num_blocks=join_partitions(n_orders),
+                keys=["o_custkey"]) \
+                .map_batches(running, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+Q_CUSTOMER_RUNNING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) / 100.0 AS running_spend
+FROM orders ORDER BY o_custkey, o_orderkey
 """

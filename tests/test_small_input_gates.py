@@ -180,3 +180,23 @@ def test_value_band_join_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
     big = events.q_events_value_band_join(SF)
     pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_spend_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = relational.q_customer_running_spend(SF)
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = relational.q_customer_running_spend(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gap_to_next_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_gap_to_next(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_gap_to_next(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
