@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": relational.q_orders_rollup,
         "acctbal_quantiles": relational.q_acctbal_quantiles,
         "customer_running_spend": relational.q_customer_running_spend,
+        "orders_with_returns": relational.q_orders_with_returns,
+        "customers_above_segment_avg": relational.q_customers_above_segment_avg,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -131,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": events.q_hll_distinct_users,
         "events_value_band_join": events.q_events_value_band_join,
         "events_gap_to_next": events.q_events_gap_to_next,
+        "events_pivot_daily": events.q_events_pivot_daily,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
@@ -178,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": relational.Q_ORDERS_ROLLUP_SQL,
         "acctbal_quantiles": relational.Q_ACCTBAL_QUANTILES_SQL,
         "customer_running_spend": relational.Q_CUSTOMER_RUNNING_SPEND_SQL,
+        "orders_with_returns": relational.Q_ORDERS_WITH_RETURNS_SQL,
+        "customers_above_segment_avg": relational.Q_CUSTOMERS_ABOVE_SEGMENT_AVG_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
@@ -201,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_sortmerge": events.Q_EVENTS_ASOF_SQL,
         "events_value_band_join": events.Q_EVENTS_VALUE_BAND_SQL,
         "events_gap_to_next": events.Q_EVENTS_GAP_SQL,
+        "events_pivot_daily": events.Q_EVENTS_PIVOT_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         # re-derives urlparse fields from raw strings with SQL string ops

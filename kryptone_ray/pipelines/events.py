@@ -664,3 +664,59 @@ SELECT event_id, user_id,
        CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS gap_us
 FROM e WHERE nxt IS NOT NULL ORDER BY event_id
 """
+
+
+# the event_type domain is CLOSED (generator-fixed 5 values) — pivot
+# output columns are deterministic, independent of which types a given
+# slice of data happens to contain
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot_daily(sf_dir: str) -> pd.DataFrame:
+    """PIVOT / CROSSTAB (``count(*) FILTER (WHERE type = ...)`` wide
+    table — the reference's per-domain × per-verdict URL census,
+    url_distribution rotated): one row per calendar day with a count
+    column per event type.
+
+    Scale shape: per-batch (day, type) partials — bounded by
+    days × 5 types per batch regardless of row count — combine on the
+    driver and rotate wide there; the fact table never shuffles and
+    nothing wider than the final crosstab materializes. Days with no
+    events of a type get 0 (the closed-domain contract above)."""
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    ds = T(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        one = pa.array(np.ones(len(t), dtype=np.int64))
+        return pa.table([day, t["event_type"], one],
+                        names=["day", "event_type", "one"])
+
+    long = partial_sum_count_arrow(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        keys=["day", "event_type"], sums={"n": "one"})
+    wide = long.pivot_table(index="day", columns="event_type", values="n",
+                            fill_value=0, aggfunc="sum")
+    for et in EVENT_TYPES:
+        if et not in wide.columns:
+            wide[et] = 0
+    out = wide[EVENT_TYPES].astype("int64").reset_index()
+    out.columns = ["day"] + [f"n_{et}" for et in EVENT_TYPES]
+    out.columns.name = None
+    return out.sort_values("day").reset_index(drop=True)
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY day ORDER BY day
+"""

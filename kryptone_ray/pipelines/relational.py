@@ -1027,3 +1027,135 @@ SELECT o_custkey, o_orderkey,
        ) / 100.0 AS running_spend
 FROM orders ORDER BY o_custkey, o_orderkey
 """
+
+
+def q_orders_with_returns(sf_dir: str) -> pd.DataFrame:
+    """SEMI JOIN (``EXISTS`` shape — the reference's has-been-visited
+    membership test, the positive twin of the seen-set anti join):
+    orders having at least one returned ('R') line item; the lineitem
+    payload never appears in the output.
+
+    Scale shape: mirror of q_customers_no_urgent — the probe side
+    pre-shrinks to DISTINCT returned orderkeys per batch, then below
+    the gate the key partials and the orders table semi-join on the
+    driver; above it both sides tag-union, hash-repartition by
+    orderkey, and each block keeps its orders whose key appears among
+    its probe rows. No broadcast of a scale-growing side."""
+    n_li = parquet_rows(sf_dir, "lineitem")
+
+    def ret_keys(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["l_returnflag"] == "R"]
+        return pd.DataFrame({"key": sub["l_orderkey"].unique()})
+
+    def build_probe():
+        return T(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_returnflag"]) \
+            .map_batches(ret_keys, batch_format="pandas",
+                         batch_size=65536)
+
+    def build_orders():
+        return T(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    if n_li < DISTRIBUTED_JOIN_MIN_ROWS:
+        have = build_probe().to_pandas()["key"].unique()
+        odf = build_orders().to_pandas()
+        out = odf[odf["o_orderkey"].isin(have)].copy()
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["o_orderkey"],
+                                 "o_totalprice": df["o_totalprice"],
+                                 "is_probe": False})
+
+        def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["key"], "o_totalprice": 0.0,
+                                 "is_probe": True})
+
+        def semi_block(df: pd.DataFrame) -> pd.DataFrame:
+            have = df.loc[df["is_probe"], "key"].unique()
+            sub = df[~df["is_probe"] & df["key"].isin(have)]
+            return pd.DataFrame({"o_orderkey": sub["key"],
+                                 "o_totalprice": sub["o_totalprice"]})
+
+        with hash_shuffle():
+            both = build_orders().map_batches(
+                tag_orders, batch_format="pandas", batch_size=65536) \
+                .union(build_probe().map_batches(
+                    tag_probe, batch_format="pandas", batch_size=65536))
+            out = both.repartition(
+                num_blocks=join_partitions(parquet_rows(sf_dir, "orders")),
+                keys=["key"]) \
+                .map_batches(semi_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out["o_totalprice"] = (out["o_totalprice"] * 100).round() / 100.0
+    out = out[["o_orderkey", "o_totalprice"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+Q_ORDERS_WITH_RETURNS_SQL = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+ORDER BY o_orderkey
+"""
+
+
+def q_customers_above_segment_avg(sf_dir: str) -> pd.DataFrame:
+    """CORRELATED SUBQUERY / grouped-average filter (``c_acctbal >
+    (SELECT avg(...) ... same segment)`` — the reference's
+    above-average-frequency term filter in TFIDFProcessor): customers
+    whose balance strictly exceeds their market segment's average.
+
+    Scale shape: decorrelates into (1) a per-segment sum/count from
+    per-batch partials — output bounded by the 5-value segment domain
+    regardless of row count, so broadcasting it is ALWAYS safe (unlike
+    the q5 key→nation dicts, which grow with SF) — and (2) one
+    map-only filter pass. The comparison is exact integer arithmetic:
+    ``cents × n > sum_cents`` instead of a float average, so pipeline
+    and oracle agree bit-for-bit."""
+    from kryptone_ray.pipelines.common import partial_sum_count
+
+    def cents_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"seg": df["c_mktsegment"],
+             "cents": (df["c_acctbal"] * 100).round().astype("int64")})
+
+    stats = partial_sum_count(
+        T(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+        .map_batches(cents_prep, batch_format="pandas", batch_size=65536),
+        keys=["seg"], sums={"sum_cents": "cents"}, count_name="n")
+    sums = dict(zip(stats["seg"], stats["sum_cents"]))
+    ns = dict(zip(stats["seg"], stats["n"]))
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (df["c_acctbal"] * 100).round().astype("int64")
+        seg = df["c_mktsegment"]
+        keep = cents * seg.map(ns).astype("int64") \
+            > seg.map(sums).astype("int64")
+        sub = df[keep]
+        return pd.DataFrame({"c_custkey": sub["c_custkey"],
+                             "c_mktsegment": sub["c_mktsegment"],
+                             "c_acctbal": cents[keep] / 100.0})
+
+    out = T(sf_dir, "customer",
+            columns=["c_custkey", "c_mktsegment", "c_acctbal"]) \
+        .map_batches(above, batch_format="pandas",
+                     batch_size=65536).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUSTOMERS_ABOVE_SEGMENT_AVG_SQL = """
+WITH c AS (SELECT c_custkey, c_mktsegment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+s AS (SELECT c_mktsegment, sum(cents) AS sum_cents, count(*) AS n
+      FROM c GROUP BY c_mktsegment)
+SELECT c.c_custkey, c.c_mktsegment, c.cents / 100.0 AS c_acctbal
+FROM c JOIN s USING (c_mktsegment)
+WHERE c.cents * s.n > s.sum_cents
+ORDER BY c.c_custkey
+"""

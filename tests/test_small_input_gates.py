@@ -200,3 +200,13 @@ def test_gap_to_next_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
     big = events.q_events_gap_to_next(SF)
     pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_with_returns_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = relational.q_orders_with_returns(SF)
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = relational.q_orders_with_returns(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
