@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_quantiles": relational.q_acctbal_quantiles,
         "customer_running_spend": relational.q_customer_running_spend,
         "orders_with_returns": relational.q_orders_with_returns,
+        "orders_with_returns_bloom": relational.q_orders_with_returns_bloom,
         "customers_above_segment_avg": relational.q_customers_above_segment_avg,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
@@ -182,6 +183,8 @@ def oracle_sql() -> dict[str, str]:
         "acctbal_quantiles": relational.Q_ACCTBAL_QUANTILES_SQL,
         "customer_running_spend": relational.Q_CUSTOMER_RUNNING_SPEND_SQL,
         "orders_with_returns": relational.Q_ORDERS_WITH_RETURNS_SQL,
+        # same semantics, Bloom-pruned strategy — same oracle
+        "orders_with_returns_bloom": relational.Q_ORDERS_WITH_RETURNS_SQL,
         "customers_above_segment_avg": relational.Q_CUSTOMERS_ABOVE_SEGMENT_AVG_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,

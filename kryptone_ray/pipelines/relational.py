@@ -1159,3 +1159,117 @@ FROM c JOIN s USING (c_mktsegment)
 WHERE c.cents * s.n > s.sum_cents
 ORDER BY c.c_custkey
 """
+
+
+def q_orders_with_returns_bloom(sf_dir: str) -> pd.DataFrame:
+    """SEMI JOIN, BLOOM-PRUNED STRATEGY (same semantics and oracle as
+    ``q_orders_with_returns``): the 100-TB accelerator where neither
+    side is broadcastable as a key set — build a FIXED-SIZE Bloom
+    bitmap of the probe keys from OR-mergeable per-batch partials
+    (``stages/bloom.py``; 16 MiB cap regardless of probe cardinality),
+    broadcast it once via ``ray.put``, filter the big side MAP-ONLY
+    down to candidates (no false negatives, ~1% FPs), and run the
+    exact tag-union semi join only on the survivors — the shuffle
+    moves matching-plus-1% rows instead of the whole fact table.
+
+    Below the gate the bitmap build and probe both run on the driver
+    (same bloom code, no Ray round-trips); FPs are eliminated by the
+    exact key check either way, so the bitmap only ever affects how
+    much data the exact join sees."""
+    import ray
+
+    from kryptone_ray.stages.bloom import (bloom_bits_for, bloom_contains,
+                                           bloom_partial)
+
+    n_li = parquet_rows(sf_dir, "lineitem")
+    # ~1/4 of lineitem rows are 'R'; only sizes the FP rate, not
+    # correctness — a bad estimate costs extra exact-join input
+    n_bits = bloom_bits_for(max(1024, n_li // 4))
+
+    def bloom_batch(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["l_returnflag"] == "R", "l_orderkey"] \
+            .unique().astype("int64")
+        bm = bloom_partial(keys, n_bits)
+        return pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    def build_probe_keys():
+        def ret_keys(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df[df["l_returnflag"] == "R"]
+            return pd.DataFrame({"key": sub["l_orderkey"].unique()})
+
+        return T(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_returnflag"]) \
+            .map_batches(ret_keys, batch_format="pandas",
+                         batch_size=65536)
+
+    if n_li < DISTRIBUTED_JOIN_MIN_ROWS:
+        li = small(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_returnflag"])
+        keys = li.loc[li["l_returnflag"] == "R", "l_orderkey"] \
+            .unique().astype("int64")
+        bitmap = bloom_partial(keys, n_bits)
+        odf = small(sf_dir, "orders",
+                    columns=["o_orderkey", "o_totalprice"])
+        cand = odf[bloom_contains(
+            bitmap, odf["o_orderkey"].to_numpy().astype("int64"))]
+        out = cand[cand["o_orderkey"].isin(keys)].copy()
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        # stage 1: distributed OR-mergeable bitmap partials, one
+        # intermediate 64-way OR combine so the driver never holds
+        # more than n_batches/64 bitmaps at once
+        parts = T(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag"]) \
+            .map_batches(bloom_batch, batch_format="pandas",
+                         batch_size=65536)
+
+        def or_combine(df: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(n_bits // 8, dtype=np.uint8)
+            for b in df["bitmap"]:
+                np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8),
+                              out=acc)
+            return pd.DataFrame({"bitmap": [acc.tobytes()]})
+
+        merged = parts.map_batches(or_combine, batch_format="pandas",
+                                   batch_size=64).to_pandas()
+        bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+        for b in merged["bitmap"]:
+            np.bitwise_or(bitmap, np.frombuffer(b, dtype=np.uint8),
+                          out=bitmap)
+        bm_ref = ray.put(bitmap)
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            bm = ray.get(bm_ref)
+            keep = bloom_contains(
+                bm, df["o_orderkey"].to_numpy().astype("int64"))
+            sub = df[keep]
+            return pd.DataFrame({"key": sub["o_orderkey"],
+                                 "o_totalprice": sub["o_totalprice"],
+                                 "is_probe": False})
+
+        def tag_probe(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"key": df["key"], "o_totalprice": 0.0,
+                                 "is_probe": True})
+
+        def semi_block(df: pd.DataFrame) -> pd.DataFrame:
+            have = df.loc[df["is_probe"], "key"].unique()
+            sub = df[~df["is_probe"] & df["key"].isin(have)]
+            return pd.DataFrame({"o_orderkey": sub["key"],
+                                 "o_totalprice": sub["o_totalprice"]})
+
+        with hash_shuffle():
+            cand = T(sf_dir, "orders",
+                     columns=["o_orderkey", "o_totalprice"]) \
+                .map_batches(prefilter, batch_format="pandas",
+                             batch_size=65536)
+            both = cand.union(build_probe_keys().map_batches(
+                tag_probe, batch_format="pandas", batch_size=65536))
+            out = both.repartition(
+                num_blocks=join_partitions(parquet_rows(sf_dir, "orders")),
+                keys=["key"]) \
+                .map_batches(semi_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out["o_totalprice"] = (out["o_totalprice"] * 100).round() / 100.0
+    out = out[["o_orderkey", "o_totalprice"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
