@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band_join": events.q_events_value_band_join,
         "events_gap_to_next": events.q_events_gap_to_next,
         "events_pivot_daily": events.q_events_pivot_daily,
+        # approximate by design — pytest-verified vs exact, rows-only
+        "value_quantiles_sketch": events.q_value_quantiles_sketch,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,

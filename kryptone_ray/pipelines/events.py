@@ -720,3 +720,41 @@ SELECT date_trunc('day', ts) AS day,
        count(*) FILTER (WHERE event_type = 'view')     AS n_view
 FROM events GROUP BY day ORDER BY day
 """
+
+
+def q_value_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE QUANTILES via mergeable KLL-style sketch
+    (``stages/sketches.py``) — the unbounded-domain scale path beside
+    ``relational.q_acctbal_quantiles``'s exact bounded-cents histogram:
+    p50/p90/p99 of event value per event type.
+
+    Scale shape: one fixed-size sketch per (type, batch) serialized to
+    bytes — O(k log n) each regardless of row count — merged
+    associatively on the driver (same two-level pattern as the HLL
+    registers). Rank error ~O(1/k); accuracy and merge properties are
+    pytest-verified against exact quantiles (no SQL oracle — the
+    sketch's answer is approximate by design, rows-only entry)."""
+    from kryptone_ray.stages.sketches import KllSketch
+
+    ds = T(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            sk = KllSketch().add(g["value"].to_numpy())
+            rows.append((et, sk.to_bytes()))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = []
+    for et, g in parts.groupby("event_type", sort=True):
+        acc = None
+        for b in g["sketch"]:
+            sk = KllSketch.from_bytes(b)
+            acc = sk if acc is None else acc.merge(sk)
+        out.append((et, round(acc.quantile(0.5), 2),
+                    round(acc.quantile(0.9), 2),
+                    round(acc.quantile(0.99), 2)))
+    return pd.DataFrame(out, columns=["event_type", "p50_approx",
+                                      "p90_approx", "p99_approx"])
