@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": events.q_events_pivot_daily,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
+        "events_partitioned_sink": events.q_events_partitioned_sink,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
@@ -212,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_band_join": events.Q_EVENTS_VALUE_BAND_SQL,
         "events_gap_to_next": events.Q_EVENTS_GAP_SQL,
         "events_pivot_daily": events.Q_EVENTS_PIVOT_SQL,
+        # manifest (partition, n_rows) of the resumable day-partitioned sink
+        "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         # re-derives urlparse fields from raw strings with SQL string ops

@@ -79,3 +79,60 @@ class WebhookSinkStage:
     def __call__(self, t: pa.Table) -> pa.Table:
         self.webhooks.send(t.to_pylist())
         return t
+
+
+def write_partitioned_resumable(build_ds: Callable, out_dir: str | pathlib.Path,
+                                partition_col: str) -> "pa.Table":
+    """RESUMABLE PARTITIONED PARQUET SINK (task-brief "resumable
+    output"; reference analog: the per-page backup files of
+    base.py:543-609, made restart-safe): one directory per partition
+    value, each completed partition sealed with a ``_SUCCESS`` marker,
+    so a re-run after a crash SKIPS sealed partitions and only
+    rewrites the unsealed ones — never one giant file, never a
+    full-output rewrite.
+
+    Mechanics: the dataset hash-repartitions on the partition column so
+    every partition value lands wholly in one block, then each block
+    writes its values' directories itself (write → fsync-rename-free:
+    parquet first, marker last, so a marker implies a complete file).
+    Returns the manifest table (partition, n_rows, skipped) — the
+    driver-facing summary, which is also what the SQL oracle checks.
+
+    ``build_ds`` is a zero-arg callable returning the Dataset: the
+    hash-shuffle strategy binds at dataset CREATION, so the read must
+    be constructed inside the context this sink opens.
+    """
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.pipelines.common import hash_shuffle, join_partitions
+
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_block(df: "pd.DataFrame") -> "pd.DataFrame":
+        rows = []
+        for val, g in df.groupby(partition_col, sort=False):
+            name = str(val)
+            pdir = out / f"{partition_col}={name}"
+            marker = pdir / "_SUCCESS"
+            if marker.exists():
+                rows.append((name, len(g), True))
+                continue
+            pdir.mkdir(parents=True, exist_ok=True)
+            g = g.sort_values(list(g.columns)).reset_index(drop=True)
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                           pdir / "part-0.parquet")
+            marker.touch()
+            rows.append((name, len(g), False))
+        return pd.DataFrame(rows, columns=["partition", "n_rows",
+                                           "skipped"])
+
+    with hash_shuffle():
+        ds = build_ds()
+        n = ds.count()
+        manifest = ds.repartition(
+            num_blocks=join_partitions(n), keys=[partition_col]) \
+            .map_batches(write_block, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    return manifest.sort_values("partition").reset_index(drop=True)
