@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         multimodal,
+        pii,
         relational,
         textops,
     )
@@ -111,6 +112,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": textops.q_doc_quality,
         "lang_id_heuristic": textops.q_lang_id_heuristic,
         "doc_fingerprints": textops.q_doc_fingerprints,
+        "repetition_stats": textops.q_repetition_stats,
+        # PII scrub (deterministic doc_id-derived injection, see pii.py)
+        "pii_redaction": pii.q_pii_redaction,
         # dedup family (training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -163,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         crawlops,
         dedup,
         events,
+        pii,
         relational,
         textops,
     )
@@ -217,6 +222,8 @@ def oracle_sql() -> dict[str, str]:
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
+        "repetition_stats": textops.Q_REPETITION_STATS_SQL,
+        "pii_redaction": pii.Q_PII_REDACTION_SQL,
         # re-derives urlparse fields from raw strings with SQL string ops
         "url_predicates": crawlops.url_predicates_oracle_sql(),
         # the frontier-maintenance queries run over a deterministic

@@ -354,3 +354,57 @@ SELECT lang,
        count(*) AS n_total
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+def q_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality metrics per language: the
+    corpus-weighted fraction of tokens occupied by each doc's single
+    most-frequent token (high → boilerplate / keyword stuffing) and the
+    distinct-token fraction (low → repetitive). Per-batch explode →
+    per-doc grouped counts → INTEGER partial sums per lang, one float
+    division at the end — integer sums are order-independent so the
+    oracle value-hash is bit-exact (no rounding races). Tokenizer is
+    the oracle convention (plain lower().split(' '))."""
+    ds = T(sf_dir, "documents", columns=["lang", "text"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ")
+        ex = toks.explode()
+        cnt = (pd.DataFrame({"row": ex.index, "lang": df["lang"].reindex(ex.index).to_numpy(),
+                             "token": ex.to_numpy()})
+               .groupby(["row", "token"], sort=False)
+               .agg(lang=("lang", "first"), c=("token", "size")).reset_index())
+        per_doc = cnt.groupby("row", sort=False).agg(
+            lang=("lang", "first"), top_c=("c", "max"),
+            n_distinct=("c", "size"), n_tokens=("c", "sum"))
+        return per_doc.reset_index(drop=True)[
+            ["lang", "top_c", "n_distinct", "n_tokens"]]
+
+    ds = ds.map_batches(f, batch_format="pandas", batch_size=8192)
+    out = partial_sum_count(
+        ds, keys=["lang"],
+        sums={"sum_top": "top_c", "sum_distinct": "n_distinct",
+              "sum_tokens": "n_tokens"},
+        count_name="n_docs")
+    out["top_token_frac"] = (out["sum_top"] / out["sum_tokens"]).round(6)
+    out["distinct_frac"] = (out["sum_distinct"] / out["sum_tokens"]).round(6)
+    out = out[["lang", "n_docs", "top_token_frac", "distinct_frac"]]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+Q_REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, lang, tok, count(*) AS c FROM toks GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, lang, max(c) AS top_c, count(*) AS n_distinct,
+         sum(c) AS n_tokens
+  FROM cnt GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(top_c) AS DOUBLE) / sum(n_tokens), 6) AS top_token_frac,
+       round(CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens), 6) AS distinct_frac
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
