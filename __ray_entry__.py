@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": dedup.q_neardup_clusters,
         # similarity search
         "knn_bruteforce": ann.q_knn_bruteforce,
+        # LSH sibling of knn_ivf — rows-only (recall<1 by design)
+        "knn_lsh": ann.q_knn_lsh,
         "knn_ivf": ann.q_knn_ivf,
         # events / stream-shaped
         "events_by_type": events.q_events_by_type,
@@ -234,7 +236,7 @@ def oracle_sql() -> dict[str, str]:
         **crawlops.caption_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
-        # embedding_near_dups_lsh, knn_ivf, image_knn,
+        # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,
         # image_decode_stats, image_resize_thumbs, image_phash_near_dups,
         # crawl_visits, link_verdicts, neardup_clusters
     }

@@ -240,3 +240,19 @@ def test_image_knn_matches_local_bruteforce_and_golden():
         key=lambda t: (-round(t[0], 6), t[1]))
     expect = [k for _, k in sims[:5]]
     assert out[out["query_id"] == qid]["match_id"].tolist() == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_lsh_matches_pinned_golden_and_recall():
+    """Deterministic output (seeded hyperplanes) + recall@K vs the
+    exact brute-force baseline stays above the predicted-for-this-
+    corpus floor (see q_knn_lsh docstring: ~0.77 predicted at
+    cosine-0.3 neighbors; 0.6 leaves margin for plane-draw variance)."""
+    out = ann.q_knn_lsh(SF)
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  _golden("knn_lsh"),
+                                  check_dtype=False)
+    brute = ann.q_knn_bruteforce(SF)
+    b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+    l = {(r.query_id, r.neighbor_id) for r in out.itertuples()}
+    assert len(b & l) / len(b) >= 0.6
