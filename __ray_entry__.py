@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_heuristic": textops.q_lang_id_heuristic,
         "doc_fingerprints": textops.q_doc_fingerprints,
         "repetition_stats": textops.q_repetition_stats,
+        # JSONL write→read roundtrip proven by the parquet-side oracle
+        "docs_jsonl_roundtrip": textops.q_docs_jsonl_roundtrip,
         # PII scrub (deterministic doc_id-derived injection, see pii.py)
         "pii_redaction": pii.q_pii_redaction,
         # dedup family (training-data ops)
@@ -225,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         # generated from the same marker table as the predictor
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         "repetition_stats": textops.Q_REPETITION_STATS_SQL,
+        "docs_jsonl_roundtrip": textops.Q_DOCS_JSONL_SQL,
         "pii_redaction": pii.Q_PII_REDACTION_SQL,
         # re-derives urlparse fields from raw strings with SQL string ops
         "url_predicates": crawlops.url_predicates_oracle_sql(),

@@ -408,3 +408,38 @@ SELECT lang, count(*) AS n_docs,
        round(CAST(sum(n_distinct) AS DOUBLE) / sum(n_tokens), 6) AS distinct_frac
 FROM per_doc GROUP BY lang ORDER BY lang
 """
+
+
+def q_docs_jsonl_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """JSONL source/sink roundtrip (the reference's FileStorage persists
+    JSON — conf/base.py FileStorage / backup files base.py:543-609; at
+    scale the interchange format a crawl exports for downstream
+    training-data jobs): stream documents → ``write_json`` NDJSON
+    shards (one file per block — resumable layout, never one giant
+    file) → ``read_json`` back → per-lang aggregate. The oracle runs
+    the same aggregate over the source parquet, so the value-hash proves the
+    JSON encode/decode round-trips every row and value exactly."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    import ray.data as rd
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = pathlib.Path(f"/tmp/kr_docs_jsonl_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    T(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]) \
+        .write_json(str(out))
+    back = rd.read_json(str(out))
+    agg = partial_sum_count(back, keys=["lang"],
+                            sums={"sum_ids": "doc_id",
+                                  "total_chars": "n_chars"},
+                            count_name="n_docs")
+    return agg.sort_values("lang").reset_index(drop=True)
+
+
+Q_DOCS_JSONL_SQL = """
+SELECT lang, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
