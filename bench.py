@@ -315,10 +315,10 @@ def scaling() -> None:
         "scaling_efficiency_4v16": eff(4, 16),
         "note": "each level taskset-pinned to its core count, fresh "
                 "process, same input, best of 3 timed crawls after "
-                "warm-up (2 and 8 CPU levels: best of two fresh "
-                "processes — co-tenant noise only lowers a level); the "
-                "4v16 pair saturates this single box's shared ~20 "
-                "effective cores / one memory system",
+                "warm-up, EVERY level best-of-two fresh processes "
+                "(co-tenant noise only lowers a level); the 4v16 pair "
+                "saturates this single box's shared ~20 effective "
+                "cores / one memory system",
     }))
 
 
