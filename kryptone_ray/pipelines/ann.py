@@ -103,6 +103,16 @@ def _norm_batch(df: pd.DataFrame):
     return df["vec_id"].to_numpy(), m
 
 
+# below this footer row count the whole Lloyd+probe loop runs on the
+# driver over one materialized read — 8 sequential Dataset executions
+# (seed sort, 5 Lloyd passes, query sort, probe) cost ~0.5 s EACH in
+# pure streaming-executor startup, which dominates tiny corpora; the
+# distributed shape (unchanged above the gate) is forced by
+# tests/test_small_input_gates.py and exercised un-patched by the
+# 200k/500k ANN scale smokes
+IVF_DISTRIBUTED_MIN_ROWS = 100_000
+
+
 def q_knn_ivf(sf_dir: str, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
     """IVF-style ANN, distributed: centroids are seeded from the first
     ``n_cells`` vectors by vec_id (a tiny sorted limit) and refined by
@@ -114,11 +124,22 @@ def q_knn_ivf(sf_dir: str, n_cells: int = 16, n_probe: int = 4) -> pd.DataFrame:
     centroids broadcast via ``ray.put``; the driver merges
     N_QUERIES × K × n_batches candidate rows. Recall < 1 by design —
     rows-only entry (exactness gate: q_knn_bruteforce); pinned against
-    tests/golden/dedup_knn_ivf_sf001.json."""
+    tests/golden/dedup_knn_ivf_sf001.json.
+
+    Small-input gate: below ``IVF_DISTRIBUTED_MIN_ROWS`` the same math
+    runs on the driver over one materialized read (``_knn_ivf_local``)
+    — bit-identical at gate scale because a sub-gate corpus fits one
+    4096-row batch, so the distributed partial-sum order IS the local
+    whole-array order (the equality is asserted by the forced-gate
+    test)."""
     import ray
+
+    from kryptone_ray.pipelines.common import parquet_rows
 
     ds = T(sf_dir, "embeddings", columns=["vec_id", "embedding"],
            rows_per_block=8192)  # parallel Lloyd/probe passes (see knn)
+    if parquet_rows(sf_dir, "embeddings") < IVF_DISTRIBUTED_MIN_ROWS:
+        return _knn_ivf_local(ds.to_pandas(), n_cells, n_probe)
     seed = ds.sort("vec_id").limit(n_cells).to_pandas()
     _, cent = _norm_batch(seed)
     cent = cent.copy()
@@ -266,4 +287,41 @@ def q_knn_lsh(sf_dir: str, n_bits: int = 6, n_tables: int = 32) -> pd.DataFrame:
         top = sub.iloc[order[:K]]
         for r, nid in enumerate(top["neighbor_id"], 1):
             out_rows.append((int(qid), int(nid), r))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])
+
+
+def _knn_ivf_local(df: pd.DataFrame, n_cells: int, n_probe: int) -> pd.DataFrame:
+    """Driver-side mirror of the distributed IVF math (same seeding,
+    same Lloyd update, same lexsort tie-breaks) over one in-memory
+    batch. Only reached below IVF_DISTRIBUTED_MIN_ROWS."""
+    seed = df.sort_values("vec_id").head(n_cells)
+    _, cent = _norm_batch(seed)
+    cent = cent.copy()
+    ids, m = _norm_batch(df)
+
+    for _ in range(5):
+        assign = np.argmax(m @ cent.T, axis=1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, m)
+        counts = np.bincount(assign, minlength=len(cent))
+        for c in range(n_cells):
+            if counts[c]:
+                v = sums[c] / counts[c]
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+
+    q_df = df.sort_values("vec_id").head(N_QUERIES)
+    q_ids, q_mat = _norm_batch(q_df)
+    probe_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]
+    assign = np.argmax(m @ cent.T, axis=1)
+
+    out_rows = []
+    for qidx in range(len(q_ids)):
+        mask = np.isin(assign, probe_cells[qidx]) & (ids != q_ids[qidx])
+        cand = np.flatnonzero(mask)
+        if not len(cand):
+            continue
+        sims = m[cand] @ q_mat[qidx]
+        top = cand[np.lexsort((ids[cand], -sims))][:K]
+        for r, nid in enumerate(ids[top], 1):
+            out_rows.append((int(q_ids[qidx]), int(nid), r))
     return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "rank"])

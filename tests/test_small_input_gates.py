@@ -210,3 +210,13 @@ def test_orders_with_returns_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = relational.q_orders_with_returns(SF)
     pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_ivf_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import ann
+
+    small = ann.q_knn_ivf(SF01)
+    monkeypatch.setattr(ann, "IVF_DISTRIBUTED_MIN_ROWS", 0)
+    big = ann.q_knn_ivf(SF01)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
