@@ -227,6 +227,12 @@ class _LocalSeenSet:
             for i, s in enumerate(self.shards)
         )
 
+    def snapshot_async(self, directory):
+        # no actors to pipeline behind — snapshot synchronously; the
+        # empty ref list keeps the checkpoint publish path uniform
+        self.snapshot(directory)
+        return []
+
 
 class RayCrawler:
     def __init__(
@@ -446,7 +452,10 @@ class RayCrawler:
                 self.before_next_page_actions(list(urls))
             batches_done += 1
             if checkpoint_every and (bidx + 1) % checkpoint_every == 0:
-                self.checkpoint()
+                # overlapped: state captured here, IO rides under the
+                # next window's compute
+                self.checkpoint(overlap=True)
+        self.checkpoint_join()
         return self.metrics()
 
     def run_refresh(self, pages: list[str], checkpoint_every: int = 0,
@@ -631,14 +640,23 @@ class RayCrawler:
         return _empty_validated()
 
     # --- checkpoint / resume -----------------------------------------
-    def checkpoint(self) -> None:
+    def checkpoint(self, overlap: bool = False) -> None:
+        """Crash-atomic checkpoint. With ``overlap=True`` the state is
+        CAPTURED synchronously at the call point (frontier table,
+        counters, and the seen shard snapshots dispatched as actor
+        tasks — actor ordering pins them to this boundary) but the
+        parquet/manifest writes and the rename dance run in a
+        background thread, overlapping the next window's compute
+        (round-2 verdict: checkpoint IO was serial residue). Atomicity
+        is unchanged — the rename is still the commit point and still
+        happens strictly after every write lands."""
+        self.checkpoint_join()
         ck = self.run_dir / "checkpoint"
         tmp = self.run_dir / "checkpoint.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
         tmp.mkdir(parents=True)
-        pq.write_table(self.sched.state_table(), tmp / "frontier.parquet")
-        self.seen.snapshot(str(tmp / "seen"))
+        frontier = self.sched.state_table()
         manifest = {
             "clock": self.sched.clock_state(),
             "pages_visited": self.pages_visited,
@@ -650,25 +668,52 @@ class RayCrawler:
             },
             "start_url": self.vcfg.start_url if self.vcfg else None,
         }
-        (tmp / "manifest.json").write_text(json.dumps(manifest))
-        # crash-safe publish: at every instant either `checkpoint` or
-        # `checkpoint.old` is a complete checkpoint — the live dir is
-        # renamed ASIDE (not deleted) before the new one takes its place,
-        # and resume() falls back to `.old` if a crash lands between the
-        # two renames.
-        old = self.run_dir / "checkpoint.old"
-        if old.exists():
-            shutil.rmtree(old)
-        if ck.exists():
-            ck.rename(old)
-        tmp.rename(ck)
-        if old.exists():
-            shutil.rmtree(old)
+        seen_refs = self.seen.snapshot_async(str(tmp / "seen"))
+
+        def _publish() -> None:
+            import ray
+
+            pq.write_table(frontier, tmp / "frontier.parquet")
+            if seen_refs:
+                ray.get(seen_refs)
+            (tmp / "manifest.json").write_text(json.dumps(manifest))
+            # crash-safe publish: at every instant either `checkpoint`
+            # or `checkpoint.old` is a complete checkpoint — the live
+            # dir is renamed ASIDE (not deleted) before the new one
+            # takes its place, and resume() falls back to `.old` if a
+            # crash lands between the two renames.
+            old = self.run_dir / "checkpoint.old"
+            if old.exists():
+                shutil.rmtree(old)
+            if ck.exists():
+                ck.rename(old)
+            tmp.rename(ck)
+            if old.exists():
+                shutil.rmtree(old)
+
+        if overlap:
+            import threading
+
+            self._ck_thread = threading.Thread(target=_publish, daemon=True)
+            self._ck_thread.start()
+        else:
+            _publish()
+
+    def checkpoint_join(self) -> None:
+        """Wait for an in-flight overlapped checkpoint publish. Called
+        before starting another checkpoint (two rename dances must not
+        interleave), at the end of ``run()``, and before ``resume()``
+        reads the checkpoint dir."""
+        t = getattr(self, "_ck_thread", None)
+        if t is not None:
+            t.join()
+            self._ck_thread = None
 
     def resume(self, seeds: list[str]) -> None:
         """Rebuild state from run_dir/checkpoint; visits logs after the
         checkpointed batch counter are discarded (at-most-once re-fetch of
         the in-flight window — reference contract base.py:1213-1273)."""
+        self.checkpoint_join()
         ck = self.run_dir / "checkpoint"
         if not ck.exists():
             # a crash between checkpoint()'s two renames leaves the last

@@ -294,16 +294,21 @@ class SeenSet:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     def snapshot(self, directory: str) -> int:
+        return sum(ray.get(self.snapshot_async(directory)))
+
+    def snapshot_async(self, directory: str) -> list:
+        """Dispatch the per-shard snapshot tasks WITHOUT waiting and
+        return their refs. Actor tasks from one submitter execute in
+        submission order, so a snapshot submitted at a window boundary
+        captures exactly the boundary state even if the caller then
+        pipelines the next window's ``check_and_add`` calls behind it —
+        the overlapped-checkpoint contract (engine/crawl.checkpoint)."""
         d = pathlib.Path(directory)
         d.mkdir(parents=True, exist_ok=True)
-        return sum(
-            ray.get(
-                [
-                    s.snapshot.remote(str(d / f"seen-{i:03d}.parquet"))
-                    for i, s in enumerate(self.shards)
-                ]
-            )
-        )
+        return [
+            s.snapshot.remote(str(d / f"seen-{i:03d}.parquet"))
+            for i, s in enumerate(self.shards)
+        ]
 
     def restore(self, directory: str) -> int:
         d = pathlib.Path(directory)

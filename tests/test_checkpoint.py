@@ -108,3 +108,39 @@ def test_resume_discards_post_checkpoint_logs(world, tmp_path):
     # end state still golden
     golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
     assert eng2.seen.sorted_urls() == sorted(golden.seen)
+
+
+def test_overlapped_checkpoint_captures_boundary_state(world, tmp_path):
+    """checkpoint(overlap=True) must capture the state AT THE CALL,
+    even though the publish happens in a background thread while the
+    caller keeps mutating the live engine — and a second checkpoint
+    must join the first (rename dances never interleave)."""
+    import json
+
+    from kryptone_ray.sim.golden import CrawlSpec
+    from kryptone_ray.corpus.synth import page_outlinks, seed_urls
+
+    spec, d = world
+    cs = CrawlSpec(batch_size=8, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=64)
+    run_dir = tmp_path / "run"
+    eng = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir),
+                     mode="local")
+    eng.seed(seed_urls(spec, 4))
+    eng.run(seeds=None, max_batches=2)
+    pages_at_boundary = eng.pages_visited
+
+    eng.checkpoint(overlap=True)
+    # mutate AFTER the capture: crawl two more windows while (possibly)
+    # publishing — then overlap a second checkpoint right behind it
+    eng.run(seeds=None, max_batches=2)
+    eng.checkpoint(overlap=True)
+    eng.checkpoint_join()
+
+    manifest = json.loads(
+        (run_dir / "checkpoint" / "manifest.json").read_text())
+    # the LAST checkpoint won and reflects the post-mutation state
+    assert manifest["pages_visited"] == eng.pages_visited
+    assert manifest["pages_visited"] > pages_at_boundary
+    assert not (run_dir / "checkpoint.tmp").exists()
+    assert not (run_dir / "checkpoint.old").exists()
