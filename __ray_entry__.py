@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": events.q_events_pivot_daily,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
+        "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
         "events_partitioned_sink": events.q_events_partitioned_sink,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,

@@ -796,3 +796,48 @@ Q_EVENTS_PARTITIONED_SINK_SQL = """
 SELECT strftime(ts, '%Y-%m-%d') AS partition, count(*) AS n_rows
 FROM events GROUP BY partition ORDER BY partition
 """
+
+
+def q_heavy_hitters_sketch(sf_dir: str, k: int = 10,
+                           candidates_per_batch: int = 32) -> pd.DataFrame:
+    """APPROXIMATE HEAVY HITTERS via mergeable Count-Min sketch
+    (``stages/sketches.CountMinSketch``) — the unbounded-key-domain
+    scale path beside the exact ``q_events_topk_users``: top-k users by
+    estimated event count.
+
+    Scale shape: each batch emits ONE fixed-size sketch (depth×width
+    int64, independent of row count) plus its local top candidate ids;
+    the driver sums the counter arrays (exact associative merge) and
+    ranks the unioned candidates by merged estimate. A true global
+    top-k member is always some batch's local heavy hitter long before
+    it is globally heavy, so the candidate union misses a true top-k
+    key only if it is locally rare in EVERY batch — the classic
+    candidate-set caveat, bounded by candidates_per_batch × n_batches
+    driver rows. Estimates never undercount (CM property, pytest);
+    rows-only entry — approximate by design."""
+    from kryptone_ray.stages.sketches import CountMinSketch
+
+    ds = T(sf_dir, "events", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["user_id"].to_numpy()
+        sk = CountMinSketch().add(ids)
+        cand = df["user_id"].value_counts().head(candidates_per_batch)
+        return pd.DataFrame(
+            {"sketch": [sk.to_bytes()],
+             "candidates": [cand.index.to_numpy().tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    acc = None
+    cands: set[int] = set()
+    for _, row in parts.iterrows():
+        sk = CountMinSketch.from_bytes(row["sketch"])
+        acc = sk if acc is None else acc.merge(sk)
+        cands.update(int(c) for c in row["candidates"])
+    cand_arr = np.array(sorted(cands), dtype=np.int64)
+    est = acc.estimate(cand_arr)
+    order = np.lexsort((cand_arr, -est))[:k]
+    out = pd.DataFrame({"user_id": cand_arr[order],
+                        "est_events": est[order].astype("int64")})
+    return out.reset_index(drop=True)

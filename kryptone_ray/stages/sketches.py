@@ -100,3 +100,66 @@ class KllSketch:
         s.levels = [np.frombuffer(b, dtype=np.float64).copy()
                     for b in d["levels"]]
         return s
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch for heavy-hitter estimation over
+    unbounded key domains (the approximate sibling of the exact
+    ``events.q_events_topk_users`` top-k, the way ``KllSketch`` sits
+    beside the exact bounded-cents quantiles): ``depth`` hash rows ×
+    ``width`` counters, estimate = min over rows — never an
+    UNDER-estimate, over-estimates bounded by n/width per row.
+
+    Hashing is vectorized multiplicative (odd uint64 multipliers from a
+    fixed seed, natural mod-2^64 wraparound, high bits taken) — no
+    per-key Python, deterministic across runs/processes/partitionings.
+    Merging is elementwise counter addition (exact associativity, not
+    just approximate — pytest-verified)."""
+
+    def __init__(self, width: int = 2048, depth: int = 4, seed: int = 7):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.seed = int(seed)
+        rng = np.random.default_rng(seed)
+        self.mult = (rng.integers(1, 2 ** 62, size=depth).astype(np.uint64)
+                     << np.uint64(1)) | np.uint64(1)
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0
+
+    def _rows_idx(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64, copy=False)
+        return np.stack([((k * m) >> np.uint64(17)) % np.uint64(self.width)
+                         for m in self.mult])
+
+    def add(self, keys: np.ndarray) -> "CountMinSketch":
+        idx = self._rows_idx(np.asarray(keys))
+        for r in range(self.depth):
+            np.add.at(self.counts[r], idx[r], 1)
+        self.n += idx.shape[1]
+        return self
+
+    def estimate(self, keys: np.ndarray) -> np.ndarray:
+        idx = self._rows_idx(np.asarray(keys))
+        return np.min(
+            np.stack([self.counts[r][idx[r]] for r in range(self.depth)]),
+            axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth, self.seed) == \
+            (other.width, other.depth, other.seed), "incompatible sketches"
+        self.counts += other.counts
+        self.n += other.n
+        return self
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(
+            {"w": self.width, "d": self.depth, "s": self.seed,
+             "n": self.n, "c": self.counts})
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CountMinSketch":
+        st = pickle.loads(blob)
+        sk = cls(width=st["w"], depth=st["d"], seed=st["s"])
+        sk.counts = st["c"]
+        sk.n = st["n"]
+        return sk
