@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": textops.q_repetition_stats,
         # JSONL write→read roundtrip proven by the parquet-side oracle
         "docs_jsonl_roundtrip": textops.q_docs_jsonl_roundtrip,
+        # reproducible hash-shuffle shard export, proven by read-back
+        "training_shard_export": textops.q_training_shard_export,
         # PII scrub (deterministic doc_id-derived injection, see pii.py)
         "pii_redaction": pii.q_pii_redaction,
         # dedup family (training-data ops)
@@ -229,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_heuristic": textops.lang_id_oracle_sql(),
         "repetition_stats": textops.Q_REPETITION_STATS_SQL,
         "docs_jsonl_roundtrip": textops.Q_DOCS_JSONL_SQL,
+        "training_shard_export": textops.Q_TRAINING_SHARD_SQL,
         "pii_redaction": pii.Q_PII_REDACTION_SQL,
         # re-derives urlparse fields from raw strings with SQL string ops
         "url_predicates": crawlops.url_predicates_oracle_sql(),

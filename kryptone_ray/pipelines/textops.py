@@ -443,3 +443,65 @@ SELECT lang, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
        CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+def q_training_shard_export(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """TRAINING-SET SHARD EXPORT — the canonical last stage of a
+    training-data pipeline: a REPRODUCIBLE global shuffle of the corpus
+    into ``n_shards`` shard directories. "Shuffle" is hash-order (the
+    Knuth multiplicative hash of doc_id — same arithmetic as
+    ``q_stratified_sample``): shard = h % n_shards, within-shard order
+    = ascending h. Unlike ``Dataset.random_shuffle`` this is
+    deterministic across runs, engines and partitionings (no RNG
+    state), SQL-mirrorable, and restartable — the shards are written
+    through ``stages/sinks.write_partitioned_resumable`` (_SUCCESS-
+    sealed dirs, re-runs skip finished shards). The returned aggregate
+    is computed by READING THE SHARDS BACK, so the oracle match proves
+    the written files: every doc landed in exactly its hash shard with
+    nothing lost or duplicated. (Hash domain: doc_id × 2654435761 must
+    fit int64, i.e. doc_id < ~3.4e9 — shard by a 64-bit splitmix of a
+    wider id beyond that.)"""
+    import hashlib
+    import pathlib
+    import shutil
+
+    import ray.data as rd
+
+    from kryptone_ray.stages.sinks import write_partitioned_resumable
+
+    KN = np.int64(2654435761)
+
+    def build():
+        ds = T(sf_dir, "documents", columns=["doc_id"])
+
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            h = (df["doc_id"].to_numpy().astype(np.int64) * KN) \
+                % np.int64(1 << 32)
+            return pd.DataFrame({"h": h, "doc_id": df["doc_id"],
+                                 "shard": (h % n_shards).astype(np.int64)})
+
+        return ds.map_batches(f, batch_format="pandas", batch_size=65536)
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = pathlib.Path(f"/tmp/kr_train_shards_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned_resumable(build, out, "shard")
+
+    back = rd.read_parquet(str(out))
+    agg = partial_sum_count(back, keys=["shard"],
+                            sums={"sum_hash": "h", "sum_ids": "doc_id"},
+                            count_name="n_rows")
+    agg["shard"] = agg["shard"].astype("int64")
+    return agg.sort_values("shard").reset_index(drop=True)
+
+
+Q_TRAINING_SHARD_SQL = """
+WITH x AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents
+)
+SELECT CAST(h % 8 AS BIGINT) AS shard,
+       CAST(sum(h) AS BIGINT) AS sum_hash,
+       CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       count(*) AS n_rows
+FROM x GROUP BY shard ORDER BY shard
+"""
