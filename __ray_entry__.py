@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
         "image_phash_near_dups": multimodal.q_image_phash_near_dups,
+        # byte-exact image dedup — the one image op with a SQL oracle
+        # (md5-over-hex digest convention shared with DuckDB)
+        "image_exact_dups": multimodal.q_image_exact_dups,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -174,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         crawlops,
         dedup,
         events,
+        multimodal,
         pii,
         relational,
         textops,
@@ -241,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         # snapshot in case the driver evaluates SQL first)
         **crawlops.frontier_oracle_sql(),
         **crawlops.caption_oracle_sql(),
+        "image_exact_dups": multimodal.image_exact_dups_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

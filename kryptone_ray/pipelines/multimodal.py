@@ -374,3 +374,83 @@ def q_image_knn(sf_dir: str, k: int = 5, n_queries: int = 5) -> pd.DataFrame:
     out = parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out.insert(1, "rank", out.groupby("query_id").cumcount().astype("int64"))
     return out[["query_id", "rank", "match_id"]]
+
+
+def _image_snapshot_dir() -> str:
+    """Pinned (image_id, fmt, w, h, bytes) snapshot as parquet — gives
+    DuckDB access to the same IMAGE BYTES the Ray pipeline reads, so the
+    exact-dedup query gets a full value-hash oracle (the one image
+    operator where that is possible: byte equality needs no codec).
+    12 duplicate rows are planted deterministically (ids ``dup-k-of-i``
+    copying row i's payload; two of them share one source row, making a
+    3-copy group) — without them the census would be vacuously empty."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_imgsnap_{_MM_SEED}_{_MM_ROWS}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        t = spec.synth_batch(range(_MM_ROWS)).select(
+            ["image_id", "fmt", "w", "h", "bytes"])
+        dup_src = [(k * 37) % _MM_ROWS for k in range(11)] + [0]  # 0 twice
+        extra = spec.synth_batch(dup_src).select(
+            ["image_id", "fmt", "w", "h", "bytes"]).to_pylist()
+        for k, row in enumerate(extra):
+            row["image_id"] = f"dup-{k}-of-{dup_src[k]}"
+        t = pa.concat_tables(
+            [t, pa.Table.from_pylist(extra, schema=t.schema)])
+        pq.write_table(t, base / "images.parquet")
+        marker.touch()
+    return str(base)
+
+
+def q_image_exact_dups(sf_dir: str) -> pd.DataFrame:
+    """EXACT image dedup by content digest — the byte-level sibling of
+    the perceptual ``q_image_phash_near_dups``: md5 per image inside
+    ``map_batches`` (only (digest, id) pairs ever leave the stage — the
+    payload never shuffles, the q_dedup_exact shape), group by digest,
+    keep groups with >1 copy. Digest convention is
+    ``md5(hex(bytes).upper())`` — bit-for-bit what DuckDB's
+    ``md5(hex(blob))`` computes, so the oracle re-derives every digest
+    from the same parquet bytes with an independent hashing stack.
+    Pinned snapshot (312 rows) → driver combine; above a real corpus'
+    scale the combine hash-partitions by digest exactly like
+    ``dedup.q_dedup_exact``."""
+    import hashlib
+
+    snap = _image_snapshot_dir()
+
+    def digest(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        dg = [hashlib.md5(b.hex().upper().encode()).hexdigest()
+              for b in t["bytes"].to_pylist()]
+        return pa.table({"image_id": pa.array(ids, type=pa.string()),
+                         "digest": pa.array(dg, type=pa.string())})
+
+    df = rd.read_parquet(snap, columns=["image_id", "bytes"]) \
+        .map_batches(digest, batch_format="pyarrow", batch_size=64) \
+        .to_pandas()
+    g = df.groupby("digest", sort=True)
+    out = pd.DataFrame({
+        "digest": list(g.groups),
+        "n_copies": g.size().to_numpy().astype("int64"),
+        "first_id": g["image_id"].min().to_numpy(),
+    })
+    out = out[out["n_copies"] > 1]
+    return out.sort_values("digest").reset_index(drop=True)
+
+
+def image_exact_dups_oracle_sql() -> str:
+    snap = _image_snapshot_dir()
+    return f"""
+SELECT md5(hex(bytes)) AS digest, count(*) AS n_copies,
+       min(image_id) AS first_id
+FROM read_parquet('{snap}/images.parquet')
+GROUP BY digest HAVING count(*) > 1
+ORDER BY digest
+"""
