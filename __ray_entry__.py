@@ -102,6 +102,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": relational.q_orders_with_returns,
         "orders_with_returns_bloom": relational.q_orders_with_returns_bloom,
         "customers_above_segment_avg": relational.q_customers_above_segment_avg,
+        # LEFT OUTER JOIN -> histogram (TPC-H Q13 shape; zero bucket from
+        # the customer footer row count, no read of the outer side)
+        "order_count_histogram": relational.q_order_count_histogram,
+        # INTERSECT/EXCEPT via distinct (key, side-bit) partials + bit-OR
+        "custkey_set_ops": relational.q_custkey_set_ops,
+        # ordered-frame window (7-row trailing mean, exact cumsum diff)
+        "orders_moving_avg": relational.q_orders_moving_avg,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -145,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band_join": events.q_events_value_band_join,
         "events_gap_to_next": events.q_events_gap_to_next,
         "events_pivot_daily": events.q_events_pivot_daily,
+        # FULL OUTER JOIN of two grouped aggregates (coalesced nulls)
+        "events_hourly_full_outer": events.q_events_hourly_full_outer,
+        # arg-max reduce (max_by with deterministic total tie-break)
+        "events_argmax_user": events.q_events_argmax_user,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
@@ -156,6 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # byte-exact image dedup — the one image op with a SQL oracle
         # (md5-over-hex digest convention shared with DuckDB)
         "image_exact_dups": multimodal.q_image_exact_dups,
+        # metadata census over the same snapshot (fmt/orientation/
+        # pixels/storage density) — fully SQL-oracle-able
+        "image_size_stats": multimodal.q_image_size_stats,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -205,6 +219,9 @@ def oracle_sql() -> dict[str, str]:
         # same semantics, Bloom-pruned strategy — same oracle
         "orders_with_returns_bloom": relational.Q_ORDERS_WITH_RETURNS_SQL,
         "customers_above_segment_avg": relational.Q_CUSTOMERS_ABOVE_SEGMENT_AVG_SQL,
+        "order_count_histogram": relational.Q_ORDER_COUNT_HISTOGRAM_SQL,
+        "custkey_set_ops": relational.Q_CUSTKEY_SET_OPS_SQL,
+        "orders_moving_avg": relational.Q_ORDERS_MOVING_AVG_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
@@ -229,6 +246,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_band_join": events.Q_EVENTS_VALUE_BAND_SQL,
         "events_gap_to_next": events.Q_EVENTS_GAP_SQL,
         "events_pivot_daily": events.Q_EVENTS_PIVOT_SQL,
+        "events_hourly_full_outer": events.Q_EVENTS_HOURLY_FULL_OUTER_SQL,
+        "events_argmax_user": events.Q_EVENTS_ARGMAX_SQL,
         # manifest (partition, n_rows) of the resumable day-partitioned sink
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor
@@ -246,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         **crawlops.frontier_oracle_sql(),
         **crawlops.caption_oracle_sql(),
         "image_exact_dups": multimodal.image_exact_dups_oracle_sql(),
+        "image_size_stats": multimodal.image_size_stats_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

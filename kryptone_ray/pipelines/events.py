@@ -841,3 +841,97 @@ def q_heavy_hitters_sketch(sf_dir: str, k: int = 10,
     out = pd.DataFrame({"user_id": cand_arr[order],
                         "est_events": est[order].astype("int64")})
     return out.reset_index(drop=True)
+
+
+def q_events_hourly_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN of two grouped aggregates: hourly purchase
+    counts vs hourly signup counts, keeping hours where either side is
+    missing (COALESCE 0) — the join family's last quadrant after
+    inner/semi/anti/as-of/band.
+
+    Scale shape: one scan (not two) — each batch filters to the two
+    types and emits (hour, type, n) partials in zero-copy Arrow; the
+    key domain is bounded by the time range (hours, not rows), so the
+    outer merge of the two combined sides runs on the driver like the
+    pivot. For an unbounded join key the partials hash-partition by
+    key and each block outer-merges its own slice (the
+    events_pivot_daily / set-ops block shape)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "signup"]))
+        sub = t.filter(keep)
+        hr = pc.floor_temporal(sub["ts"], unit="hour")
+        g = pa.table({"hour": hr, "event_type": sub["event_type"]}) \
+            .group_by(["hour", "event_type"], use_threads=False) \
+            .aggregate([("hour", "count")])
+        return pa.table({"hour": g["hour"], "event_type": g["event_type"],
+                         "n": pc.cast(g["hour_count"], pa.int64())})
+
+    df = T(sf_dir, "events", columns=["ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .to_pandas()
+    g = df.groupby(["hour", "event_type"], sort=False)["n"].sum() \
+        .reset_index()
+    a = g[g["event_type"] == "purchase"][["hour", "n"]] \
+        .rename(columns={"n": "n_purchase"})
+    b = g[g["event_type"] == "signup"][["hour", "n"]] \
+        .rename(columns={"n": "n_signup"})
+    out = a.merge(b, on="hour", how="outer")
+    out["n_purchase"] = out["n_purchase"].fillna(0).astype("int64")
+    out["n_signup"] = out["n_signup"].fillna(0).astype("int64")
+    return out.sort_values("hour").reset_index(drop=True)
+
+
+Q_EVENTS_HOURLY_FULL_OUTER_SQL = """
+WITH a AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+     b AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n_signup
+           FROM events WHERE event_type = 'signup' GROUP BY 1)
+SELECT COALESCE(a.hour, b.hour) AS hour,
+       COALESCE(n_purchase, 0) AS n_purchase,
+       COALESCE(n_signup, 0) AS n_signup
+FROM a FULL OUTER JOIN b ON a.hour = b.hour
+ORDER BY hour
+"""
+
+
+def q_events_argmax_user(sf_dir: str) -> pd.DataFrame:
+    """ARG-MAX reduce (``max_by``): per event type, the single event
+    with the highest value — carrying the OTHER columns of the winning
+    row, which a sum/count aggregate cannot do. Tie-break is total and
+    deterministic (value DESC, user_id, event_id), expressed in SQL as
+    a row_number() window rather than DuckDB's tie-arbitrary arg_max.
+
+    Scale shape: each batch keeps one candidate row per type (the
+    partial IS an argmax — associative), so the driver combine sees
+    #types × #batches rows. A per-key variant at unbounded key
+    cardinality rides a hash partition like top_orders_per_customer."""
+    keys = ["value", "user_id", "event_id"]
+    asc = [False, True, True]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=asc) \
+            .groupby("event_type", sort=False).head(1)
+
+    parts = T(sf_dir, "events",
+              columns=["event_type", "event_id", "user_id", "value"]) \
+        .map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .to_pandas()
+    out = parts.sort_values(keys, ascending=asc) \
+        .groupby("event_type", sort=False).head(1)
+    out = out[["event_type", "user_id", "event_id", "value"]] \
+        .rename(columns={"user_id": "top_user", "event_id": "top_event",
+                         "value": "top_value"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENTS_ARGMAX_SQL = """
+SELECT event_type, user_id AS top_user, event_id AS top_event,
+       value AS top_value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY value DESC, user_id, event_id) AS rn FROM events)
+WHERE rn = 1 ORDER BY event_type
+"""

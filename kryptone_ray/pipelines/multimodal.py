@@ -445,6 +445,68 @@ def q_image_exact_dups(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("digest").reset_index(drop=True)
 
 
+def q_image_size_stats(sf_dir: str) -> pd.DataFrame:
+    """Image metadata census — the triage pass a 100-TB image corpus
+    runs before any decode: per (fmt, orientation) image counts, pixel
+    and storage totals, and the derived compression density
+    (bytes/pixel). All keys and partial sums are computed in zero-copy
+    Arrow inside ``map_batches`` (``pyarrow.compute`` only — the
+    payload column is reduced to ``binary_length`` per batch and never
+    re-shipped); the combine is one row per key per batch. Ratios are
+    a single float division of exact integer totals, so the oracle
+    (DuckDB ``octet_length`` over the same parquet) is bit-identical."""
+    import pyarrow.compute as pc
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    snap = _image_snapshot_dir()
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["w"], pa.int64())
+        h = pc.cast(t["h"], pa.int64())
+        orient = pc.if_else(
+            pc.greater(w, h), pa.scalar("landscape"),
+            pc.if_else(pc.less(w, h), pa.scalar("portrait"),
+                       pa.scalar("square")))
+        return pa.table({
+            "fmt": t["fmt"],
+            "orient": orient,
+            "w64": w,
+            "pixels": pc.multiply(w, h),
+            "blen": pc.cast(pc.binary_length(t["bytes"]), pa.int64()),
+        })
+
+    ds = rd.read_parquet(snap, columns=["fmt", "w", "h", "bytes"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=128)
+    out = partial_sum_count_arrow(
+        ds, keys=["fmt", "orient"],
+        sums={"sum_w": "w64", "total_pixels": "pixels",
+              "total_bytes": "blen"},
+        count_name="n_images")
+    out["avg_w"] = out["sum_w"] / out["n_images"]
+    out["bytes_per_pixel"] = out["total_bytes"] / out["total_pixels"]
+    out = out[["fmt", "orient", "n_images", "total_pixels",
+               "total_bytes", "avg_w", "bytes_per_pixel"]]
+    return out.sort_values(["fmt", "orient"]).reset_index(drop=True)
+
+
+def image_size_stats_oracle_sql() -> str:
+    snap = _image_snapshot_dir()
+    return f"""
+SELECT fmt,
+       CASE WHEN w > h THEN 'landscape'
+            WHEN w < h THEN 'portrait' ELSE 'square' END AS orient,
+       count(*) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS total_pixels,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes,
+       CAST(sum(CAST(w AS BIGINT)) AS DOUBLE) / count(*) AS avg_w,
+       CAST(sum(octet_length(bytes)) AS DOUBLE)
+           / sum(CAST(w AS BIGINT) * h) AS bytes_per_pixel
+FROM read_parquet('{snap}/images.parquet')
+GROUP BY fmt, orient ORDER BY fmt, orient
+"""
+
+
 def image_exact_dups_oracle_sql() -> str:
     snap = _image_snapshot_dir()
     return f"""

@@ -1273,3 +1273,213 @@ def q_orders_with_returns_bloom(sf_dir: str) -> pd.DataFrame:
     out["o_totalprice"] = (out["o_totalprice"] * 100).round() / 100.0
     out = out[["o_orderkey", "o_totalprice"]]
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_order_count_histogram(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER JOIN → histogram (TPC-H Q13 shape): orders per
+    customer including customers with NO orders, then count customers
+    per order-count bucket.
+
+    Scale shape: the outer (customer) side never reads a single byte —
+    c_custkey is the table's primary key, so the zero bucket is exactly
+    ``footer_row_count(customer) − #distinct custkeys in orders``,
+    recovering full outer-join semantics from parquet metadata. Orders
+    shrink to per-batch (custkey, n) partials; below the gate the
+    partials combine on the driver, above it they hash-partition by
+    custkey (all partials of a key land in one block), each block
+    finalizes its per-customer counts and emits its own tiny histogram
+    partial — the per-customer counts (1.5M rows/SF in TPC-H) never
+    materialize anywhere."""
+
+    import pyarrow.compute as pc
+
+    def partial(t):
+        import pyarrow as pa
+
+        g = t.group_by(["o_custkey"], use_threads=False) \
+            .aggregate([("o_custkey", "count")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "n": pc.cast(g["o_custkey_count"], pa.int64())})
+
+    parts = T(sf_dir, "orders", columns=["o_custkey"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    n_orders_rows = parquet_rows(sf_dir, "orders")
+
+    if n_orders_rows < DISTRIBUTED_JOIN_MIN_ROWS:
+        df = parts.to_pandas()
+        per_cust = df.groupby("o_custkey", sort=False)["n"].sum()
+        hist = per_cust.value_counts()
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        def block_hist(df: pd.DataFrame) -> pd.DataFrame:
+            per = df.groupby("o_custkey", sort=False)["n"].sum()
+            vc = per.value_counts()
+            return pd.DataFrame({"n_orders": vc.index.astype("int64"),
+                                 "n_customers": vc.to_numpy()})
+
+        with hash_shuffle():
+            blocks = T(sf_dir, "orders", columns=["o_custkey"]) \
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536) \
+                .repartition(num_blocks=join_partitions(n_orders_rows),
+                             keys=["o_custkey"]) \
+                .map_batches(block_hist, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        hist = blocks.groupby("n_orders", sort=False)["n_customers"].sum()
+
+    out = pd.DataFrame({"n_orders": hist.index.astype("int64"),
+                        "n_customers": hist.to_numpy().astype("int64")})
+    n_with_orders = int(out["n_customers"].sum())
+    zero = parquet_rows(sf_dir, "customer") - n_with_orders
+    if zero > 0:
+        out = pd.concat([out, pd.DataFrame(
+            {"n_orders": [0], "n_customers": [zero]})], ignore_index=True)
+    return out.sort_values("n_orders").reset_index(drop=True)
+
+
+Q_ORDER_COUNT_HISTOGRAM_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+) GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+def q_custkey_set_ops(sf_dir: str) -> pd.DataFrame:
+    """SET OPERATIONS (INTERSECT / EXCEPT) as one pass: customers who
+    ordered in 1996, in 1997, or in both — DISTINCT keys per side, then
+    set membership resolved per key.
+
+    Scale shape: each batch shrinks to distinct (custkey, side-bit)
+    pairs (bit 1 = 1996, bit 2 = 1997); the OR of a key's bits IS its
+    set-op verdict (3 = intersect, 1/2 = the two excepts) — so the
+    operator is one partial-distinct pass + a per-key bit-OR, never a
+    pairwise comparison. Below the gate the pairs combine on the
+    driver; above it they hash-partition by custkey and each block
+    resolves its keys and emits a (side, count, min, max) partial."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pairs(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        keep = pc.or_(pc.equal(yr, 1996), pc.equal(yr, 1997))
+        sub = t.filter(keep)
+        yr = pc.year(sub["o_orderdate"])
+        bit = pc.if_else(pc.equal(yr, 1996), pa.scalar(1, pa.int64()),
+                         pa.scalar(2, pa.int64()))
+        d = pa.table({"k": sub["o_custkey"], "bit": bit}) \
+            .group_by(["k", "bit"], use_threads=False).aggregate([])
+        return d
+
+    SIDES = {1: "only_1996", 2: "only_1997", 3: "both"}
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # distinct (k, bit) first so the sum of bits == the bit-OR
+        d = df.drop_duplicates(["k", "bit"])
+        flags = d.groupby("k", sort=False)["bit"].sum()
+        g = pd.DataFrame({"k": flags.index, "side": flags.map(SIDES)}) \
+            .groupby("side", sort=False)["k"]
+        return pd.DataFrame({
+            "side": list(g.groups),
+            "n_customers": g.size().to_numpy().astype("int64"),
+            "min_key": g.min().to_numpy().astype("int64"),
+            "max_key": g.max().to_numpy().astype("int64"),
+        })
+
+    ds = T(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+    n_rows = parquet_rows(sf_dir, "orders")
+    if n_rows < DISTRIBUTED_JOIN_MIN_ROWS:
+        out = resolve(ds.to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            parts = T(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderdate"]) \
+                .map_batches(pairs, batch_format="pyarrow",
+                             batch_size=65536) \
+                .repartition(num_blocks=join_partitions(n_rows),
+                             keys=["k"]) \
+                .map_batches(resolve, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        g = parts.groupby("side", sort=False)
+        out = g.agg(n_customers=("n_customers", "sum"),
+                    min_key=("min_key", "min"),
+                    max_key=("max_key", "max")).reset_index()
+    return out.sort_values("side").reset_index(drop=True)
+
+
+Q_CUSTKEY_SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE year(o_orderdate) = 1996),
+     b AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE year(o_orderdate) = 1997),
+     i AS (SELECT k FROM a INTERSECT SELECT k FROM b),
+     ea AS (SELECT k FROM a EXCEPT SELECT k FROM b),
+     eb AS (SELECT k FROM b EXCEPT SELECT k FROM a)
+SELECT side, n_customers, min_key, max_key FROM (
+    SELECT 'both' AS side, count(*) AS n_customers,
+           min(k) AS min_key, max(k) AS max_key FROM i
+    UNION ALL
+    SELECT 'only_1996', count(*), min(k), max(k) FROM ea
+    UNION ALL
+    SELECT 'only_1997', count(*), min(k), max(k) FROM eb
+) ORDER BY side
+"""
+
+
+def q_orders_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """MOVING-WINDOW aggregate (7-row trailing mean over ordered daily
+    totals) — the ordered-frame window shape (``ROWS BETWEEN 6
+    PRECEDING AND CURRENT ROW``) next to the prefix shape of
+    q_customer_running_spend.
+
+    Scale shape: the fact shrinks to per-batch (day, cents) partials
+    (bounded key domain: days of the time range), the combined daily
+    series sorts on the driver, and the window itself is an exact
+    int64 cumsum difference — ``win_sum[i] = cs[i] - cs[i-7]`` — so
+    the only float op is the final single division, mirrored in SQL
+    as CAST(sum OVER w AS DOUBLE) / (100 * count OVER w). For a
+    partitioned window (per-key series) the same pass rides a hash
+    partition by key, as in q_customer_running_spend."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["o_orderdate"], unit="day")
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        return pa.table({"day": day, "cents": cents})
+
+    ds = T(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    daily = partial_sum_count_arrow(ds, keys=["day"],
+                                    sums={"cents": "cents"})
+    daily = daily.sort_values("day").reset_index(drop=True)
+    cents = daily["cents"].to_numpy()
+    cs = np.cumsum(cents)
+    win_sum = cs.copy()
+    win_sum[7:] = cs[7:] - cs[:-7]
+    n = np.minimum(np.arange(len(cents)) + 1, 7)
+    return pd.DataFrame({
+        "day": daily["day"],
+        "day_total": cents / 100.0,
+        "ma7": win_sum.astype("float64") / (100.0 * n),
+    })
+
+
+Q_ORDERS_MOVING_AVG_SQL = """
+WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1)
+SELECT day,
+       cents / 100.0 AS day_total,
+       CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * count(*) OVER w) AS ma7
+FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
