@@ -220,3 +220,23 @@ def test_knn_ivf_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(ann, "IVF_DISTRIBUTED_MIN_ROWS", 0)
     big = ann.q_knn_ivf(SF01)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_count_histogram_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = _df(relational.q_order_count_histogram(SF01))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(relational.q_order_count_histogram(SF01))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_custkey_set_ops_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = _df(relational.q_custkey_set_ops(SF01))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(relational.q_custkey_set_ops(SF01))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
