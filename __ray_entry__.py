@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # metadata census over the same snapshot (fmt/orientation/
         # pixels/storage density) — fully SQL-oracle-able
         "image_size_stats": multimodal.q_image_size_stats,
+        # corrupt-input quarantine: decode-attempt triage vs byte-forensics
+        # oracle (planted truncation / bad-magic damage)
+        "image_decode_quarantine": multimodal.q_image_decode_quarantine,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -266,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
         **crawlops.caption_oracle_sql(),
         "image_exact_dups": multimodal.image_exact_dups_oracle_sql(),
         "image_size_stats": multimodal.image_size_stats_oracle_sql(),
+        "image_decode_quarantine":
+            multimodal.image_decode_quarantine_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

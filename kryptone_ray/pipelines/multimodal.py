@@ -516,3 +516,107 @@ FROM read_parquet('{snap}/images.parquet')
 GROUP BY digest HAVING count(*) > 1
 ORDER BY digest
 """
+
+
+def _image_quarantine_dir() -> str:
+    """Snapshot with deterministically PLANTED damage for the decode
+    triage: rows ``i % 7 == 3`` are truncated to 3/4 of their payload
+    (kills raw/qraw size and the png IDAT/IEND tail), png rows
+    ``i % 7 == 5`` get their first signature byte zeroed (bad magic,
+    trailer intact — so the oracle must test magic before trailer,
+    exactly like the decoder does)."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_imgquar_{_MM_SEED}_{_MM_ROWS}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        rows = spec.synth_batch(range(_MM_ROWS)).select(
+            ["image_id", "fmt", "w", "h", "bytes"]).to_pylist()
+        for i, row in enumerate(rows):
+            if i % 7 == 3:
+                b = row["bytes"]
+                row["bytes"] = b[: len(b) * 3 // 4]
+            elif i % 7 == 5 and row["fmt"] == "png":
+                row["bytes"] = b"\x00" + row["bytes"][1:]
+        pq.write_table(pa.Table.from_pylist(rows), base / "images.parquet")
+        marker.touch()
+    return str(base)
+
+
+class DecodeTriageActor:
+    """Quarantine classifier: genuinely ATTEMPT the decode per row and
+    classify the failure — 'bad_magic' (signature rejected before any
+    parsing) vs 'truncated' (parse/inflate/reshape died mid-stream) vs
+    'ok'. Codec dispatch bound once per actor."""
+
+    def __init__(self):
+        self.decode = codecs.decode
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        d = t.to_pydict()
+        status = []
+        for i in range(len(t)):
+            try:
+                self.decode(d["bytes"][i], d["fmt"][i], d["w"][i], d["h"][i])
+                status.append("ok")
+            except AssertionError as e:
+                status.append("bad_magic" if "not a PNG" in str(e)
+                              else "truncated")
+            except Exception:
+                status.append("truncated")
+        blen = [len(b) for b in d["bytes"]]
+        return pa.table({
+            "fmt": t["fmt"],
+            "status": pa.array(status, type=pa.string()),
+            "blen": pa.array(blen, type=pa.int64()),
+        })
+
+
+def q_image_decode_quarantine(sf_dir: str) -> pd.DataFrame:
+    """Corrupt-input QUARANTINE census — the triage a 100-TB image
+    ingest runs to route undecodable payloads out of the pipeline:
+    actor-pool decode attempts classify every row (nothing but
+    (fmt, status, len) leaves the stage), then a grouped census.
+    The oracle re-derives every verdict from pure byte predicates
+    (payload length vs w*h*3 for raw/qraw; PNG signature and IEND
+    trailer bytes for png) — decode attempt vs byte forensics must
+    agree row-for-row or the counts diverge."""
+    snap = _image_quarantine_dir()
+    ds = rd.read_parquet(snap, columns=["fmt", "w", "h", "bytes"]) \
+        .map_batches(DecodeTriageActor, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+    df = ds.to_pandas()
+    g = df.groupby(["fmt", "status"], sort=True)
+    out = g.agg(n=("blen", "size"), total_bytes=("blen", "sum")) \
+        .reset_index()
+    out["n"] = out["n"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return out.sort_values(["fmt", "status"]).reset_index(drop=True)
+
+
+def image_decode_quarantine_oracle_sql() -> str:
+    snap = _image_quarantine_dir()
+    return f"""
+SELECT fmt, status, count(*) AS n,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS total_bytes
+FROM (
+    SELECT fmt, bytes, CASE
+        WHEN fmt IN ('raw', 'qraw') THEN
+            CASE WHEN octet_length(bytes) = CAST(w AS BIGINT) * h * 3
+                 THEN 'ok' ELSE 'truncated' END
+        ELSE
+            CASE WHEN substring(hex(bytes), 1, 16) <> '89504E470D0A1A0A'
+                     THEN 'bad_magic'
+                 WHEN substring(hex(bytes), 2 * octet_length(bytes) - 23, 24)
+                     <> '0000000049454E44AE426082' THEN 'truncated'
+                 ELSE 'ok' END
+    END AS status
+    FROM read_parquet('{snap}/images.parquet')
+) GROUP BY fmt, status ORDER BY fmt, status
+"""
