@@ -109,11 +109,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkey_set_ops": relational.q_custkey_set_ops,
         # ordered-frame window (7-row trailing mean, exact cumsum diff)
         "orders_moving_avg": relational.q_orders_moving_avg,
+        # percent_rank without sort/shuffle (bounded-domain histogram +
+        # broadcast cumulative counts)
+        "customer_percent_rank": relational.q_customer_percent_rank,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
         "token_counts_bpe": textops.q_token_counts_bpe,
         "stratified_sample": textops.q_stratified_sample,
+        # order-statistics uniform k-sample (smallest md5(doc_id))
+        "docs_hash_sample": textops.q_docs_hash_sample,
         "word_frequency": textops.q_word_frequency,
         "tfidf_top_terms": textops.q_tfidf_top_terms,
         "doc_quality": textops.q_doc_quality,
@@ -173,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corrupt-input quarantine: decode-attempt triage vs byte-forensics
         # oracle (planted truncation / bad-magic damage)
         "image_decode_quarantine": multimodal.q_image_decode_quarantine,
+        # multimodal dedup census: same caption, >1 distinct payload
+        "caption_image_mismatch": multimodal.q_caption_image_mismatch,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -225,11 +232,13 @@ def oracle_sql() -> dict[str, str]:
         "order_count_histogram": relational.Q_ORDER_COUNT_HISTOGRAM_SQL,
         "custkey_set_ops": relational.Q_CUSTKEY_SET_OPS_SQL,
         "orders_moving_avg": relational.Q_ORDERS_MOVING_AVG_SQL,
+        "customer_percent_rank": relational.Q_CUSTOMER_PERCENT_RANK_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
         "token_counts_bpe": textops.token_counts_bpe_oracle_sql(),
         "stratified_sample": textops.Q_STRATIFIED_SAMPLE_SQL,
+        "docs_hash_sample": textops.Q_DOCS_HASH_SAMPLE_SQL,
         "word_frequency": textops.Q_WORD_FREQ_SQL,
         "tfidf_top_terms": textops.Q_TFIDF_SQL,
         "doc_quality": textops.Q_DOC_QUALITY_SQL,
@@ -271,6 +280,8 @@ def oracle_sql() -> dict[str, str]:
         "image_size_stats": multimodal.image_size_stats_oracle_sql(),
         "image_decode_quarantine":
             multimodal.image_decode_quarantine_oracle_sql(),
+        "caption_image_mismatch":
+            multimodal.caption_image_mismatch_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

@@ -620,3 +620,79 @@ FROM (
     FROM read_parquet('{snap}/images.parquet')
 ) GROUP BY fmt, status ORDER BY fmt, status
 """
+
+
+def _caption_snapshot_dir() -> str:
+    """(image_id, caption, bytes) snapshot with PLANTED caption reuse:
+    rows ``i % 31 == 7`` take row (i-7)'s caption while keeping their
+    own payload — the "same alt-text, different image" shape a real
+    crawl produces from templated pages."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_imgcap_{_MM_SEED}_{_MM_ROWS}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        rows = spec.synth_batch(range(_MM_ROWS)).select(
+            ["image_id", "caption", "bytes"]).to_pylist()
+        for i in range(_MM_ROWS):
+            if i % 31 == 7 and i >= 7:
+                rows[i]["caption"] = rows[i - 7]["caption"]
+        pq.write_table(pa.Table.from_pylist(rows), base / "images.parquet")
+        marker.touch()
+    return str(base)
+
+
+def q_caption_image_mismatch(sf_dir: str) -> pd.DataFrame:
+    """Multimodal dedup census: captions attached to MORE THAN ONE
+    distinct image payload (templated alt-text reuse). Per batch each
+    row reduces to (caption-digest, payload-digest, id) and the partial
+    groups by the digest pair — text and payload both stay in their
+    blocks. The combine is associative (sum counts, min ids, then
+    count distinct payload digests per caption)."""
+    import hashlib
+
+    snap = _caption_snapshot_dir()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cap = [hashlib.md5(c.encode()).hexdigest()
+               for c in t["caption"].to_pylist()]
+        img = [hashlib.md5(b.hex().upper().encode()).hexdigest()
+               for b in t["bytes"].to_pylist()]
+        df = pd.DataFrame({"cap_digest": cap, "img_digest": img,
+                           "image_id": t["image_id"].to_pylist()})
+        g = df.groupby(["cap_digest", "img_digest"], sort=False)
+        return g.agg(n=("image_id", "size"),
+                     first_id=("image_id", "min")).reset_index()
+
+    parts = rd.read_parquet(snap) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=64) \
+        .to_pandas()
+    pair = parts.groupby(["cap_digest", "img_digest"], sort=False).agg(
+        n=("n", "sum"), first_id=("first_id", "min")).reset_index()
+    g = pair.groupby("cap_digest", sort=True)
+    out = pd.DataFrame({
+        "cap_digest": list(g.groups),
+        "n_images": g["n"].sum().to_numpy().astype("int64"),
+        "n_payloads": g.size().to_numpy().astype("int64"),
+        "first_id": g["first_id"].min().to_numpy(),
+    })
+    out = out[out["n_payloads"] > 1]
+    return out.sort_values("cap_digest").reset_index(drop=True)
+
+
+def caption_image_mismatch_oracle_sql() -> str:
+    snap = _caption_snapshot_dir()
+    return f"""
+SELECT md5(caption) AS cap_digest, count(*) AS n_images,
+       count(DISTINCT md5(hex(bytes))) AS n_payloads,
+       min(image_id) AS first_id
+FROM read_parquet('{snap}/images.parquet')
+GROUP BY cap_digest HAVING count(DISTINCT md5(hex(bytes))) > 1
+ORDER BY cap_digest
+"""

@@ -1483,3 +1483,74 @@ SELECT day,
 FROM d WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
 """
+
+
+def q_customer_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """WINDOW RANK over an unordered distributed table:
+    ``percent_rank() OVER (PARTITION BY segment ORDER BY acctbal)`` for
+    every customer, computed WITHOUT any sort or shuffle — acctbal is
+    a bounded integer-cents domain (same insight as
+    q_acctbal_quantiles), so per-batch partial histograms per segment
+    combine into exact cumulative counts; the cumsums broadcast back
+    (``ray.put``, read once per task) and a second map-only pass emits
+    each row's rank. percent_rank = cnt_less / (n − 1) is tie-stable
+    (equal values share a rank) and a single float division."""
+    import ray
+
+    OFF = 100_000  # acctbal ≥ -1000.00 → cents + OFF ≥ 0
+    DOM = 1_100_000
+
+    def cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        c = pc.add(pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                           pa.int64()), OFF)
+        return pa.table([t["c_custkey"], t["c_mktsegment"], c],
+                        names=["c_custkey", "c_mktsegment", "cents"])
+
+    def build():
+        return T(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"]) \
+            .map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for seg, sub in df.groupby("c_mktsegment", sort=False):
+            h = np.bincount(sub["cents"].to_numpy(), minlength=DOM)
+            nz = np.flatnonzero(h)
+            out.append(pd.DataFrame({"seg": seg, "v": nz, "n": h[nz]}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = build().map_batches(hist_partial, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+    cum = {}
+    for seg, sub in parts.groupby("seg", sort=False):
+        h = np.zeros(DOM, dtype=np.int64)
+        np.add.at(h, sub["v"].to_numpy(), sub["n"].to_numpy())
+        cs = np.concatenate([[0], np.cumsum(h)[:-1]])  # cnt strictly less
+        cum[seg] = (cs, int(h.sum()))
+    ref = ray.put(cum)
+
+    def rank_rows(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        df = df.reset_index(drop=True)
+        pr = np.empty(len(df))
+        for seg, sub in df.groupby("c_mktsegment", sort=False):
+            cs, n = c[seg]
+            pr[sub.index.to_numpy()] = cs[sub["cents"].to_numpy()] / (n - 1)
+        return pd.DataFrame({"c_custkey": df["c_custkey"],
+                             "c_mktsegment": df["c_mktsegment"],
+                             "pr": pr})
+
+    out = build().map_batches(rank_rows, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q_CUSTOMER_PERCENT_RANK_SQL = """
+SELECT c_custkey, c_mktsegment,
+       percent_rank() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal) AS pr
+FROM customer ORDER BY c_custkey
+"""

@@ -505,3 +505,32 @@ SELECT CAST(h % 8 AS BIGINT) AS shard,
        count(*) AS n_rows
 FROM x GROUP BY shard ORDER BY shard
 """
+
+
+def q_docs_hash_sample(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """ORDER-STATISTICS uniform sample: the k documents with the
+    smallest md5(doc_id) — a deterministic, coordination-free k-sample
+    (every engine that agrees on the hash agrees on the sample, no
+    global count or rate needed, unlike the rate-based
+    q_stratified_sample). Per-batch partial top-k means at most
+    k × #batches tiny rows leave the scan; the driver merge is the
+    same top-k again (associative)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dg = [hashlib.md5(str(i).encode()).hexdigest()
+              for i in df["doc_id"]]
+        out = pd.DataFrame({"doc_id": df["doc_id"], "digest": dg})
+        return out.sort_values("digest").head(k)
+
+    parts = T(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .to_pandas()
+    out = parts.sort_values("digest").head(k)
+    return out.reset_index(drop=True)
+
+
+Q_DOCS_HASH_SAMPLE_SQL = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS digest
+FROM documents ORDER BY digest LIMIT 64
+"""
