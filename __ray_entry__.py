@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percent_rank without sort/shuffle (bounded-domain histogram +
         # broadcast cumulative counts)
         "customer_percent_rank": relational.q_customer_percent_rank,
+        # exact global ranks + ntile sharding without a global sort
+        "orders_ntile_shards": relational.q_orders_ntile_shards,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -161,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_full_outer": events.q_events_hourly_full_outer,
         # arg-max reduce (max_by with deterministic total tie-break)
         "events_argmax_user": events.q_events_argmax_user,
+        # exact grouped stddev from integer partials (HUGEINT-safe combine)
+        "events_value_stddev": events.q_events_value_stddev,
+        # running COUNT(DISTINCT) via per-user first-touch min + cumsum
+        "events_cumulative_users": events.q_events_cumulative_users,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
@@ -233,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "custkey_set_ops": relational.Q_CUSTKEY_SET_OPS_SQL,
         "orders_moving_avg": relational.Q_ORDERS_MOVING_AVG_SQL,
         "customer_percent_rank": relational.Q_CUSTOMER_PERCENT_RANK_SQL,
+        "orders_ntile_shards": relational.Q_ORDERS_NTILE_SHARDS_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
@@ -260,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": events.Q_EVENTS_PIVOT_SQL,
         "events_hourly_full_outer": events.Q_EVENTS_HOURLY_FULL_OUTER_SQL,
         "events_argmax_user": events.Q_EVENTS_ARGMAX_SQL,
+        "events_value_stddev": events.Q_EVENTS_VALUE_STDDEV_SQL,
+        "events_cumulative_users": events.Q_EVENTS_CUMULATIVE_USERS_SQL,
         # manifest (partition, n_rows) of the resumable day-partitioned sink
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor

@@ -935,3 +935,114 @@ FROM (SELECT *, row_number() OVER (PARTITION BY event_type
           ORDER BY value DESC, user_id, event_id) AS rn FROM events)
 WHERE rn = 1 ORDER BY event_type
 """
+
+
+def q_events_value_stddev(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed variance/stddev per group — the classic
+    "impossible to hash-match" float aggregate made deterministic:
+    per-batch integer partials (n, Σc, Σc²) in cents, combined on the
+    driver in arbitrary-precision Python ints (Σc² crosses int64 at
+    ~1e12 events — int64 partials per batch stay safe, the COMBINE is
+    where overflow lives, mirrored in SQL by HUGEINT casts), then
+    stddev = sqrt(n·Σc² − (Σc)²) / (100·n) — one float cast, one sqrt,
+    one division, identical on both engines."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "c": c,
+                      "c2": pc.multiply(c, c)}) \
+            .group_by(["event_type"], use_threads=False) \
+            .aggregate([("c", "sum"), ("c2", "sum"), ("c", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "s": g["c_sum"], "s2": g["c2_sum"],
+                         "n": pc.cast(g["c_count"], pa.int64())})
+
+    df = T(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .to_pandas()
+    rows = []
+    for et, sub in df.groupby("event_type", sort=True):
+        n = int(sub["n"].sum())
+        s = sum(int(v) for v in sub["s"])     # Python ints: no overflow
+        s2 = sum(int(v) for v in sub["s2"])
+        var_num = n * s2 - s * s              # exact integer
+        rows.append({"event_type": et, "n": n,
+                     "total_value": s / 100.0,
+                     "stddev_value": math.sqrt(float(var_num)) / (100.0 * n)})
+    return pd.DataFrame(rows)
+
+
+Q_EVENTS_VALUE_STDDEV_SQL = """
+WITH p AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events)
+SELECT event_type, count(*) AS n,
+       sum(c) / 100.0 AS total_value,
+       sqrt(CAST(count(*) * sum(CAST(c AS HUGEINT) * c)
+                 - CAST(sum(c) AS HUGEINT) * sum(c) AS DOUBLE))
+           / (100.0 * count(*)) AS stddev_value
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_cumulative_users(sf_dir: str) -> pd.DataFrame:
+    """CUMULATIVE DISTINCT (first-touch attribution): distinct users
+    seen up to each day — a running COUNT(DISTINCT) that needs no
+    per-day sets: per-batch partial ``min(day) per user`` (associative
+    min), combine to each user's true first day, histogram first days
+    (bounded domain), cumsum. The per-user combine runs on the driver
+    below the sessions gate and hash-partitions by user above it —
+    only (user, day) pairs ever move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        g = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id"], use_threads=False) \
+            .aggregate([("day", "min")])
+        return pa.table({"user_id": g["user_id"], "day": g["day_min"]})
+
+    def build():
+        return T(sf_dir, "events", columns=["user_id", "ts"]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    if parquet_rows(sf_dir, "events") < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        df = build().to_pandas()
+        first = df.groupby("user_id", sort=False)["day"].min()
+    else:
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        def block_min(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("user_id", sort=False, as_index=False)["day"] \
+                .min()
+
+        with hash_shuffle():
+            df = build().repartition(
+                num_blocks=join_partitions(parquet_rows(sf_dir, "events")),
+                keys=["user_id"]) \
+                .map_batches(block_min, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        first = df.set_index("user_id")["day"]
+
+    hist = first.value_counts().sort_index()
+    return pd.DataFrame({"day": hist.index,
+                         "n_new": hist.to_numpy().astype("int64"),
+                         "cum_users": hist.cumsum().to_numpy().astype("int64")})
+
+
+Q_EVENTS_CUMULATIVE_USERS_SQL = """
+SELECT day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM (SELECT first_day AS day, count(*) AS n_new
+      FROM (SELECT user_id, min(date_trunc('day', ts)) AS first_day
+            FROM events GROUP BY user_id)
+      GROUP BY first_day)
+ORDER BY day
+"""

@@ -1554,3 +1554,120 @@ SELECT c_custkey, c_mktsegment,
                             ORDER BY c_acctbal) AS pr
 FROM customer ORDER BY c_custkey
 """
+
+
+def q_orders_ntile_shards(sf_dir: str, n_shards: int = 8) -> pd.DataFrame:
+    """GLOBAL TOTAL-ORDER RANKING at scale (the heart of a distributed
+    sort): every order gets its exact global rank under
+    (o_orderdate, o_orderkey) and its ntile shard, WITHOUT a global
+    sort — (1) per-batch day-histogram partials give exact cumulative
+    row offsets per day (bounded domain); (2) rows hash-partition by
+    day so each block holds whole days, sorts locally by key, and
+    assigns rank = day_offset + local position; (3) ntile arithmetic
+    maps ranks to equal-depth shards. Per shard the census (count,
+    key sum, first/last key by rank) is an associative partial. This
+    is exactly the range-partitioned export recipe: step (2)'s blocks
+    ARE the sorted shards a writer would emit."""
+    import ray
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({"day": pc.floor_temporal(t["o_orderdate"],
+                                                  unit="day"),
+                         "key": t["o_orderkey"]})
+
+    def build():
+        return T(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    def day_hist(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["day"].value_counts()
+        return pd.DataFrame({"day": vc.index, "n": vc.to_numpy()})
+
+    hist = build().map_batches(day_hist, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+    hist = hist.groupby("day", sort=True)["n"].sum()
+    total = int(hist.sum())
+    offsets = dict(zip(hist.index,
+                       np.concatenate([[0], np.cumsum(hist.to_numpy())[:-1]])))
+
+    size, rem = divmod(total, n_shards)
+
+    def ntile_of(r0: np.ndarray) -> np.ndarray:
+        # r0 = 0-based global rank; first `rem` shards get size+1 rows
+        cut = rem * (size + 1)
+        return np.where(r0 < cut, r0 // (size + 1) + 1,
+                        rem + (r0 - cut) // size + 1).astype("int64")
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for shard, sub in df.groupby("shard", sort=False):
+            i_lo = sub["rn"].idxmin()
+            i_hi = sub["rn"].idxmax()
+            rows.append({"shard": int(shard), "n_rows": len(sub),
+                         "key_sum": int(sub["key"].sum()),
+                         "lo_rn": int(sub.loc[i_lo, "rn"]),
+                         "hi_rn": int(sub.loc[i_hi, "rn"]),
+                         "first_key": int(sub.loc[i_lo, "key"]),
+                         "last_key": int(sub.loc[i_hi, "key"])})
+        return pd.DataFrame(rows)
+
+    if parquet_rows(sf_dir, "orders") < DISTRIBUTED_JOIN_MIN_ROWS:
+        df = build().to_pandas().sort_values(["day", "key"]) \
+            .reset_index(drop=True)
+        df["rn"] = np.arange(1, len(df) + 1)
+        df["shard"] = ntile_of(df["rn"].to_numpy() - 1)
+        parts = census(df)
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        ref = ray.put(offsets)
+
+        def rank_block(df: pd.DataFrame) -> pd.DataFrame:
+            off = ray.get(ref)
+            out = []
+            for day, sub in df.groupby("day", sort=False):
+                sub = sub.sort_values("key").reset_index(drop=True)
+                r0 = off[day] + np.arange(len(sub))
+                sub["rn"] = r0 + 1
+                sub["shard"] = ntile_of(r0)
+                out.append(sub)
+            return census(pd.concat(out, ignore_index=True))
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(parquet_rows(sf_dir, "orders")),
+                keys=["day"]) \
+                .map_batches(rank_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+
+    rows = []
+    for shard, sub in parts.groupby("shard", sort=True):
+        lo = sub.loc[sub["lo_rn"].idxmin()]
+        hi = sub.loc[sub["hi_rn"].idxmax()]
+        rows.append({"shard": int(shard),
+                     "n_rows": int(sub["n_rows"].sum()),
+                     "key_sum": int(sub["key_sum"].sum()),
+                     "first_key": int(lo["first_key"]),
+                     "last_key": int(hi["last_key"])})
+    return pd.DataFrame(rows)
+
+
+Q_ORDERS_NTILE_SHARDS_SQL = """
+WITH s AS (SELECT o_orderkey AS key,
+                  ntile(8) OVER (ORDER BY date_trunc('day', o_orderdate),
+                                 o_orderkey) AS shard,
+                  row_number() OVER (ORDER BY date_trunc('day', o_orderdate),
+                                     o_orderkey) AS rn
+           FROM orders),
+     b AS (SELECT shard, min(rn) AS lo, max(rn) AS hi,
+                  count(*) AS n_rows, sum(key) AS key_sum
+           FROM s GROUP BY shard)
+SELECT b.shard, b.n_rows, CAST(b.key_sum AS BIGINT) AS key_sum,
+       f.key AS first_key, l.key AS last_key
+FROM b JOIN s f ON f.rn = b.lo JOIN s l ON l.rn = b.hi
+ORDER BY b.shard
+"""

@@ -240,3 +240,23 @@ def test_custkey_set_ops_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = _df(relational.q_custkey_set_ops(SF01))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cumulative_users_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_cumulative_users(SF01)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_cumulative_users(SF01)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ntile_shards_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = _df(relational.q_orders_ntile_shards(SF01))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(relational.q_orders_ntile_shards(SF01))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
