@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         crawlops,
         dedup,
         events,
+        graph,
         multimodal,
         pii,
         relational,
@@ -186,6 +187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_quarantine": multimodal.q_image_decode_quarantine,
         # multimodal dedup census: same caption, >1 distinct payload
         "caption_image_mismatch": multimodal.q_caption_image_mismatch,
+        # link-graph analytics (crawl-side batch twin of expand lineage)
+        "graph_degree_stats": graph.q_graph_degree_stats,
+        "graph_pagerank": graph.q_graph_pagerank,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -207,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         crawlops,
         dedup,
         events,
+        graph,
         multimodal,
         pii,
         relational,
@@ -291,6 +296,8 @@ def oracle_sql() -> dict[str, str]:
             multimodal.image_decode_quarantine_oracle_sql(),
         "caption_image_mismatch":
             multimodal.caption_image_mismatch_oracle_sql(),
+        "graph_degree_stats": graph.graph_degree_stats_oracle_sql(),
+        "graph_pagerank": graph.graph_pagerank_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

@@ -1,0 +1,292 @@
+"""Link-graph analytics over the crawl corpus — the batch-side twin of
+the engine's frontier expansion (`stages/expand.py` builds exactly these
+edges live; reference parity: `collect_page_urls`'s lineage,
+`base.py:601-650`).
+
+PageRank here is EXACT fixed-point integer arithmetic, not floats:
+``r'(v) = base + Σ_{u→v} (r(u)·85) // (100·deg(u))`` with
+SCALE = 10^12. Integer floor-division contributions make the sum
+order-independent (float PageRank can never hash-match across engines;
+this formulation is bit-identical in numpy, Python and DuckDB), so an
+ITERATIVE graph algorithm gets a full SQL oracle — the iterations
+unroll into chained CTEs.
+
+Scale shape: the rank/degree vectors are bounded by the node count and
+broadcast (``ray.put``) per iteration while edges stream through
+``map_batches`` emitting per-batch (dst, contrib) partials; at
+web-scale node counts the same update runs as a hash-join of the edge
+table against a rank Dataset co-partitioned by src (the
+q_customer_order_stats join shape) — documented, gated by corpus size
+like every other small-input gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from kryptone_ray.corpus.synth import CorpusSpec, row_index_of
+
+_G_ROWS = 300
+_G_SEED = 1234
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+N_ITER = 3
+
+# Above this node count the rank/degree vectors no longer broadcast
+# (2M nodes ≈ 32 MB of int64 vectors — the documented ray.put comfort
+# ceiling used by the relational BROADCAST_MAX_ROWS gate); the update
+# becomes the join-shaped distributed iteration below. Tests force the
+# distributed path by patching this to -1.
+PAGERANK_BROADCAST_MAX_NODES = 2_000_000
+
+
+def _edges_dir() -> str:
+    """Deterministic (src, dst) edge snapshot extracted from the corpus
+    out-link function: strip fragments, resolve each link back to a
+    corpus row, keep exact canonical matches, drop self-loops, dedupe.
+    Parquet so DuckDB reads the same graph."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_rows=_G_ROWS, n_hosts=8, seed=_G_SEED)
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_graph_{_G_SEED}_{_G_ROWS}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        edges = set()
+        for i in range(_G_ROWS):
+            for link in spec.outlinks(i):
+                u = link.split("#", 1)[0]
+                j = row_index_of(u)
+                if j is None or not (0 <= j < _G_ROWS):
+                    continue
+                if spec.url_of(j) != u or j == i:
+                    continue
+                edges.add((i, j))
+        src, dst = zip(*sorted(edges))
+        pq.write_table(
+            pa.table({"src": pa.array(src, type=pa.int64()),
+                      "dst": pa.array(dst, type=pa.int64())}),
+            base / "edges.parquet")
+        marker.touch()
+    return str(base)
+
+
+def q_graph_degree_stats(sf_dir: str) -> pd.DataFrame:
+    """Degree census of the link graph: per out-degree bucket, how many
+    nodes (isolated nodes — no out-edges — counted from the known node
+    domain, the Q13 zero-bucket trick). Per-batch Arrow partials."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["src"], use_threads=False) \
+            .aggregate([("dst", "count")])
+        return pa.table({"src": g["src"],
+                         "d": pc.cast(g["dst_count"], pa.int64())})
+
+    df = rd.read_parquet(_edges_dir()) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536) \
+        .to_pandas()
+    per_src = df.groupby("src", sort=False)["d"].sum()
+    hist = per_src.value_counts()
+    out = pd.DataFrame({"out_degree": hist.index.astype("int64"),
+                        "n_nodes": hist.to_numpy().astype("int64")})
+    zero = _G_ROWS - len(per_src)
+    if zero > 0:
+        out = pd.concat([out, pd.DataFrame(
+            {"out_degree": [0], "n_nodes": [zero]})], ignore_index=True)
+    return out.sort_values("out_degree").reset_index(drop=True)
+
+
+def graph_degree_stats_oracle_sql() -> str:
+    snap = _edges_dir()
+    return f"""
+WITH deg AS (SELECT src, count(*) AS d
+             FROM read_parquet('{snap}/edges.parquet') GROUP BY src),
+     nodes AS (SELECT range AS v FROM range({_G_ROWS}))
+SELECT out_degree, count(*) AS n_nodes FROM (
+    SELECT COALESCE(deg.d, 0) AS out_degree
+    FROM nodes LEFT JOIN deg ON deg.src = nodes.v
+) GROUP BY out_degree ORDER BY out_degree
+"""
+
+
+def _pagerank_distributed(snap: str, n: int) -> pd.DataFrame:
+    """Join-shaped PageRank for node counts past the broadcast gate:
+    the rank vector lives as a Dataset co-joined with the out-degree
+    table, each iteration is edges ⋈ rank-state (hash join on src) →
+    per-block (dst, contrib) partials → hash-partition combine by dst —
+    the q_customer_order_stats shape. Only per-node state shuffles;
+    edges re-stream from parquet each iteration (at 100 TB the edge
+    table is the thing that must never materialize). Rank datasets are
+    materialized per iteration to cut lineage — bounded by node count,
+    never by edge count."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows_path)
+
+    base_term = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
+    init = SCALE // n
+    npart = join_partitions(parquet_rows_path(f"{snap}/edges.parquet"))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.group_by(["src"], use_threads=False) \
+            .aggregate([("dst", "count")])
+        return pa.table({"pr_v": g["src"],
+                         "d": pc.cast(g["dst_count"], pa.int64())})
+
+    def combine_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pr_v", sort=False, as_index=False)["d"].sum()
+        return g.assign(r=np.int64(init))
+
+    with hash_shuffle():
+        # state: (pr_v, d, r) for every node with out-edges
+        state = rd.read_parquet(snap) \
+            .map_batches(deg_partial, batch_format="pyarrow",
+                         batch_size=65536) \
+            .repartition(num_blocks=npart, keys=["pr_v"]) \
+            .map_batches(combine_deg, batch_format="pandas",
+                         batch_size=None).materialize()
+
+    def contrib_block(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df["r"].to_numpy() * DAMP_NUM) \
+            // (DAMP_DEN * df["d"].to_numpy())
+        g = pd.DataFrame({"dst": df["dst"], "c": c}) \
+            .groupby("dst", sort=False)["c"].sum()
+        return pd.DataFrame({"dst": g.index.to_numpy(),
+                             "c": g.to_numpy()})
+
+    def zero_seed(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["id"], pa.int64())
+        return pa.table({"dst": ids,
+                         "c": pa.array(np.zeros(len(ids), np.int64))})
+
+    def new_rank(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", sort=False)["c"].sum()
+        return pd.DataFrame({"pr_v": g.index.to_numpy(),
+                             "r": base_term + g.to_numpy()})
+
+    ranks = None
+    for it in range(N_ITER):
+        with hash_shuffle():
+            # zero seed: every node in the domain gets a row, so nodes
+            # with no in-links (or no links at all) survive the combine
+            # with rank = base_term — no outer join needed.
+            zeros = rd.range(n).map_batches(
+                zero_seed, batch_format="pyarrow", batch_size=65536)
+            parts = rd.read_parquet(snap) \
+                .join(state, "inner", num_partitions=npart,
+                      on=("src",), right_on=("pr_v",)) \
+                .map_batches(contrib_block, batch_format="pandas",
+                             batch_size=None)
+            ranks = parts.union(zeros) \
+                .repartition(num_blocks=npart, keys=["dst"]) \
+                .map_batches(new_rank, batch_format="pandas",
+                             batch_size=None).materialize()
+        if it < N_ITER - 1:
+            deg_side = state.map_batches(
+                lambda df: df[["pr_v", "d"]].rename(
+                    columns={"pr_v": "deg_v"}),
+                batch_format="pandas", batch_size=None)
+            state = ranks.join(deg_side, "inner",
+                               num_partitions=npart,
+                               on=("pr_v",), right_on=("deg_v",)) \
+                .map_batches(lambda df: df[["pr_v", "d", "r"]],
+                             batch_format="pandas",
+                             batch_size=None).materialize()
+
+    out = ranks.to_pandas().rename(columns={"pr_v": "node",
+                                            "r": "rank_fp"})
+    out["node"] = out["node"].astype("int64")
+    out["rank_fp"] = out["rank_fp"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Fixed-point PageRank, {N_ITER} exact integer iterations (see
+    module docstring). Returns every node's final rank numerator — at
+    SCALE=10^12 the conventional float rank is rank_fp / SCALE."""
+    import ray
+
+    snap = _edges_dir()
+    if _G_ROWS > PAGERANK_BROADCAST_MAX_NODES:
+        return _pagerank_distributed(snap, _G_ROWS)
+
+    base_term = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * _G_ROWS)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.group_by(["src"], use_threads=False) \
+            .aggregate([("dst", "count")])
+        return pa.table({"src": g["src"],
+                         "d": pc.cast(g["dst_count"], pa.int64())})
+
+    ddf = rd.read_parquet(snap) \
+        .map_batches(deg_partial, batch_format="pyarrow",
+                     batch_size=65536).to_pandas()
+    deg = np.zeros(_G_ROWS, dtype=np.int64)
+    dsum = ddf.groupby("src", sort=False)["d"].sum()
+    deg[dsum.index.to_numpy()] = dsum.to_numpy()
+
+    r = np.full(_G_ROWS, SCALE // _G_ROWS, dtype=np.int64)
+    for _ in range(N_ITER):
+        ref = ray.put((r, deg))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            rv, dv = ray.get(ref)
+            src = df["src"].to_numpy()
+            c = (rv[src] * DAMP_NUM) // (DAMP_DEN * dv[src])
+            g = pd.DataFrame({"dst": df["dst"], "c": c}) \
+                .groupby("dst", sort=False)["c"].sum()
+            return pd.DataFrame({"dst": g.index, "c": g.to_numpy()})
+
+        parts = rd.read_parquet(snap) \
+            .map_batches(contrib, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+        total = parts.groupby("dst", sort=False)["c"].sum()
+        nxt = np.full(_G_ROWS, base_term, dtype=np.int64)
+        nxt[total.index.to_numpy()] += total.to_numpy()
+        r = nxt
+
+    return pd.DataFrame({"node": np.arange(_G_ROWS, dtype=np.int64),
+                         "rank_fp": r})
+
+
+def graph_pagerank_oracle_sql() -> str:
+    snap = _edges_dir()
+    base_term = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * _G_ROWS)
+    init = SCALE // _G_ROWS
+    sql = f"""
+WITH edges AS (SELECT src, dst FROM read_parquet('{snap}/edges.parquet')),
+     deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+     nodes AS (SELECT range AS v FROM range({_G_ROWS})),
+     r0 AS (SELECT v, CAST({init} AS BIGINT) AS r FROM nodes)"""
+    prev = "r0"
+    for k in range(1, N_ITER + 1):
+        sql += f""",
+     r{k} AS (
+        SELECT n.v, {base_term} + COALESCE(s.contrib, 0) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS v,
+                   CAST(sum(({prev}.r * {DAMP_NUM})
+                            // ({DAMP_DEN} * deg.d)) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN {prev} ON {prev}.v = e.src
+            JOIN deg ON deg.src = e.src
+            GROUP BY e.dst) s ON s.v = n.v)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT v AS node, r AS rank_fp FROM {prev} ORDER BY node
+"""
+    return sql

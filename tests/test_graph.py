@@ -1,0 +1,64 @@
+"""Link-graph pipeline: the broadcast PageRank (small-input shape) and
+the join-shaped distributed PageRank (100-TB shape, forced by patching
+PAGERANK_BROADCAST_MAX_NODES) must produce bit-identical integer
+ranks; the degree census must cover the full node domain including
+zero-out-degree nodes."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_distributed_equals_broadcast(monkeypatch):
+    from kryptone_ray.pipelines import graph
+
+    small = graph.q_graph_pagerank(SF)
+    monkeypatch.setattr(graph, "PAGERANK_BROADCAST_MAX_NODES", -1)
+    big = graph.q_graph_pagerank(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_mass_is_conserved_to_rounding():
+    # Σ rank == SCALE minus only integer floor-division dust: each
+    # src node loses < DAMP_DEN*d per iteration to the floors, and the
+    # base term loses < DAMP_DEN per node. A loose but load-bearing
+    # bound — a wrong join/combine shape misses whole contributions
+    # (≫ dust), a float drift breaks exactness elsewhere.
+    from kryptone_ray.pipelines import graph
+
+    r = graph.q_graph_pagerank(SF)
+    total = int(r["rank_fp"].sum())
+    assert total <= graph.SCALE
+    dust_bound = graph.N_ITER * graph._G_ROWS * (
+        graph.DAMP_DEN * int(r["rank_fp"].count()) + graph.DAMP_DEN)
+    assert graph.SCALE - total < dust_bound
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_census_covers_node_domain():
+    from kryptone_ray.pipelines import graph
+
+    d = graph.q_graph_degree_stats(SF)
+    assert int(d["n_nodes"].sum()) == graph._G_ROWS
+    assert (d["out_degree"] >= 0).all()
+
+
+def test_edge_snapshot_is_deterministic(tmp_path):
+    # two builds from scratch produce byte-identical edge tables
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.pipelines import graph
+
+    first = pq.read_table(graph._edges_dir() + "/edges.parquet")
+    import shutil
+
+    rebuilt_dir = graph._edges_dir()
+    shutil.rmtree(rebuilt_dir)
+    second = pq.read_table(graph._edges_dir() + "/edges.parquet")
+    assert first.equals(second)
+    assert first.num_rows > 0
