@@ -263,6 +263,148 @@ def q_graph_pagerank(sf_dir: str) -> pd.DataFrame:
                          "rank_fp": r})
 
 
+def _cc_broadcast(snap: str, n: int) -> pd.DataFrame:
+    """Min-label propagation with the label vector broadcast per
+    iteration (small-input shape). Labels only ever decrease, so two
+    consecutive equal label-sums ⟺ fixed point — the convergence
+    check is one int comparison on the driver, no dataset diff."""
+    import ray
+
+    labels = np.arange(n, dtype=np.int64)
+    while True:
+        ref = ray.put(labels)
+
+        def push_min(df: pd.DataFrame) -> pd.DataFrame:
+            lv = ray.get(ref)
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            node = np.concatenate([dst, src])
+            lab = np.concatenate([lv[src], lv[dst]])
+            g = pd.DataFrame({"node": node, "lab": lab}) \
+                .groupby("node", sort=False)["lab"].min()
+            return pd.DataFrame({"node": g.index.to_numpy(),
+                                 "lab": g.to_numpy()})
+
+        parts = rd.read_parquet(snap) \
+            .map_batches(push_min, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+        mins = parts.groupby("node", sort=False)["lab"].min()
+        nxt = labels.copy()
+        np.minimum.at(nxt, mins.index.to_numpy(), mins.to_numpy())
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    return pd.DataFrame({"node": np.arange(n, dtype=np.int64),
+                         "component": labels})
+
+
+def _cc_distributed(snap: str, n: int) -> pd.DataFrame:
+    """Join-shaped min-label propagation past the broadcast gate: each
+    iteration hash-joins the streamed edge table against the label
+    Dataset twice (once per direction), unions the self-labels, and
+    takes per-node minima in a hash-partition combine. Convergence =
+    unchanged label sum (labels are monotone non-increasing), computed
+    from per-block partial sums — a tiny driver-side reduce, never a
+    dataset diff."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows_path)
+
+    npart = join_partitions(parquet_rows_path(f"{snap}/edges.parquet"))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["id"], pa.int64())
+        return pa.table({"pr_v": ids, "lab": ids})
+
+    labels = rd.range(n).map_batches(init_labels, batch_format="pyarrow",
+                                     batch_size=65536).materialize()
+    prev_sum = (n - 1) * n // 2
+
+    def fwd(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"node": df["dst"], "lab": df["lab"]}) \
+            .groupby("node", sort=False)["lab"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "lab": g.to_numpy()})
+
+    def bwd(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"node": df["src"], "lab": df["lab"]}) \
+            .groupby("node", sort=False)["lab"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "lab": g.to_numpy()})
+
+    def self_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["pr_v"], "lab": df["lab"]})
+
+    def combine_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["lab"].min()
+        return pd.DataFrame({"pr_v": g.index.to_numpy(),
+                             "lab": g.to_numpy()})
+
+    while True:
+        with hash_shuffle():
+            lab_dst = labels.map_batches(
+                lambda df: df.rename(columns={"pr_v": "lab_v"}),
+                batch_format="pandas", batch_size=None)
+            f = rd.read_parquet(snap) \
+                .join(labels, "inner", num_partitions=npart,
+                      on=("src",), right_on=("pr_v",)) \
+                .map_batches(fwd, batch_format="pandas", batch_size=None)
+            b = rd.read_parquet(snap) \
+                .join(lab_dst, "inner", num_partitions=npart,
+                      on=("dst",), right_on=("lab_v",)) \
+                .map_batches(bwd, batch_format="pandas", batch_size=None)
+            s = labels.map_batches(self_rows, batch_format="pandas",
+                                   batch_size=None)
+            labels = f.union(b).union(s) \
+                .repartition(num_blocks=npart, keys=["node"]) \
+                .map_batches(combine_min, batch_format="pandas",
+                             batch_size=None).materialize()
+        sums = labels.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["lab"].sum())]}),
+            batch_format="pandas", batch_size=None).to_pandas()
+        cur_sum = int(sums["s"].sum())
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = labels.to_pandas().rename(columns={"pr_v": "node",
+                                             "lab": "component"})
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_graph_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the (undirected) link graph by min-label
+    propagation run to FIXED POINT — convergence detected, not a fixed
+    iteration count. component = smallest node id in the component, so
+    the result is deterministic and order-independent. Oracle: DuckDB
+    recursive-CTE transitive closure (exact at fixture scale)."""
+    snap = _edges_dir()
+    if _G_ROWS > PAGERANK_BROADCAST_MAX_NODES:
+        return _cc_distributed(snap, _G_ROWS)
+    return _cc_broadcast(snap, _G_ROWS)
+
+
+def graph_components_oracle_sql() -> str:
+    snap = _edges_dir()
+    return f"""
+WITH RECURSIVE
+  sym AS (SELECT src, dst FROM read_parquet('{snap}/edges.parquet')
+          UNION
+          SELECT dst, src FROM read_parquet('{snap}/edges.parquet')),
+  nodes AS (SELECT range AS v FROM range({_G_ROWS})),
+  reach(a, b) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b)
+SELECT a AS node, min(b) AS component FROM reach
+GROUP BY a ORDER BY node
+"""
+
+
 def graph_pagerank_oracle_sql() -> str:
     snap = _edges_dir()
     base_term = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * _G_ROWS)

@@ -48,6 +48,32 @@ def test_degree_census_covers_node_domain():
     assert (d["out_degree"] >= 0).all()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_components_distributed_equals_broadcast(monkeypatch):
+    from kryptone_ray.pipelines import graph
+
+    small = graph.q_graph_components(SF)
+    monkeypatch.setattr(graph, "PAGERANK_BROADCAST_MAX_NODES", -1)
+    big = graph.q_graph_components(SF)
+    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_components_are_valid_labels():
+    # every component label is the min node id of its member set, and
+    # both endpoints of every edge share a label
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.pipelines import graph
+
+    cc = graph.q_graph_components(SF).set_index("node")["component"]
+    edges = pq.read_table(graph._edges_dir() + "/edges.parquet").to_pandas()
+    assert (cc.loc[edges["src"]].to_numpy()
+            == cc.loc[edges["dst"]].to_numpy()).all()
+    mins = cc.groupby(cc).apply(lambda s: s.index.min())
+    assert (mins.index.to_numpy() == mins.to_numpy()).all()
+
+
 def test_edge_snapshot_is_deterministic(tmp_path):
     # two builds from scratch produce byte-identical edge tables
     import pyarrow.parquet as pq
