@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_percent_rank": relational.q_customer_percent_rank,
         # exact global ranks + ntile sharding without a global sort
         "orders_ntile_shards": relational.q_orders_ntile_shards,
+        # TPC-H Q17 shape: correlated avg subquery as fact×self-aggregate
+        "small_quantity_revenue": relational.q_small_quantity_revenue,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -246,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_moving_avg": relational.Q_ORDERS_MOVING_AVG_SQL,
         "customer_percent_rank": relational.Q_CUSTOMER_PERCENT_RANK_SQL,
         "orders_ntile_shards": relational.Q_ORDERS_NTILE_SHARDS_SQL,
+        "small_quantity_revenue": relational.Q_SMALL_QTY_REVENUE_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)

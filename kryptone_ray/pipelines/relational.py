@@ -1671,3 +1671,128 @@ SELECT b.shard, b.n_rows, CAST(b.key_sum AS BIGINT) AS key_sum,
 FROM b JOIN s f ON f.rn = b.lo JOIN s l ON l.rn = b.hi
 ORDER BY b.shard
 """
+
+
+def q_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape generalized per brand: revenue from lineitems
+    whose quantity is under 20% of their part's average quantity
+    (reference capability: grouped stats feeding a per-record filter,
+    seo.py:407-421 word-frequency → threshold pattern).
+
+    The correlated scalar subquery ``qty < 0.2 * avg(qty per part)``
+    becomes a per-part (n, Σqty) partial aggregate that meets the fact
+    table again — fact×self-aggregate. The predicate is evaluated as
+    the EXACT integer cross-multiplication ``5·qty·n < Σqty``
+    (quantities are integral), so no float-division drift can flip a
+    row. Below BROADCAST_MAX_ROWS the part stats + brand map broadcast
+    via ray.put and lineitem streams once more (two passes — Q17 is
+    inherently two-pass); above it both the stats and the brand attach
+    run as native hash joins riding the same partkey partitioning."""
+    import pyarrow as pa
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                        pa.int64())
+        return pa.table([t["l_partkey"], qty, cents],
+                        names=["pk", "qty", "cents"])
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pk", sort=False)["qty"].agg(["size", "sum"])
+        g.columns = ["n", "sq"]
+        return g.reset_index()
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    if parquet_rows(sf_dir, "part") <= BROADCAST_MAX_ROWS:
+        import ray
+
+        ds = T(sf_dir, "lineitem", columns=cols) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        parts = ds.map_batches(stats_partial, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+        stats = parts.groupby("pk", sort=False)[["n", "sq"]].sum() \
+            .reset_index()
+        brand = small(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+            .rename(columns={"p_partkey": "pk"})
+        side = stats.merge(brand, on="pk", how="inner")
+        ref = ray.put(side)
+
+        def brand_partial(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(ref)
+            m = df.merge(s, on="pk", how="inner")
+            m = m[5 * m["qty"] * m["n"] < m["sq"]]
+            g = m.groupby("p_brand", sort=False)["cents"] \
+                .agg(["sum", "size"]).reset_index()
+            g.columns = ["p_brand", "cents", "n_lineitems"]
+            return g
+
+        out = T(sf_dir, "lineitem", columns=cols) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+            .map_batches(brand_partial, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+        g = out.groupby("p_brand", sort=False, as_index=False).agg(
+            cents=("cents", "sum"), n_lineitems=("n_lineitems", "sum"))
+        g["avg_yearly"] = g.pop("cents") / 700.0
+        g["n_lineitems"] = g["n_lineitems"].astype("int64")
+        return g[["p_brand", "avg_yearly", "n_lineitems"]] \
+            .sort_values("p_brand").reset_index(drop=True)
+
+    # distributed: stats combine rides a hash repartition by partkey,
+    # then two native hash joins (fact×stats, fact×part) on the SAME
+    # key — the join output is co-partitioned by pk, so the per-pk
+    # shrink before the brand join is a per-block groupby.
+    from kryptone_ray.pipelines.common import hash_shuffle
+
+    npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
+    with hash_shuffle():
+        ds = T(sf_dir, "lineitem", columns=cols) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        stats = ds.map_batches(stats_partial, batch_format="pandas",
+                               batch_size=65536) \
+            .repartition(num_blocks=npart, keys=["pk"]) \
+            .map_batches(
+                lambda df: df.groupby("pk", sort=False)[["n", "sq"]]
+                .sum().reset_index().rename(columns={"pk": "spk"}),
+                batch_format="pandas", batch_size=None)
+        joined = ds.join(stats, "inner", num_partitions=npart,
+                         on=("pk",), right_on=("spk",))
+
+        def shrink(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[5 * df["qty"] * df["n"] < df["sq"]]
+            g = m.groupby("pk", sort=False)["cents"] \
+                .agg(["sum", "size"]).reset_index()
+            g.columns = ["pk", "cents", "n_lineitems"]
+            return g
+
+        shrunk = joined.map_batches(shrink, batch_format="pandas",
+                                    batch_size=None)
+        part_ds = T(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        j2 = shrunk.join(part_ds, "inner", num_partitions=npart,
+                         on=("pk",), right_on=("p_partkey",))
+        out = j2.map_batches(
+            lambda df: df.groupby("p_brand", sort=False)[
+                ["cents", "n_lineitems"]].sum().reset_index(),
+            batch_format="pandas", batch_size=None).to_pandas()
+    g = out.groupby("p_brand", sort=False, as_index=False)[
+        ["cents", "n_lineitems"]].sum()
+    g["avg_yearly"] = g.pop("cents") / 700.0
+    g["n_lineitems"] = g["n_lineitems"].astype("int64")
+    return g[["p_brand", "avg_yearly", "n_lineitems"]] \
+        .sort_values("p_brand").reset_index(drop=True)
+
+
+Q_SMALL_QTY_REVENUE_SQL = """
+WITH l AS (SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+     s AS (SELECT pk, count(*) AS n, sum(qty) AS sq FROM l GROUP BY pk)
+SELECT p_brand,
+       CAST(sum(l.cents) AS BIGINT) / 700.0 AS avg_yearly,
+       count(*) AS n_lineitems
+FROM l JOIN s USING (pk) JOIN part ON p_partkey = l.pk
+WHERE 5 * l.qty * s.n < s.sq
+GROUP BY p_brand ORDER BY p_brand
+"""

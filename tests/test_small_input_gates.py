@@ -260,3 +260,13 @@ def test_ntile_shards_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = _df(relational.q_orders_ntile_shards(SF01))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_small_qty_revenue_distributed_equals_broadcast(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = _df(relational.q_small_quantity_revenue(SF))
+    monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
+    big = _df(relational.q_small_quantity_revenue(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
