@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_stats": graph.q_graph_degree_stats,
         "graph_pagerank": graph.q_graph_pagerank,
         "graph_components": graph.q_graph_components,
+        "graph_triangles": graph.q_graph_triangles,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -303,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_stats": graph.graph_degree_stats_oracle_sql(),
         "graph_pagerank": graph.graph_pagerank_oracle_sql(),
         "graph_components": graph.graph_components_oracle_sql(),
+        "graph_triangles": graph.graph_triangles_oracle_sql(),
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

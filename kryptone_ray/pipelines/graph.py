@@ -432,3 +432,83 @@ WITH edges AS (SELECT src, dst FROM read_parquet('{snap}/edges.parquet')),
 SELECT v AS node, r AS rank_fp FROM {prev} ORDER BY node
 """
     return sql
+
+
+def q_graph_triangles(sf_dir: str) -> pd.DataFrame:
+    """Per-node triangle participation counts over the undirected link
+    graph — the classic two-hash-join shape: canonicalize edges to
+    (a<b) and DISTINCT them (a hash-partition dedup, both directions
+    of a link collapse), join edge(a,b)×edge(b,c) into wedges a<b<c,
+    then close each wedge against edge(a,c). Each closed triangle
+    credits all three corners; per-batch partials shrink before the
+    final hash-partition combine. No broadcast anywhere — the edge
+    table is the only input and it only ever streams through joins
+    partitioned by its own keys, so the shape is the 100-TB one at
+    every size (a triangle query has no meaningful driver-combine
+    sibling: its cost IS the joins)."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows_path)
+
+    snap = _edges_dir()
+    npart = join_partitions(parquet_rows_path(f"{snap}/edges.parquet"))
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = pc.min_element_wise(t["src"], t["dst"])
+        b = pc.max_element_wise(t["src"], t["dst"])
+        mask = pc.not_equal(a, b)
+        return pa.table({"a": a.filter(mask), "b": b.filter(mask)})
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        corners = np.concatenate([df["a"].to_numpy(), df["b"].to_numpy(),
+                                  df["b2"].to_numpy()])
+        g = pd.Series(corners).value_counts()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "n_triangles": g.to_numpy()})
+
+    with hash_shuffle():
+        und = rd.read_parquet(snap) \
+            .map_batches(canon, batch_format="pyarrow", batch_size=65536) \
+            .repartition(num_blocks=npart, keys=["a", "b"]) \
+            .map_batches(lambda df: df.drop_duplicates(),
+                         batch_format="pandas", batch_size=None) \
+            .materialize()
+        e2 = und.map_batches(
+            lambda df: df.rename(columns={"a": "a2", "b": "b2"}),
+            batch_format="pandas", batch_size=None)
+        e3 = und.map_batches(
+            lambda df: df.rename(columns={"a": "ca", "b": "cb"}),
+            batch_format="pandas", batch_size=None)
+        wedges = und.join(e2, "inner", num_partitions=npart,
+                          on=("b",), right_on=("a2",))
+        closed = wedges.join(e3, "inner", num_partitions=npart,
+                             on=("a", "b2"), right_on=("ca", "cb"))
+        out = closed.map_batches(node_partial, batch_format="pandas",
+                                 batch_size=65536) \
+            .repartition(num_blocks=npart, keys=["node"]) \
+            .map_batches(
+                lambda df: df.groupby("node", sort=False, as_index=False)
+                ["n_triangles"].sum(),
+                batch_format="pandas", batch_size=None).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["n_triangles"] = out["n_triangles"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def graph_triangles_oracle_sql() -> str:
+    snap = _edges_dir()
+    return f"""
+WITH und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             FROM read_parquet('{snap}/edges.parquet') WHERE src <> dst),
+     tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             FROM und e1
+             JOIN und e2 ON e2.a = e1.b
+             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+) GROUP BY node ORDER BY node
+"""

@@ -74,6 +74,17 @@ def test_components_are_valid_labels():
     assert (mins.index.to_numpy() == mins.to_numpy()).all()
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_totals_are_multiple_of_three():
+    # each triangle credits exactly 3 corners
+    from kryptone_ray.pipelines import graph
+
+    t = graph.q_graph_triangles(SF)
+    assert int(t["n_triangles"].sum()) % 3 == 0
+    assert int(t["n_triangles"].sum()) > 0
+    assert (t["n_triangles"] > 0).all()
+
+
 def test_edge_snapshot_is_deterministic(tmp_path):
     # two builds from scratch produce byte-identical edge tables
     import pyarrow.parquet as pq
