@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_quarantine": multimodal.q_image_decode_quarantine,
         # multimodal dedup census: same caption, >1 distinct payload
         "caption_image_mismatch": multimodal.q_caption_image_mismatch,
+        # WebDataset-style tar shard export, verified by tar read-back
+        "image_wds_export": multimodal.q_image_wds_export,
         # link-graph analytics (crawl-side batch twin of expand lineage)
         "graph_degree_stats": graph.q_graph_degree_stats,
         "graph_pagerank": graph.q_graph_pagerank,
@@ -301,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
             multimodal.image_decode_quarantine_oracle_sql(),
         "caption_image_mismatch":
             multimodal.caption_image_mismatch_oracle_sql(),
+        "image_wds_export": multimodal.image_wds_export_oracle_sql(),
         "graph_degree_stats": graph.graph_degree_stats_oracle_sql(),
         "graph_pagerank": graph.graph_pagerank_oracle_sql(),
         "graph_components": graph.graph_components_oracle_sql(),

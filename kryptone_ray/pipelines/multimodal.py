@@ -696,3 +696,157 @@ FROM read_parquet('{snap}/images.parquet')
 GROUP BY cap_digest HAVING count(DISTINCT md5(hex(bytes))) > 1
 ORDER BY cap_digest
 """
+
+
+def _wds_src_dir() -> str:
+    """Pinned (image_id, fmt, w, h, bytes, caption) snapshot for the
+    WebDataset export — parquet so DuckDB groups the same rows the
+    tars are packed from. No planted duplicates here: tar member names
+    are keyed by the Knuth hash of the row index, which must be
+    unique."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_wds_src_{_MM_SEED}_{_MM_ROWS}"
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        t = spec.synth_batch(range(_MM_ROWS)).select(
+            ["image_id", "fmt", "w", "h", "bytes", "caption"])
+        pq.write_table(t, base / "images.parquet")
+        marker.touch()
+    return str(base)
+
+
+_WDS_KN = np.int64(2654435761)
+_WDS_SHARDS = 4
+
+
+def q_image_wds_export(sf_dir: str, n_shards: int = _WDS_SHARDS) -> pd.DataFrame:
+    """WEBDATASET-STYLE TAR SHARD EXPORT — the standard packaging for
+    multimodal training corpora: each sample becomes two adjacent tar
+    members, ``{key}.{fmt}`` (raw image payload) and ``{key}.txt``
+    (UTF-8 caption), and a shard is one tar file a dataloader streams
+    sequentially. Shard assignment + within-shard order are the
+    REPRODUCIBLE hash-order recipe of q_training_shard_export (Knuth
+    multiplicative hash of the row index — deterministic across runs,
+    engines and partitionings; the hash key doubles as the sample key,
+    injective because the multiplier is odd). Rows hash-partition by
+    shard so ALL rows of a shard land in one block (the join_partitions
+    sizing invariant); one task writes each tar with zeroed
+    mtime/uid/gid → byte-identical re-runs, temp-file + rename commit,
+    a sealed ``.ok`` shard is skipped on resume. The returned aggregate
+    is computed by READING THE TARS BACK member by member, so the
+    oracle match (counts + payload bytes + caption bytes + hash sums
+    per shard, vs SQL over the source parquet) proves the WRITTEN
+    FILES: nothing lost, duplicated, misplaced or truncated."""
+    import hashlib
+    import io
+    import pathlib
+    import tarfile
+
+    from kryptone_ray.pipelines.common import hash_shuffle
+
+    snap = _wds_src_dir()
+    tag = hashlib.sha1(f"{snap}|{n_shards}".encode()).hexdigest()[:10]
+    out = pathlib.Path(f"/tmp/kr_wds_shards_{tag}")
+    # NO wipe: the output dir is keyed by (source snapshot, shard
+    # count) and tars are byte-deterministic, so a sealed (.ok) shard
+    # from a previous or killed run is exactly what this run would
+    # write — resume skips it; an unsealed/corrupt shard is rewritten
+    # through the temp-file + rename commit.
+    out.mkdir(parents=True, exist_ok=True)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t["image_id"],
+                                 r"/(?P<i>[0-9]+)(?:\.[a-z]+)?$"), "i"),
+            pa.int64()).to_numpy()
+        h = (idx * _WDS_KN) % np.int64(1 << 32)
+        return t.append_column("hkey", pa.array(h)) \
+            .append_column("shard", pa.array(h % n_shards))
+
+    def write_shard_tars(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for shard, g in df.groupby("shard", sort=True):
+            g = g.sort_values("hkey")
+            path = out / f"shard-{int(shard):05d}.tar"
+            ok = out / f"shard-{int(shard):05d}.ok"
+            if not ok.exists():
+                tmp = path.with_suffix(".tar.tmp")
+                with tarfile.open(tmp, "w") as tf:
+                    for r in g.itertuples(index=False):
+                        key = f"{int(r.hkey):010d}"
+                        for name, payload in (
+                                (f"{key}.{r.fmt}", bytes(r.bytes)),
+                                (f"{key}.txt", r.caption.encode())):
+                            ti = tarfile.TarInfo(name=name)
+                            ti.size = len(payload)
+                            ti.mtime = 0
+                            ti.uid = ti.gid = 0
+                            ti.uname = ti.gname = ""
+                            tf.addfile(ti, io.BytesIO(payload))
+                tmp.rename(path)
+                ok.touch()
+            rows.append({"shard": int(shard)})
+        return pd.DataFrame(rows)
+
+    with hash_shuffle():
+        written = rd.read_parquet(snap) \
+            .map_batches(assign, batch_format="pyarrow",
+                         batch_size=65536) \
+            .repartition(num_blocks=n_shards, keys=["shard"]) \
+            .map_batches(write_shard_tars, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    assert sorted(written["shard"]) == list(range(n_shards))
+
+    def read_back(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for p in df["path"]:
+            shard = int(pathlib.Path(p).stem.split("-")[1])
+            n = pb = cb = hs = 0
+            with tarfile.open(p) as tf:
+                for m in tf.getmembers():
+                    key, ext = m.name.split(".", 1)
+                    if ext == "txt":
+                        cb += m.size
+                    else:
+                        pb += m.size
+                        n += 1
+                        hs += int(key)
+            recs.append({"shard": shard, "n_items": n,
+                         "payload_bytes": pb, "caption_bytes": cb,
+                         "hash_sum": hs})
+        return pd.DataFrame(recs)
+
+    paths = sorted(str(p) for p in out.glob("shard-*.tar"))
+    agg = rd.from_items([{"path": p} for p in paths]) \
+        .map_batches(read_back, batch_format="pandas", batch_size=1) \
+        .to_pandas()
+    for c in ["shard", "n_items", "payload_bytes", "caption_bytes",
+              "hash_sum"]:
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("shard").reset_index(drop=True)
+
+
+def image_wds_export_oracle_sql() -> str:
+    snap = _wds_src_dir()
+    return f"""
+WITH x AS (
+  SELECT CAST(regexp_extract(image_id, '/([0-9]+)(\.[a-z]+)?$', 1) AS BIGINT) AS idx,
+         octet_length(bytes) AS pb, strlen(caption) AS cb
+  FROM read_parquet('{snap}/images.parquet')),
+     y AS (SELECT (idx * 2654435761) % 4294967296 AS h, pb, cb FROM x)
+SELECT CAST(h % {_WDS_SHARDS} AS BIGINT) AS shard, count(*) AS n_items,
+       CAST(sum(pb) AS BIGINT) AS payload_bytes,
+       CAST(sum(cb) AS BIGINT) AS caption_bytes,
+       CAST(sum(h) AS BIGINT) AS hash_sum
+FROM y GROUP BY shard ORDER BY shard
+"""
