@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": graph.q_graph_pagerank,
         "graph_components": graph.q_graph_components,
         "graph_triangles": graph.q_graph_triangles,
+        # streaming watermark semantics: late-arrival census per window
+        "events_late_census": events.q_events_late_census,
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
@@ -308,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": graph.graph_pagerank_oracle_sql(),
         "graph_components": graph.graph_components_oracle_sql(),
         "graph_triangles": graph.graph_triangles_oracle_sql(),
+        "events_late_census": events.Q_EVENTS_LATE_CENSUS_SQL,
         # rows-only (not SQL-expressible):
         # doc_fingerprints, minhash_lsh_pairs, simhash_clusters,
         # embedding_near_dups_lsh, knn_ivf, knn_lsh, image_knn,

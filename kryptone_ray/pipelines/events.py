@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from kryptone_ray.pipelines.common import T, partial_sum_count
+from kryptone_ray.pipelines.common import T, parquet_rows, partial_sum_count
 
 # events tables below this row count sessionize on the driver (one
 # vectorized pandas pass); above it the hash-repartition + per-block
@@ -1045,4 +1045,127 @@ FROM (SELECT first_day AS day, count(*) AS n_new
             FROM events GROUP BY user_id)
       GROUP BY first_day)
 ORDER BY day
+"""
+
+
+def q_events_late_census(sf_dir: str,
+                         lateness_minutes: int = 10) -> pd.DataFrame:
+    """WATERMARK / LATE-DATA CENSUS — the streaming-semantics operator
+    every event pipeline eventually needs: with arrival order defined
+    by ``event_id`` (ingestion sequence) and the watermark = the
+    maximum event time seen so far, count per 1-hour tumbling window
+    how many events arrived more than ``lateness_minutes`` behind the
+    watermark (i.e. would have missed their window had it been
+    finalized at the watermark).
+
+    A GLOBAL ordered prefix-max is not batch-decomposable, so the
+    distributed shape is the ntile-shards recipe turned inward:
+    pass 1 streams per-arrival-bucket (event_id // B) max-ts partials;
+    the driver exclusive-prefix-maxes the tiny bucket vector (bucket
+    count capped at 65 536 — B grows with the table, the driver state
+    does not); pass 2 hash-partitions rows by bucket, and each block
+    computes the in-bucket shifted prefix-max, seeds it with the
+    bucket's offset, and emits per-window (n_events, n_late) partials.
+    Exact integer µs comparisons throughout — no float time math."""
+    import pyarrow as pa
+
+    LATE_US = np.int64(lateness_minutes * 60 * 1_000_000)
+    n_rows = parquet_rows(sf_dir, "events")
+    NEG = np.int64(-(2**62))
+
+    def census(ts_us: np.ndarray, wm: np.ndarray) -> pd.DataFrame:
+        late = ts_us < wm - LATE_US
+        hour = ts_us - (ts_us % np.int64(3_600_000_000))
+        g = pd.DataFrame({"h": hour, "late": late.astype(np.int64)}) \
+            .groupby("h", sort=False)["late"].agg(["size", "sum"])
+        return pd.DataFrame({
+            "window_start": pd.to_datetime(g.index.to_numpy(), unit="us"),
+            "n_events": g["size"].to_numpy().astype("int64"),
+            "n_late": g["sum"].to_numpy().astype("int64")})
+
+    def finish(parts: pd.DataFrame) -> pd.DataFrame:
+        out = parts.groupby("window_start", sort=True, as_index=False)[
+            ["n_events", "n_late"]].sum()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_late"] = out["n_late"].astype("int64")
+        return out.reset_index(drop=True)
+
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        df = T(sf_dir, "events", columns=["event_id", "ts"]).to_pandas()
+        df = df.sort_values("event_id", kind="stable")
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        wm = np.maximum.accumulate(ts_us)
+        wm = np.concatenate([[NEG], wm[:-1]])  # strictly-earlier arrivals
+        return finish(census(ts_us, wm))
+
+    from kryptone_ray.pipelines.common import hash_shuffle, join_partitions
+
+    B = max(8192, n_rows // 65536 + 1)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        eid = pc.cast(t["event_id"], pa.int64())
+        ts_us = pc.cast(t["ts"], pa.timestamp("us")).cast(pa.int64())
+        bucket = pc.divide(eid, B)
+        return pa.table([eid, ts_us, bucket],
+                        names=["eid", "ts_us", "bucket"])
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", sort=False)["ts_us"].max()
+        return pd.DataFrame({"bucket": g.index.to_numpy(),
+                             "mx": g.to_numpy()})
+
+    # pass 1: bucket → max ts (driver state capped at 65 536 rows)
+    parts = T(sf_dir, "events", columns=["event_id", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536) \
+        .map_batches(bucket_partial, batch_format="pandas",
+                     batch_size=None).to_pandas()
+    bmax = parts.groupby("bucket", sort=True)["mx"].max()
+    offsets = np.concatenate(
+        [[NEG], np.maximum.accumulate(bmax.to_numpy())[:-1]])
+    off_map = dict(zip(bmax.index.to_numpy(), offsets))
+
+    import ray
+
+    off_ref = ray.put(off_map)
+
+    def block_census(df: pd.DataFrame) -> pd.DataFrame:
+        om = ray.get(off_ref)
+        out = []
+        for b, g in df.groupby("bucket", sort=False):
+            g = g.sort_values("eid", kind="stable")
+            ts_us = g["ts_us"].to_numpy()
+            wm = np.maximum.accumulate(ts_us)
+            wm = np.concatenate([[om[b]], wm[:-1]])
+            wm = np.maximum(wm, om[b])
+            out.append(census(ts_us, wm))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"window_start": pd.Series([], dtype="datetime64[us]"),
+             "n_events": pd.Series([], dtype="int64"),
+             "n_late": pd.Series([], dtype="int64")})
+
+    with hash_shuffle():
+        res = T(sf_dir, "events", columns=["event_id", "ts"]) \
+            .map_batches(prep, batch_format="pyarrow",
+                         batch_size=65536) \
+            .repartition(num_blocks=join_partitions(n_rows),
+                         keys=["bucket"]) \
+            .map_batches(block_census, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    return finish(res)
+
+
+Q_EVENTS_LATE_CENSUS_SQL = """
+WITH w AS (SELECT ts,
+                  max(ts) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS wm
+           FROM events)
+SELECT date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE wm IS NOT NULL
+                             AND ts < wm - INTERVAL 10 MINUTES)
+            AS BIGINT) AS n_late
+FROM w GROUP BY window_start ORDER BY window_start
 """

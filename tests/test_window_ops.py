@@ -155,3 +155,48 @@ def test_hll_sketch_accuracy_and_mergeability():
     assert abs(est - len(keys)) / len(keys) < 0.05
     # duplicates never move a register
     assert (hll_partial(np.concatenate([keys, keys[:1000]])) == whole).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_late_census_detects_planted_late_events(tmp_path, monkeypatch):
+    """The driver tables arrive in time order (n_late = 0 everywhere),
+    so plant out-of-order arrivals: event_id is arrival order, and
+    rows 10/25/40 carry timestamps far behind the running max. Both
+    gate paths must agree with a DuckDB recount over the same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.pipelines import events as ev
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + np.arange(n, dtype=np.int64) * 30_000_000  # 30s cadence
+    late_idx = np.array([10, 25, 40, 1500, 2999])
+    ts[late_idx] -= 3_600_000_000  # 1h behind the watermark
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 50, n, dtype=np.int64)),
+        "event_type": pa.array(["x"] * n),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')")
+    oracle = con.sql(ev.Q_EVENTS_LATE_CENSUS_SQL).df()
+    assert int(oracle["n_late"].sum()) == len(late_idx)
+
+    small = ev.q_events_late_census(str(tmp_path))
+    monkeypatch.setattr(ev, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = ev.q_events_late_census(str(tmp_path))
+    for got in (small, big):
+        pd.testing.assert_frame_equal(
+            got.sort_values("window_start").reset_index(drop=True),
+            oracle.sort_values("window_start").reset_index(drop=True),
+            check_dtype=False)
