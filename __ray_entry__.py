@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stddev": events.q_events_value_stddev,
         # running COUNT(DISTINCT) via per-user first-touch min + cumsum
         "events_cumulative_users": events.q_events_cumulative_users,
+        # exact grouped COUNT(DISTINCT) via two-level pair partials
+        "events_type_distinct_users": events.q_events_type_distinct_users,
+        # exact grouped median/mode from a bounded cents histogram
+        "events_value_median": events.q_events_value_median,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
@@ -283,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "events_argmax_user": events.Q_EVENTS_ARGMAX_SQL,
         "events_value_stddev": events.Q_EVENTS_VALUE_STDDEV_SQL,
         "events_cumulative_users": events.Q_EVENTS_CUMULATIVE_USERS_SQL,
+        "events_type_distinct_users": events.Q_EVENTS_TYPE_DISTINCT_USERS_SQL,
+        "events_value_median": events.Q_EVENTS_VALUE_MEDIAN_SQL,
         # manifest (partition, n_rows) of the resumable day-partitioned sink
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor

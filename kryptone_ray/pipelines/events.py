@@ -1169,3 +1169,127 @@ SELECT date_trunc('hour', ts) AS window_start,
             AS BIGINT) AS n_late
 FROM w GROUP BY window_start ORDER BY window_start
 """
+
+
+def q_events_type_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped COUNT(DISTINCT): distinct users + event count per
+    event type (the reference's per-domain visited-URL tallies,
+    base.py urls_to_visit/visited bookkeeping, as a grouped aggregate).
+
+    COUNT(DISTINCT) is not sum-decomposable, but its two-level form is:
+    per-batch partials collapse to one ``(event_type, user_id, n)`` row
+    per distinct pair — bounded by the pair domain, not the row count —
+    then a combine dedups pairs and counts them per type. Below the
+    sessions gate the pair partials combine on the driver; above it
+    they hash-partition by ``user_id`` (all copies of a pair land in
+    one block) and each block emits per-type ``(n_users, n_events)``
+    partials that sum driver-side — only pairs ever move, never rows."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type", "user_id"], use_threads=False) \
+            .aggregate([("user_id", "count")])
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    def build():
+        return T(sf_dir, "events", columns=["event_type", "user_id"]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        pairs = build().to_pandas()
+        g = pairs.groupby("event_type", sort=False)
+        out = pd.DataFrame({
+            "n_users": g["user_id"].nunique(),
+            "n_events": g["n"].sum().astype("int64"),
+        }).reset_index()
+    else:
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        def block_combine(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("event_type", sort=False)
+            return pd.DataFrame({
+                "n_users": g["user_id"].nunique().astype("int64"),
+                "n_events": g["n"].sum().astype("int64"),
+            }).reset_index()
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["user_id"]) \
+                .map_batches(block_combine, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        g = parts.groupby("event_type", sort=False)
+        out = pd.DataFrame({
+            "n_users": g["n_users"].sum().astype("int64"),
+            "n_events": g["n_events"].sum().astype("int64"),
+        }).reset_index()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENTS_TYPE_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_events_value_median(sf_dir: str) -> pd.DataFrame:
+    """EXACT grouped median + mode without a sort: ``value`` carries
+    exactly 2 decimals, so the cents domain is bounded (~2^15 distinct
+    values) and order statistics reduce to a histogram — per-batch
+    ``(event_type, cents) → count`` partials, one tiny groupby-sum
+    shuffle over domain-bounded rows, then cumulative counts on the
+    driver. At 10^10 rows the shuffled state is still ≤ |types| ×
+    |cents domain| rows; no gate needed because nothing here grows
+    with the row count.
+
+    Deterministic definitions (matched in the SQL): median = LOWER
+    median (smallest cents with 2·cum ≥ n); mode = smallest cents
+    among the max-count values."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "cents": cents})
+
+    ds = T(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    hist = partial_sum_count_arrow(ds, keys=["event_type", "cents"],
+                                   sums={}, count_name="n")
+
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        cents = g["cents"].to_numpy()
+        median_c = int(cents[np.searchsorted(cum * 2, n, side="left")])
+        counts = g["n"].to_numpy()
+        mode_c = int(cents[counts == counts.max()].min())
+        rows.append((etype, median_c / 100.0, mode_c / 100.0, n))
+    return pd.DataFrame(rows, columns=["event_type", "median_value",
+                                       "mode_value", "n_events"])
+
+
+Q_EVENTS_VALUE_MEDIAN_SQL = """
+WITH h AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+cum AS (SELECT event_type, cents, n,
+               sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum_n,
+               sum(n) OVER (PARTITION BY event_type) AS tot,
+               max(n) OVER (PARTITION BY event_type) AS max_n
+        FROM h)
+SELECT event_type,
+       min(CASE WHEN cum_n * 2 >= tot THEN cents END) / 100.0 AS median_value,
+       min(CASE WHEN n = max_n THEN cents END) / 100.0 AS mode_value,
+       CAST(min(tot) AS BIGINT) AS n_events
+FROM cum GROUP BY event_type ORDER BY event_type
+"""

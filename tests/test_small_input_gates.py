@@ -270,3 +270,13 @@ def test_small_qty_revenue_distributed_equals_broadcast(monkeypatch):
     monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
     big = _df(relational.q_small_quantity_revenue(SF))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_type_distinct_users_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_type_distinct_users(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_type_distinct_users(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
