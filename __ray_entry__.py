@@ -117,6 +117,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ntile_shards": relational.q_orders_ntile_shards,
         # TPC-H Q17 shape: correlated avg subquery as fact×self-aggregate
         "small_quantity_revenue": relational.q_small_quantity_revenue,
+        # UNPIVOT/melt wide->long, collapsed to partials per batch
+        "lineitem_unpivot": relational.q_lineitem_unpivot,
+        # ordered STRING_AGG/LISTAGG per nation (predicate-bounded groups)
+        "nation_rich_names": relational.q_nation_rich_customer_names,
+        # CDC MERGE/upsert: LWW by version, tombstone deletes
+        "orders_cdc_merge": relational.q_orders_cdc_merge,
+        # interval-overlap self-join via per-key sorted sweep
+        "orders_overlap_pairs": relational.q_orders_overlap_pairs,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -258,6 +266,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_percent_rank": relational.Q_CUSTOMER_PERCENT_RANK_SQL,
         "orders_ntile_shards": relational.Q_ORDERS_NTILE_SHARDS_SQL,
         "small_quantity_revenue": relational.Q_SMALL_QTY_REVENUE_SQL,
+        "lineitem_unpivot": relational.Q_LINEITEM_UNPIVOT_SQL,
+        "nation_rich_names": relational.Q_NATION_RICH_NAMES_SQL,
+        "orders_cdc_merge": relational.Q_ORDERS_CDC_MERGE_SQL,
+        "orders_overlap_pairs": relational.Q_ORDERS_OVERLAP_PAIRS_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)

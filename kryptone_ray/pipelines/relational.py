@@ -1796,3 +1796,292 @@ FROM l JOIN s USING (pk) JOIN part ON p_partkey = l.pk
 WHERE 5 * l.qty * s.n < s.sq
 GROUP BY p_brand ORDER BY p_brand
 """
+
+
+def q_lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt (wide→long): the four lineitem money measures
+    become rows of ``(measure, cents)``, then a grouped aggregate per
+    ``(l_returnflag, measure)``. The melt happens per batch — Arrow in,
+    one long Arrow table out (column-concat, no per-row Python) — and
+    collapses immediately to per-batch partials, so the long form never
+    exists beyond a batch (at 100 TB the melt would otherwise 4× the
+    row count)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    MEASURES = ["quantity", "extendedprice", "discount", "tax"]
+    COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def melt(t: pa.Table) -> pa.Table:
+        flags, names, cents = [], [], []
+        for m, c in zip(MEASURES, COLS):
+            flags.append(t["l_returnflag"])
+            names.append(pa.array([m] * len(t), type=pa.string()))
+            cents.append(pc.cast(pc.round(pc.multiply(t[c], 100)),
+                                 pa.int64()))
+        return pa.table({
+            "l_returnflag": pa.concat_arrays(
+                [a.combine_chunks() for a in flags]),
+            "measure": pa.concat_arrays(names),
+            "cents": pa.concat_arrays(
+                [a.combine_chunks() for a in cents]),
+        })
+
+    ds = T(sf_dir, "lineitem", columns=["l_returnflag"] + COLS) \
+        .map_batches(melt, batch_format="pyarrow", batch_size=65536)
+    out = partial_sum_count_arrow(ds, keys=["l_returnflag", "measure"],
+                                  sums={"cents": "cents"}, count_name="n")
+    out["total"] = out.pop("cents") / 100.0
+    out = out[["l_returnflag", "measure", "total", "n"]]
+    return out.sort_values(["l_returnflag", "measure"]) \
+        .reset_index(drop=True)
+
+
+Q_LINEITEM_UNPIVOT_SQL = """
+SELECT l_returnflag, measure, sum(cents) / 100.0 AS total, count(*) AS n
+FROM (
+  SELECT l_returnflag, 'quantity' AS measure,
+         CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+  UNION ALL SELECT l_returnflag, 'extendedprice',
+         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+  UNION ALL SELECT l_returnflag, 'discount',
+         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+  UNION ALL SELECT l_returnflag, 'tax',
+         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem
+)
+GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure
+"""
+
+
+def q_nation_rich_customer_names(sf_dir: str,
+                                 min_acctbal: float = 9000.0) -> pd.DataFrame:
+    """Ordered STRING_AGG / LISTAGG: per nation, the comma-joined names
+    of high-balance customers in ``c_custkey`` order, plus their count.
+
+    An ordered string_agg inherently co-locates each group's rows, so
+    the operator's scale contract is that the AGGREGATED SUBSET is
+    bounded: the predicate prunes at the read (only qualifying rows
+    leave the scan), group count is bounded by the nation domain (25),
+    and per-group size by the predicate's selectivity — the caller owns
+    choosing a selective-enough predicate, exactly like any LISTAGG in
+    a warehouse. Below the gate the qualifying rows combine on the
+    driver; above it they hash-partition by nation key (every group
+    lands whole in one block — same invariant join_partitions relies
+    on) and each block emits finished ``(nation, names, n)`` rows."""
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nk, g in df.groupby("c_nationkey", sort=False):
+            g = g.sort_values("c_custkey")
+            rows.append((nk, ",".join(g["c_name"]), len(g)))
+        return pd.DataFrame(rows, columns=["c_nationkey", "names", "n_rich"])
+
+    def build():
+        return T(sf_dir, "customer",
+                 columns=["c_nationkey", "c_custkey", "c_name",
+                          "c_acctbal"]) \
+            .filter(expr=f"c_acctbal > {min_acctbal}")
+
+    if parquet_rows(sf_dir, "customer") < DISTRIBUTED_JOIN_MIN_ROWS:
+        out = agg(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            out = build().repartition(num_blocks=25, keys=["c_nationkey"]) \
+                .map_batches(agg, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out["n_rich"] = out["n_rich"].astype("int64")
+    return out.sort_values("c_nationkey").reset_index(drop=True)
+
+
+Q_NATION_RICH_NAMES_SQL = """
+SELECT c_nationkey,
+       string_agg(c_name, ',' ORDER BY c_custkey) AS names,
+       count(*) AS n_rich
+FROM customer WHERE c_acctbal > 9000.0
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_orders_cdc_merge(sf_dir: str) -> pd.DataFrame:
+    """CDC MERGE / UPSERT (SCD-style last-write-wins): apply a
+    change-set of updates + delete tombstones to the orders base table,
+    keeping per key the highest-version row, then census the merged
+    table per status. The change-set is derived deterministically from
+    the base itself (keys ≡ 0 mod 7 get a v1 price update with status
+    'U'; keys ≡ 0 mod 97 a v2 tombstone) so the operator needs no
+    external feed; a real deployment unions a change parquet instead.
+
+    Distributed shape: base and change rows carry ``(version,
+    deleted)``, hash-partition by order key (all versions of a key in
+    one block), per-block LWW reduce = sort by version, keep last,
+    drop tombstones — then per-block census partials sum driver-side.
+    Only (key, status, cents, version) ever moves, never full rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def with_changes(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        key = t["o_orderkey"]
+        base = pa.table({
+            "o_orderkey": key, "o_orderstatus": t["o_orderstatus"],
+            "cents": cents,
+            "version": pa.array([0] * len(t), type=pa.int32()),
+            "deleted": pa.array([False] * len(t)),
+        })
+        # integer divide-multiply-subtract = key % 7 (pyarrow has no mod)
+        upd_mask = pc.equal(
+            pc.subtract(key, pc.multiply(pc.divide(key, 7), 7)), 0)
+        upd = base.filter(upd_mask)
+        upd = pa.table({
+            "o_orderkey": upd["o_orderkey"],
+            "o_orderstatus": pa.array(["U"] * len(upd)),
+            "cents": pc.add(upd["cents"], 1000),
+            "version": pa.array([1] * len(upd), type=pa.int32()),
+            "deleted": pa.array([False] * len(upd)),
+        })
+        del_mask = pc.equal(
+            pc.subtract(key, pc.multiply(pc.divide(key, 97), 97)), 0)
+        dele = base.filter(del_mask)
+        dele = pa.table({
+            "o_orderkey": dele["o_orderkey"],
+            "o_orderstatus": dele["o_orderstatus"],
+            "cents": dele["cents"],
+            "version": pa.array([2] * len(dele), type=pa.int32()),
+            "deleted": pa.array([True] * len(dele)),
+        })
+        return pa.concat_tables([base, upd, dele])
+
+    def lww_census(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderkey", "version"], kind="stable")
+        last = df.drop_duplicates("o_orderkey", keep="last")
+        live = last[~last["deleted"]]
+        g = live.groupby("o_orderstatus", sort=False)
+        return pd.DataFrame({"n": g.size(),
+                             "cents": g["cents"].sum()}).reset_index()
+
+    def build():
+        return T(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+            .map_batches(with_changes, batch_format="pyarrow",
+                         batch_size=65536)
+
+    n_rows = parquet_rows(sf_dir, "orders")
+    if n_rows < DISTRIBUTED_JOIN_MIN_ROWS:
+        parts = lww_census(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["o_orderkey"]) \
+                .map_batches(lww_census, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    g = parts.groupby("o_orderstatus", sort=False)
+    out = pd.DataFrame({"n": g["n"].sum().astype("int64"),
+                        "total": g["cents"].sum() / 100.0}).reset_index()
+    return out[["o_orderstatus", "n", "total"]] \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+
+
+Q_ORDERS_CDC_MERGE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         0 AS version, FALSE AS deleted
+  FROM orders),
+chg AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, cents + 1000 AS cents,
+         1 AS version, FALSE AS deleted
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, cents, 2 AS version, TRUE AS deleted
+  FROM base WHERE o_orderkey % 97 = 0),
+merged AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY version DESC) AS rn
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg))
+SELECT o_orderstatus, count(*) AS n, sum(cents) / 100.0 AS total
+FROM merged WHERE rn = 1 AND NOT deleted
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_orders_overlap_pairs(sf_dir: str) -> pd.DataFrame:
+    """INTERVAL-OVERLAP SELF-JOIN: each order is an interval
+    ``[o_orderdate, o_orderdate + (1 + o_orderkey % 14) days]``; count
+    per customer the pairs of that customer's orders whose intervals
+    overlap, and output the histogram (pair count → customers).
+
+    Per-key sweep instead of a quadratic join: hash-partition by
+    customer, per block sort each customer's intervals by start, and
+    for interval i count the later-starting intervals with
+    ``start_j <= end_i`` via one searchsorted — sorted-by-start makes
+    the other overlap condition (``end_j >= start_i``) automatic. The
+    partitioning contract: per-customer order counts are bounded
+    (TPC-H ~10/customer at every SF), so no group outgrows a block."""
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for ck, g in df.groupby("o_custkey", sort=False):
+            s = np.sort(g["start_us"].to_numpy())
+            order = np.argsort(g["start_us"].to_numpy(), kind="stable")
+            e = g["end_us"].to_numpy()[order]
+            idx = np.searchsorted(s, e, side="right")
+            n_pairs = int((idx - np.arange(1, len(s) + 1)).sum())
+            if n_pairs > 0:
+                rows.append((ck, n_pairs))
+        return pd.DataFrame(rows, columns=["o_custkey", "n_overlaps"])
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        key = t["o_orderkey"]
+        dur_days = pc.add(
+            pc.subtract(key, pc.multiply(pc.divide(key, 14), 14)), 1)
+        start = pc.cast(t["o_orderdate"], pa.int64())
+        end = pc.add(start, pc.multiply(
+            pc.cast(dur_days, pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64())))
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "start_us": start, "end_us": end})
+
+    def build():
+        return T(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderkey", "o_orderdate"]) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = parquet_rows(sf_dir, "orders")
+    if n_rows < DISTRIBUTED_JOIN_MIN_ROWS:
+        per_cust = sweep(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            per_cust = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["o_custkey"]) \
+                .map_batches(sweep, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    hist = per_cust.groupby("n_overlaps", sort=True).size()
+    return pd.DataFrame({"n_overlaps": hist.index.astype("int64"),
+                         "n_customers": hist.to_numpy().astype("int64")})
+
+
+Q_ORDERS_OVERLAP_PAIRS_SQL = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey, o_orderdate AS s,
+         o_orderdate + INTERVAL 1 DAY * (1 + o_orderkey % 14) AS e
+  FROM orders)
+SELECT n_overlaps, count(*) AS n_customers
+FROM (SELECT a.o_custkey, count(*) AS n_overlaps
+      FROM iv a JOIN iv b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+       AND a.s <= b.e AND b.s <= a.e
+      GROUP BY a.o_custkey)
+GROUP BY n_overlaps ORDER BY n_overlaps
+"""

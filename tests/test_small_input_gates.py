@@ -280,3 +280,17 @@ def test_type_distinct_users_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
     big = events.q_events_type_distinct_users(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qname", ["q_nation_rich_customer_names",
+                                   "q_orders_cdc_merge",
+                                   "q_orders_overlap_pairs"])
+def test_round3_relational_distributed_equals_driver(monkeypatch, qname):
+    from kryptone_ray.pipelines import relational
+
+    fn = getattr(relational, qname)
+    small = _df(fn(SF))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(fn(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
