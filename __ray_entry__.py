@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cdc_merge": relational.q_orders_cdc_merge,
         # interval-overlap self-join via per-key sorted sweep
         "orders_overlap_pairs": relational.q_orders_overlap_pairs,
+        # Z-order (Morton) clustered export, proven by shard read-back
+        "lineitem_zorder_export": relational.q_lineitem_zorder_export,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
         "lang_distribution": textops.q_lang_distribution,
         "token_counts": textops.q_token_counts,
@@ -144,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_shard_export": textops.q_training_shard_export,
         # PII scrub (deterministic doc_id-derived injection, see pii.py)
         "pii_redaction": pii.q_pii_redaction,
+        # exact k-gram substring-dedup census (128-bit hashed shingles)
+        "shingle_dedup_census": textops.q_shingle_dedup_census,
         # dedup family (training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -270,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_rich_names": relational.Q_NATION_RICH_NAMES_SQL,
         "orders_cdc_merge": relational.Q_ORDERS_CDC_MERGE_SQL,
         "orders_overlap_pairs": relational.Q_ORDERS_OVERLAP_PAIRS_SQL,
+        "lineitem_zorder_export": relational.Q_LINEITEM_ZORDER_SQL,
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)
@@ -309,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jsonl_roundtrip": textops.Q_DOCS_JSONL_SQL,
         "training_shard_export": textops.Q_TRAINING_SHARD_SQL,
         "pii_redaction": pii.Q_PII_REDACTION_SQL,
+        "shingle_dedup_census": textops.Q_SHINGLE_DEDUP_SQL,
         # re-derives urlparse fields from raw strings with SQL string ops
         "url_predicates": crawlops.url_predicates_oracle_sql(),
         # the frontier-maintenance queries run over a deterministic

@@ -2085,3 +2085,127 @@ FROM (SELECT a.o_custkey, count(*) AS n_overlaps
       GROUP BY a.o_custkey)
 GROUP BY n_overlaps ORDER BY n_overlaps
 """
+
+
+def _footer_minmax(sf_dir: str, table: str, col: str) -> tuple[int, int]:
+    """Column min/max from parquet footer row-group statistics — a
+    metadata read, no data pass (the same trick as the Q13 zero-bucket
+    row count)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    idx = f.schema_arrow.get_field_index(col)
+    los, his = [], []
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(idx).statistics
+        los.append(st.min)
+        his.append(st.max)
+    return min(los), max(his)
+
+
+def _morton_spread_sql(col: str) -> str:
+    """SQL expression spreading a 16-bit value's bits to even positions
+    (same mask ladder as the numpy path in q_lineitem_zorder_export)."""
+    v = col
+    for shift, mask in ((8, 16711935), (4, 252645135),
+                        (2, 858993459), (1, 1431655765)):
+        v = f"(({v} | ({v} << {shift})) & {mask})"
+    return v
+
+
+def q_lineitem_zorder_export(sf_dir: str, shard_bits: int = 4) -> pd.DataFrame:
+    """Z-ORDER (Morton) CLUSTERED EXPORT — multi-dimensional data
+    clustering for range-scan locality (the Delta/Iceberg ``ZORDER BY``
+    operator): interleave the bits of ``(l_partkey, l_suppkey)`` (16
+    bits each) into a 32-bit z-value, shard on the z-prefix (top
+    ``shard_bits`` bits → fixed z-ranges, disjoint by construction) and
+    write one sealed parquet directory per shard with rows z-sorted
+    inside — so a 2-D range predicate touches O(few) shards instead of
+    all of them. Prefix shards can skew with the key distribution;
+    balanced shards would reuse the ntile-shards recipe
+    (q_orders_ntile_shards) over z instead.
+
+    The z-value is computed per batch with the numpy mask-ladder bit
+    spread (vectorized, no Python loop) and the returned per-shard
+    aggregate is computed by READING THE SHARDS BACK — an oracle match
+    proves the written clustering, not just the in-memory plan."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    import ray.data as rd
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+    from kryptone_ray.stages.sinks import write_partitioned_resumable
+
+    def spread(v: np.ndarray) -> np.ndarray:
+        v = (v | (v << 8)) & np.int64(0x00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x33333333)
+        v = (v | (v << 1)) & np.int64(0x55555555)
+        return v
+
+    # real ZORDER semantics: each dimension is range-normalized to the
+    # full 16-bit domain first (otherwise small keys leave the z prefix
+    # all-zero and every row lands in shard 0). Min/max come from the
+    # parquet FOOTER statistics — no data pass; the SQL mirror computes
+    # the same bounds with min()/max() subqueries.
+    (pmin, pmax), (smin, smax) = (
+        _footer_minmax(sf_dir, "lineitem", "l_partkey"),
+        _footer_minmax(sf_dir, "lineitem", "l_suppkey"))
+
+    def norm16(v: np.ndarray, lo: int, hi: int) -> np.ndarray:
+        return (v - lo) * 65535 // max(hi - lo, 1)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        p = norm16(df["l_partkey"].to_numpy().astype(np.int64), pmin, pmax)
+        s = norm16(df["l_suppkey"].to_numpy().astype(np.int64), smin, smax)
+        z = spread(p) | (spread(s) << 1)
+        cents = np.round(
+            df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        # z first: the sink sorts each partition by column order, so
+        # rows inside every shard file come out z-clustered
+        return pd.DataFrame({"z": z,
+                             "shard": (z >> (32 - shard_bits)).astype(np.int64),
+                             "l_partkey": df["l_partkey"],
+                             "l_suppkey": df["l_suppkey"],
+                             "cents": cents})
+
+    def build():
+        return T(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice"]) \
+            .map_batches(prep, batch_format="pandas", batch_size=65536)
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = pathlib.Path(f"/tmp/kr_zorder_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    write_partitioned_resumable(build, out, "shard")
+
+    back = rd.read_parquet(str(out))
+    agg = partial_sum_count_arrow(
+        back, keys=["shard"],
+        sums={"sum_z": "z", "sum_cents": "cents"}, count_name="n_rows")
+    agg["shard"] = agg["shard"].astype("int64")
+    agg["total"] = agg.pop("sum_cents") / 100.0
+    agg["sum_z"] = agg["sum_z"].astype("int64")
+    return agg[["shard", "n_rows", "sum_z", "total"]] \
+        .sort_values("shard").reset_index(drop=True)
+
+
+_ZP = _morton_spread_sql("p16")
+_ZS = _morton_spread_sql("s16")
+Q_LINEITEM_ZORDER_SQL = f"""
+WITH mm AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                   min(l_suppkey) AS smin, max(l_suppkey) AS smax
+            FROM lineitem),
+n16 AS (
+  SELECT (l_partkey - pmin) * 65535 // GREATEST(pmax - pmin, 1) AS p16,
+         (l_suppkey - smin) * 65535 // GREATEST(smax - smin, 1) AS s16,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem, mm),
+z AS (
+  SELECT ({_ZP} | ({_ZS} << 1)) AS z, cents FROM n16)
+SELECT CAST(z >> 28 AS BIGINT) AS shard, count(*) AS n_rows,
+       CAST(sum(z) AS BIGINT) AS sum_z, sum(cents) / 100.0 AS total
+FROM z GROUP BY shard ORDER BY shard
+"""

@@ -534,3 +534,83 @@ Q_DOCS_HASH_SAMPLE_SQL = """
 SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS digest
 FROM documents ORDER BY digest LIMIT 64
 """
+
+
+def q_shingle_dedup_census(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """EXACT SUBSTRING-DEDUP CENSUS at k-gram granularity (the
+    Lee-et-al "Deduplicating Training Data Makes Language Models
+    Better" exact-substring idea, expressed at word-shingle
+    resolution): every k-word shingle of every document is counted
+    across the corpus, and the output is the multiplicity histogram
+    (how many shingles occur once, twice, ...) — the metric that tells
+    a pretraining pipeline how much boilerplate it is feeding.
+
+    Shingle STRINGS never shuffle: each batch hashes its shingles to a
+    128-bit key (two independent-seed vectorized XXH64 lanes —
+    birthday-safe at 10^10+ shingles where a single 64-bit key would
+    collide) and collapses to per-batch ``(h1, h2, n)`` partials.
+    Below the gate the partials combine on the driver; above it they
+    hash-partition by ``h1`` and each block emits its multiplicity
+    histogram partial — driver state is the histogram, never the
+    shingle table."""
+    from kryptone_ray.utils.xxh64 import xxh64_batch
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        shingles: list[str] = []
+        for text in df["text"]:
+            ws = text.split(" ")
+            shingles.extend(
+                " ".join(ws[i:i + k]) for i in range(len(ws) - k + 1))
+        if not shingles:
+            return pd.DataFrame({"h1": np.empty(0, np.int64),
+                                 "h2": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        h1 = xxh64_batch(shingles).astype("int64")
+        h2 = xxh64_batch(shingles, seed=0x9E3779B97F4A7C15).astype("int64")
+        g = pd.DataFrame({"h1": h1, "h2": h2}).groupby(
+            ["h1", "h2"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    def build():
+        return T(sf_dir, "documents", columns=["text"],
+                 rows_per_block=8192) \
+            .map_batches(partial, batch_format="pandas", batch_size=8192)
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    n_docs = parquet_rows(sf_dir, "documents")
+    if n_docs < DISTRIBUTED_COMBINE_MIN_ROWS:
+        parts = build().to_pandas()
+        counts = parts.groupby(["h1", "h2"], sort=False)["n"].sum()
+        hist = counts.value_counts().sort_index()
+    else:
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        def block_hist(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.groupby(["h1", "h2"], sort=False)["n"].sum()
+            h = c.value_counts()
+            return pd.DataFrame({"multiplicity": h.index.astype("int64"),
+                                 "n_shingles": h.to_numpy().astype("int64")})
+
+        with hash_shuffle():
+            hp = build().repartition(
+                num_blocks=join_partitions(n_docs, rows_per_partition=50_000),
+                keys=["h1"]) \
+                .map_batches(block_hist, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        hist = hp.groupby("multiplicity", sort=True)["n_shingles"].sum()
+    return pd.DataFrame({"multiplicity": hist.index.astype("int64"),
+                         "n_shingles": hist.to_numpy().astype("int64")})
+
+
+Q_SHINGLE_DEDUP_SQL = """
+WITH sh AS (
+  SELECT array_to_string(ws[i:i+7], ' ') AS shingle
+  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+),
+cnt AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+SELECT c AS multiplicity, count(*) AS n_shingles
+FROM cnt GROUP BY c ORDER BY c
+"""

@@ -51,3 +51,34 @@ def test_write_skip_and_rewrite():
     pd.testing.assert_frame_equal(
         m1[["partition", "n_rows"]], m2[["partition", "n_rows"]],
         check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zorder_export_clusters_and_seals():
+    """The written shards are the operator's real output: z-sorted
+    inside every file, disjoint ascending z-ranges across shards,
+    every shard sealed."""
+    import glob
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    relational.q_lineitem_zorder_export(sf)
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:10]
+    dirs = sorted(glob.glob(f"/tmp/kr_zorder_{tag}/shard=*"),
+                  key=lambda s: int(s.split("=")[1]))
+    assert len(dirs) == 16
+    prev_max = -1
+    for d in dirs:
+        assert (pathlib.Path(d) / "_SUCCESS").exists()
+        bounds = []
+        for f in glob.glob(d + "/*.parquet"):
+            z = pq.read_table(f, columns=["z"])["z"].to_numpy()
+            assert (np.diff(z) >= 0).all()
+            bounds += [int(z.min()), int(z.max())]
+        assert min(bounds) > prev_max
+        prev_max = max(bounds)

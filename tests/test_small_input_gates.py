@@ -294,3 +294,13 @@ def test_round3_relational_distributed_equals_driver(monkeypatch, qname):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = _df(fn(SF))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shingle_census_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import textops
+
+    small = textops.q_shingle_dedup_census(SF)
+    monkeypatch.setattr(textops, "DISTRIBUTED_COMBINE_MIN_ROWS", 0)
+    big = textops.q_shingle_dedup_census(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
