@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_stats": relational.q_customer_order_stats,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_nation_volume": relational.q5_nation_volume,
+        # TPC-H Q7 shape: nation-pair volume by year (multi-join)
+        "q7_nation_pair_volume": relational.q7_nation_pair_volume,
+        # GROUP BY CUBE: all four grouping sets from one scan
+        "orders_cube": relational.q_orders_cube,
         "bucketed_join": relational.q_bucketed_join,
         "part_type_stats": relational.q_part_type_stats,
         "orders_monthly": relational.q_orders_monthly,
@@ -194,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
         "image_phash_near_dups": multimodal.q_image_phash_near_dups,
+        # union-find clusters over the verified aHash pair list
+        "image_neardup_clusters": multimodal.q_image_neardup_clusters,
         # byte-exact image dedup — the one image op with a SQL oracle
         # (md5-over-hex digest convention shared with DuckDB)
         "image_exact_dups": multimodal.q_image_exact_dups,
@@ -251,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_stats": relational.Q_CUST_ORDERS_SQL,
         "q3_shipping_priority": relational.Q3_SQL,
         "q5_nation_volume": relational.Q5_SQL,
+        "q7_nation_pair_volume": relational.Q7_SQL,
+        "orders_cube": relational.Q_ORDERS_CUBE_SQL,
         "bucketed_join": relational.Q_BUCKETED_JOIN_SQL,
         "part_type_stats": relational.Q_PART_TYPE_SQL,
         "orders_monthly": relational.Q_ORDERS_MONTHLY_SQL,

@@ -850,3 +850,49 @@ SELECT CAST(h % {_WDS_SHARDS} AS BIGINT) AS shard, count(*) AS n_items,
        CAST(sum(h) AS BIGINT) AS hash_sum
 FROM y GROUP BY shard ORDER BY shard
 """
+
+
+def q_image_neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Image near-duplicate CLUSTERS: union-find over the verified
+    aHash pair list of q_image_phash_near_dups — the image-side twin of
+    dedup.q_neardup_clusters (same driver union-find: the pair list is
+    density-bounded, never corpus-sized). Output: one row per cluster,
+    keyed by its lexicographically-smallest image_id. Rows-only (pixel
+    codecs aren't SQL-expressible); the planted-duplicate structure is
+    pinned in tests."""
+    pairs = q_image_phash_near_dups(sf_dir)
+    if pairs.empty:
+        return pd.DataFrame({"representative": pd.Series([], dtype=str),
+                             "n_members": pd.Series([], dtype="int64")})
+    # int-code the string ids, then take connected components; the
+    # representative is the min STRING id per component (not min code,
+    # which factorize order would make arbitrary)
+    all_ids = pd.concat([pairs["image_a"], pairs["image_b"]],
+                        ignore_index=True)
+    codes, uniq = pd.factorize(all_ids)
+    n = len(pairs)
+    int_pairs = pd.DataFrame({"a": codes[:n], "b": codes[n:]})
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(int_pairs["a"], int_pairs["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    seen: set = set()
+    rows = []
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        rows.append((min(uniq[c] for c in comp), len(comp)))
+    out = pd.DataFrame(sorted(rows),
+                       columns=["representative", "n_members"])
+    out["n_members"] = out["n_members"].astype("int64")
+    return out

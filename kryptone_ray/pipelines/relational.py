@@ -2209,3 +2209,202 @@ SELECT CAST(z >> 28 AS BIGINT) AS shard, count(*) AS n_rows,
        CAST(sum(z) AS BIGINT) AS sum_z, sum(cents) / 100.0 AS total
 FROM z GROUP BY shard ORDER BY shard
 """
+
+
+def q7_nation_pair_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue between every pair of
+    DIFFERENT customer/supplier nations, per order year — the
+    multi-join showcase: two fact-sized sides (orders resolving the
+    customer nation + order year, lineitem resolving the supplier
+    nation with per-batch revenue pre-aggregation) meet in one hash
+    join on the order key; the cross-nation predicate and the
+    (supp_nation, cust_nation, year) rollup are vectorized post-join,
+    so at most |nations|²·|years| partial rows per block reach the
+    combine. Dimension broadcasts are bounded exactly as in
+    q5_nation_volume (BROADCAST_MAX_ROWS → native-join fallback)."""
+    import ray
+
+    nation = small(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nn_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    broadcast_dims = (parquet_rows(sf_dir, "customer")
+                      <= BROADCAST_MAX_ROWS)
+
+    if broadcast_dims:
+        cust = small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        supp = small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        maps_ref = ray.put((
+            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+            dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
+        ))
+
+        def order_side(df: pd.DataFrame) -> pd.DataFrame:
+            cn, _ = ray.get(maps_ref)
+            return pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"],
+                 "c_nation": df["o_custkey"].map(cn).astype("int64"),
+                 "l_year": df["o_orderdate"].dt.year.astype("int64")})
+
+        orders_ds = T(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(order_side, batch_format="pandas", batch_size=65536)
+
+        def line_side(df: pd.DataFrame) -> pd.DataFrame:
+            _, sn = ray.get(maps_ref)
+            cents = (df["l_extendedprice"] * 100).round().astype("int64")
+            disc_bp = (df["l_discount"] * 100).round().astype("int64")
+            part = pd.DataFrame(
+                {"l_orderkey": df["l_orderkey"],
+                 "s_nation": df["l_suppkey"].map(sn).astype("int64"),
+                 "rev_e4": cents * (100 - disc_bp)})
+            return part.groupby(["l_orderkey", "s_nation"], sort=False,
+                                as_index=False)["rev_e4"].sum()
+
+        line_ds = T(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]) \
+            .map_batches(line_side, batch_format="pandas", batch_size=65536)
+    else:
+        cust_ds = T(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+        orders_ds = T(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .join(cust_ds, "inner",
+                  num_partitions=join_partitions(parquet_rows(sf_dir, "orders")),
+                  on=("o_custkey",), right_on=("c_custkey",)) \
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"o_orderkey": df["o_orderkey"],
+                     "c_nation": df["c_nationkey"].astype("int64"),
+                     "l_year": df["o_orderdate"].dt.year.astype("int64")}),
+                batch_format="pandas", batch_size=65536)
+
+        supp_ds = T(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+        nline = parquet_rows(sf_dir, "lineitem")
+        line_ds = T(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"]) \
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"l_orderkey": df["l_orderkey"],
+                     "l_suppkey": df["l_suppkey"],
+                     "rev_e4": (df["l_extendedprice"] * 100).round()
+                               .astype("int64")
+                               * (100 - (df["l_discount"] * 100).round()
+                                  .astype("int64"))}),
+                batch_format="pandas", batch_size=65536) \
+            .join(supp_ds, "inner", num_partitions=join_partitions(nline),
+                  on=("l_suppkey",), right_on=("s_suppkey",)) \
+            .map_batches(
+                lambda df: pd.DataFrame(
+                    {"l_orderkey": df["l_orderkey"],
+                     "s_nation": df["s_nationkey"].astype("int64"),
+                     "rev_e4": df["rev_e4"]})
+                .groupby(["l_orderkey", "s_nation"], sort=False,
+                         as_index=False)["rev_e4"].sum(),
+                batch_format="pandas", batch_size=65536)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nn = pd.Series(dict(zip(nation["n_nationkey"], nation["n_name"])))
+        out = pd.DataFrame({
+            "supp_nation": df["s_nation"].map(nn),
+            "cust_nation": df["c_nation"].map(nn),
+            "l_year": df["l_year"].astype("int64"),
+            "revenue": df["rev_e4"] / 1e4})
+        return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+            .reset_index(drop=True)
+
+    if parquet_rows(sf_dir, "lineitem") < DISTRIBUTED_JOIN_MIN_ROWS:
+        m = line_ds.to_pandas().merge(
+            orders_ds.to_pandas(), left_on="l_orderkey",
+            right_on="o_orderkey", how="inner")
+        sub = m[m["c_nation"] != m["s_nation"]]
+        agg = sub.groupby(["s_nation", "c_nation", "l_year"], sort=False,
+                          as_index=False)["rev_e4"].sum()
+        return finish(agg)
+
+    npart = join_partitions(parquet_rows(sf_dir, "lineitem"))
+    joined = line_ds.join(orders_ds, "inner", num_partitions=npart,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["c_nation"] != df["s_nation"]]
+        return sub.groupby(["s_nation", "c_nation", "l_year"], sort=False,
+                           as_index=False)["rev_e4"].sum()
+
+    parts = partial_sum_count(
+        joined.map_batches(pair_partial, batch_format="pandas",
+                           batch_size=65536),
+        keys=["s_nation", "c_nation", "l_year"], sums={"rev_e4": "rev_e4"})
+    return finish(parts)
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o_orderdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 1e4
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_orders_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(status, priority): all four grouping sets —
+    (status, priority), (status), (priority), () — from ONE scan. Same
+    scale shape as q_orders_rollup: the fact table reduces per batch to
+    the finest level only (bounded by the 3×5 key domain), and every
+    coarser level is a driver-side re-aggregation of that tiny partial;
+    sentinel 'ALL' encodes rolled-up keys so the hash compare never
+    sees NULL grouping columns."""
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                        pa.int64())
+        return pa.table([t["o_orderstatus"], t["o_orderpriority"], cents],
+                        names=["st", "pri", "cents"])
+
+    ds = T(sf_dir, "orders",
+           columns=["o_orderstatus", "o_orderpriority", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    fine = partial_sum_count_arrow(ds, keys=["st", "pri"],
+                                   sums={"cents": "cents"}, count_name="n")
+
+    by_st = fine.groupby("st", as_index=False)[["cents", "n"]].sum()
+    by_st["pri"] = "ALL"
+    by_pri = fine.groupby("pri", as_index=False)[["cents", "n"]].sum()
+    by_pri["st"] = "ALL"
+    total = pd.DataFrame({"st": ["ALL"], "pri": ["ALL"],
+                          "cents": [fine["cents"].sum()],
+                          "n": [fine["n"].sum()]})
+    out = pd.concat([fine, by_st, by_pri, total], ignore_index=True)
+    out["total_price"] = out.pop("cents") / 100.0
+    out["n"] = out["n"].astype("int64")
+    out = out.rename(columns={"st": "o_orderstatus",
+                              "pri": "o_orderpriority"})
+    out = out[["o_orderstatus", "o_orderpriority", "total_price", "n"]]
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+Q_ORDERS_CUBE_SQL = """
+WITH o AS (SELECT o_orderstatus AS st, o_orderpriority AS pri,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT COALESCE(st, 'ALL') AS o_orderstatus,
+       COALESCE(pri, 'ALL') AS o_orderpriority,
+       sum(cents) / 100.0 AS total_price, count(*) AS n
+FROM o GROUP BY CUBE(st, pri)
+ORDER BY o_orderstatus, o_orderpriority
+"""

@@ -256,3 +256,18 @@ def test_knn_lsh_matches_pinned_golden_and_recall():
     b = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
     l = {(r.query_id, r.neighbor_id) for r in out.itertuples()}
     assert len(b & l) / len(b) >= 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_neardup_clusters_cover_planted_pairs():
+    """Cluster output must cover every planted (original, ?dup) pair:
+    each cluster has >=2 members, every ?dup id shares a cluster with
+    its original (representative is never a ?dup unless its base sorts
+    after it — ids are 'img...' so base always sorts first)."""
+    from kryptone_ray.pipelines import multimodal
+
+    cl = multimodal.q_image_neardup_clusters("")
+    assert (cl["n_members"] >= 2).all()
+    n_expected = multimodal._MM_ROWS // 10
+    assert cl["n_members"].sum() >= 2 * n_expected
+    assert not cl["representative"].str.endswith("?dup").any()

@@ -304,3 +304,16 @@ def test_shingle_census_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(textops, "DISTRIBUTED_COMBINE_MIN_ROWS", 0)
     big = textops.q_shingle_dedup_census(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q7_distributed_and_fallback_equal_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    base = _df(relational.q7_nation_pair_volume(SF))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    dist = _df(relational.q7_nation_pair_volume(SF))
+    pd.testing.assert_frame_equal(_norm(base), _norm(dist), check_dtype=False)
+    monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
+    fb = _df(relational.q7_nation_pair_volume(SF))
+    pd.testing.assert_frame_equal(_norm(base), _norm(fb), check_dtype=False)
