@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": dedup.q_embedding_near_dups,
         "embedding_near_dups_lsh": dedup.q_embedding_near_dups_lsh,
         "neardup_clusters": dedup.q_neardup_clusters,
+        # string-similarity join (edit distance 1, deletion neighborhoods)
+        "name_edit1_pairs": dedup.q_name_edit1_pairs,
         # similarity search
         "knn_bruteforce": ann.q_knn_bruteforce,
         # LSH sibling of knn_ivf — rows-only (recall<1 by design)
@@ -293,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": textops.Q_TFIDF_SQL,
         "doc_quality": textops.Q_DOC_QUALITY_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "name_edit1_pairs": dedup.Q_NAME_EDIT1_SQL,
         "embedding_near_dups": dedup.Q_EMBEDDING_NEAR_DUPS_SQL,
         "ngram_jaccard_dups": dedup.Q_NGRAM_JACCARD_SQL,
         "knn_bruteforce": ann.Q_KNN_SQL,

@@ -935,3 +935,90 @@ SELECT d.source, count(*) AS n_docs,
 FROM d LEFT JOIN dup ON dup.doc_id = d.doc_id
 GROUP BY d.source ORDER BY d.source
 """
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check (bounded: callers pre-filter to
+    |len(a)-len(b)| <= 1, a != b)."""
+    if len(a) == len(b):
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if len(a) > len(b):
+        a, b = b, a
+    # b is one char longer: one aligned gap
+    i = 0
+    while i < len(a) and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_name_edit1_pairs(sf_dir: str) -> pd.DataFrame:
+    """STRING-SIMILARITY JOIN (edit distance = 1) via DELETION
+    NEIGHBORHOODS — the classic all-pairs-Ed1 algorithm: two strings
+    are within one edit iff they share a key in
+    ``{s} ∪ {s with one char deleted}``, so each name fans out to
+    len+1 keys (hashed — the strings themselves shuffle once), keys
+    bucket by hash, candidate pairs form inside buckets only, and an
+    exact O(len) verify kills the false positives. Never an all-pairs
+    product: work scales with name count × name length, and bucket
+    sizes are bounded by the collision density of the data, not n.
+
+    Below the gate candidates pair up on the driver; above it keyed
+    rows hash-partition by bucket key and pairs form per block,
+    deduped by their (a, b) identity in a second tiny combine."""
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    def keys_batch(df: pd.DataFrame) -> pd.DataFrame:
+        names, keys = [], []
+        for nm in df["c_name"].drop_duplicates():
+            vars_ = [nm] + [nm[:i] + nm[i + 1:] for i in range(len(nm))]
+            names.extend([nm] * len(vars_))
+            keys.extend(vars_)
+        return pd.DataFrame(
+            {"bkey": xxh64_batch(keys).astype("int64"), "name": names})
+
+    def pairs_of(df: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for _, g in df.groupby("bkey", sort=False):
+            uniq = g["name"].drop_duplicates().to_numpy()
+            for x in range(len(uniq)):
+                for y in range(x + 1, len(uniq)):
+                    a, b = sorted((uniq[x], uniq[y]))
+                    out.add((a, b))
+        rows = [(a, b) for a, b in out
+                if abs(len(a) - len(b)) <= 1 and _edit1(a, b)]
+        return pd.DataFrame(sorted(rows), columns=["name_a", "name_b"])
+
+    def build():
+        return T(sf_dir, "customer", columns=["c_name"],
+                 rows_per_block=8192) \
+            .map_batches(keys_batch, batch_format="pandas",
+                         batch_size=8192)
+
+    n_rows = parquet_rows(sf_dir, "customer")
+    if n_rows < MINHASH_DISTRIBUTED_MIN_DOCS:
+        out = pairs_of(build().to_pandas())
+        return out.drop_duplicates().sort_values(["name_a", "name_b"]) \
+            .reset_index(drop=True)
+
+    from kryptone_ray.pipelines.common import hash_shuffle, join_partitions
+
+    with hash_shuffle():
+        per_block = build().repartition(
+            num_blocks=join_partitions(n_rows, rows_per_partition=50_000),
+            keys=["bkey"]) \
+            .map_batches(pairs_of, batch_format="pandas", batch_size=None) \
+            .to_pandas()
+    # a pair can surface from several buckets that landed in different
+    # blocks — final distinct is pair-count-bounded, not corpus-bounded
+    return per_block.drop_duplicates() \
+        .sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+Q_NAME_EDIT1_SQL = """
+WITH w AS (SELECT DISTINCT c_name AS w FROM customer)
+SELECT a.w AS name_a, b.w AS name_b
+FROM w a JOIN w b
+  ON a.w < b.w AND abs(length(a.w) - length(b.w)) <= 1
+ AND levenshtein(a.w, b.w) = 1
+ORDER BY name_a, name_b
+"""

@@ -317,3 +317,13 @@ def test_q7_distributed_and_fallback_equal_driver(monkeypatch):
     monkeypatch.setattr(relational, "BROADCAST_MAX_ROWS", 0)
     fb = _df(relational.q7_nation_pair_volume(SF))
     pd.testing.assert_frame_equal(_norm(base), _norm(fb), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_edit1_pairs_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import dedup
+
+    small = dedup.q_name_edit1_pairs(SF)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    big = dedup.q_name_edit1_pairs(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
