@@ -976,17 +976,71 @@ def q_name_edit1_pairs(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {"bkey": xxh64_batch(keys).astype("int64"), "name": names})
 
+    EMPTY = pd.DataFrame({"name_a": pd.Series([], dtype=str),
+                          "name_b": pd.Series([], dtype=str)})
+
     def pairs_of(df: pd.DataFrame) -> pd.DataFrame:
-        out = set()
-        for _, g in df.groupby("bkey", sort=False):
-            uniq = g["name"].drop_duplicates().to_numpy()
-            for x in range(len(uniq)):
-                for y in range(x + 1, len(uniq)):
-                    a, b = sorted((uniq[x], uniq[y]))
-                    out.add((a, b))
-        rows = [(a, b) for a, b in out
-                if abs(len(a) - len(b)) <= 1 and _edit1(a, b)]
-        return pd.DataFrame(sorted(rows), columns=["name_a", "name_b"])
+        """Vectorized bucket-pairing + verify: names int-coded once,
+        (bucket, code) rows deduped globally (a name yields the same
+        deletion variant twice when adjacent chars repeat), size-2
+        buckets — the common case — pair with pure numpy, larger
+        buckets via triu indices; the edit-1 verify compares padded
+        byte matrices ((A != B).sum == 1 for equal lengths, the rare
+        length-±1 candidates fall back to the scalar check). Dense
+        adversarial corpora (sequential-digit names: ~22 true
+        neighbors each) stay numpy-bound instead of per-pair Python."""
+        # object-dtype blocks (hash-shuffle output) → fixed-width <U
+        names_u, codes = np.unique(df["name"].to_numpy().astype(str),
+                                   return_inverse=True)
+        U = len(names_u)
+        bk_u, bkc = np.unique(df["bkey"].to_numpy(), return_inverse=True)
+        pair_key = np.unique(bkc.astype(np.int64) * U + codes)
+        bkc, codes = pair_key // U, pair_key % U
+        # rows now sorted by (bucket, code); group boundaries:
+        starts = np.flatnonzero(np.r_[True, bkc[1:] != bkc[:-1]])
+        sizes = np.diff(np.r_[starts, len(bkc)])
+        ai_parts, bi_parts = [], []
+        two = starts[sizes == 2]
+        if len(two):
+            ai_parts.append(codes[two])
+            bi_parts.append(codes[two + 1])
+        for s0, sz in zip(starts[sizes > 2], sizes[sizes > 2]):
+            g = codes[s0:s0 + sz]
+            ia, ib = np.triu_indices(sz, k=1)
+            ai_parts.append(g[ia])
+            bi_parts.append(g[ib])
+        if not ai_parts:
+            return EMPTY.copy()
+        a = np.concatenate(ai_parts)
+        b = np.concatenate(bi_parts)
+        key = np.unique(a * np.int64(U) + b)   # dedup cross-bucket pairs
+        a, b = key // U, key % U
+        # vectorized verify over padded byte matrices (ASCII fast path;
+        # non-ASCII names fall back to the scalar check wholesale)
+        try:
+            M = names_u.astype(bytes)
+        except UnicodeEncodeError:
+            keep = np.fromiter(
+                (abs(len(names_u[x]) - len(names_u[y])) <= 1
+                 and _edit1(str(names_u[x]), str(names_u[y]))
+                 for x, y in zip(a, b)), dtype=bool, count=len(a))
+            return pd.DataFrame({"name_a": names_u[a[keep]],
+                                 "name_b": names_u[b[keep]]})
+        width = M.dtype.itemsize
+        M = np.frombuffer(M.tobytes(), dtype=np.uint8).reshape(U, width)
+        lens = np.char.str_len(names_u)
+        same_len = lens[a] == lens[b]
+        keep = np.zeros(len(a), dtype=bool)
+        eq = np.flatnonzero(same_len)
+        if len(eq):
+            diff = (M[a[eq]] != M[b[eq]]).sum(axis=1)
+            keep[eq] = diff == 1
+        near = np.flatnonzero(~same_len
+                              & (np.abs(lens[a] - lens[b]) == 1))
+        for i in near:
+            keep[i] = _edit1(str(names_u[a[i]]), str(names_u[b[i]]))
+        return pd.DataFrame({"name_a": names_u[a[keep]],
+                             "name_b": names_u[b[keep]]})
 
     def build():
         return T(sf_dir, "customer", columns=["c_name"],

@@ -2044,7 +2044,10 @@ def q_orders_overlap_pairs(sf_dir: str) -> pd.DataFrame:
         key = t["o_orderkey"]
         dur_days = pc.add(
             pc.subtract(key, pc.multiply(pc.divide(key, 14), 14)), 1)
-        start = pc.cast(t["o_orderdate"], pa.int64())
+        # normalize to µs first: a raw int64 cast of a ns-unit column
+        # would mix ns starts with the µs day constant below
+        start = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")),
+                        pa.int64())
         end = pc.add(start, pc.multiply(
             pc.cast(dur_days, pa.int64()),
             pa.scalar(86_400_000_000, pa.int64())))
