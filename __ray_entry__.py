@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": pii.q_pii_redaction,
         # exact k-gram substring-dedup census (128-bit hashed shingles)
         "shingle_dedup_census": textops.q_shingle_dedup_census,
+        # tokenizer fit (rank vocab) + id-encode, per-doc id summary
+        "docs_id_encode": textops.q_docs_id_encode,
         # dedup family (training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -326,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "training_shard_export": textops.Q_TRAINING_SHARD_SQL,
         "pii_redaction": pii.Q_PII_REDACTION_SQL,
         "shingle_dedup_census": textops.Q_SHINGLE_DEDUP_SQL,
+        "docs_id_encode": textops.Q_DOCS_ID_ENCODE_SQL,
         # re-derives urlparse fields from raw strings with SQL string ops
         "url_predicates": crawlops.url_predicates_oracle_sql(),
         # the frontier-maintenance queries run over a deterministic

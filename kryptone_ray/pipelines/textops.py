@@ -614,3 +614,85 @@ cnt AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
 SELECT c AS multiplicity, count(*) AS n_shingles
 FROM cnt GROUP BY c ORDER BY c
 """
+
+
+def q_docs_id_encode(sf_dir: str) -> pd.DataFrame:
+    """TOKENIZER FIT + TRANSFORM — the canonical pretraining encode
+    stage (the reference's ``TextMixin.fit_transform`` vocabulary
+    machinery, text/ops.py, taken to its training-data conclusion):
+    pass 1 fits a deterministic vocabulary over the corpus (id = rank
+    by count desc, token asc); pass 2 encodes every document to token
+    ids. The returned per-doc summary (n_tokens, sum/min/max of ids)
+    proves the id assignment end to end without hauling the id
+    sequences to the driver.
+
+    Scale: pass 1 is the wordcount shape (per-batch partials; the
+    vocabulary combine rides the word_frequency gate); the fitted
+    vocab broadcasts ONCE via ray.put and every encode batch reads it
+    from the object store — the broadcast contract is vocabulary size
+    (bounded by a min-count cut in a real pipeline), never corpus
+    size. Encoding is a vectorized pandas map over exploded tokens."""
+    import ray
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    def counts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split(" ").explode()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index, "n": vc.to_numpy()})
+
+    ds = T(sf_dir, "documents", columns=["doc_id", "text"],
+           rows_per_block=8192)
+    parts = ds.map_batches(
+        lambda df: counts_partial(df[["text"]]),
+        batch_format="pandas", batch_size=8192)
+
+    if parquet_rows(sf_dir, "documents") < DISTRIBUTED_COMBINE_MIN_ROWS:
+        counts = parts.to_pandas().groupby(
+            "token", sort=False, as_index=False)["n"].sum()
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        def block_sum(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("token", sort=False, as_index=False)["n"].sum()
+
+        with hash_shuffle():
+            counts = T(sf_dir, "documents", columns=["text"],
+                       rows_per_block=8192) \
+                .map_batches(counts_partial, batch_format="pandas",
+                             batch_size=8192) \
+                .repartition(num_blocks=16, keys=["token"]) \
+                .map_batches(block_sum, batch_format="pandas",
+                             batch_size=None).to_pandas()
+
+    counts = counts.sort_values(["n", "token"],
+                                ascending=[False, True]).reset_index(drop=True)
+    vocab = dict(zip(counts["token"], range(len(counts))))
+    vocab_ref = ray.put(vocab)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        toks = df.set_index("doc_id")["text"].str.lower() \
+            .str.split(" ").explode()
+        ids = toks.map(v).astype("int64")
+        g = ids.groupby(level=0)
+        return pd.DataFrame({"n_tokens": g.size().astype("int64"),
+                             "sum_ids": g.sum(), "min_id": g.min(),
+                             "max_id": g.max()}).reset_index()
+
+    out = ds.map_batches(encode, batch_format="pandas",
+                         batch_size=8192).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+Q_DOCS_ID_ENCODE_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+           FROM documents),
+v AS (SELECT token,
+             row_number() OVER (ORDER BY count(*) DESC, token) - 1 AS id
+      FROM w GROUP BY token)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(id) AS BIGINT) AS sum_ids,
+       CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+FROM w JOIN v USING (token)
+GROUP BY doc_id ORDER BY doc_id
+"""

@@ -327,3 +327,13 @@ def test_edit1_pairs_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
     big = dedup.q_name_edit1_pairs(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_id_encode_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import textops
+
+    small = textops.q_docs_id_encode(SF)
+    monkeypatch.setattr(textops, "DISTRIBUTED_COMBINE_MIN_ROWS", 0)
+    big = textops.q_docs_id_encode(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
