@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree_stats": graph.q_graph_degree_stats,
         "graph_pagerank": graph.q_graph_pagerank,
         "graph_components": graph.q_graph_components,
+        # multi-source BFS hop distance (crawl-depth twin)
+        "graph_bfs_depth": graph.q_graph_bfs_depth,
         "graph_triangles": graph.q_graph_triangles,
         # streaming watermark semantics: late-arrival census per window
         "events_late_census": events.q_events_late_census,
@@ -347,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_stats": graph.graph_degree_stats_oracle_sql(),
         "graph_pagerank": graph.graph_pagerank_oracle_sql(),
         "graph_components": graph.graph_components_oracle_sql(),
+        "graph_bfs_depth": graph.graph_bfs_oracle_sql(),
         "graph_triangles": graph.graph_triangles_oracle_sql(),
         "events_late_census": events.Q_EVENTS_LATE_CENSUS_SQL,
         # rows-only (not SQL-expressible):

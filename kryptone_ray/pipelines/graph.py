@@ -512,3 +512,137 @@ SELECT node, count(*) AS n_triangles FROM (
     UNION ALL SELECT z FROM tri
 ) GROUP BY node ORDER BY node
 """
+
+
+N_SEEDS = 8  # BFS sources: nodes 0..7, mirroring the crawl's seed list
+
+
+def _bfs_broadcast(snap: str, n: int) -> pd.DataFrame:
+    """Level-synchronous multi-source BFS with the distance vector
+    broadcast per level: level k's frontier edges emit their unreached
+    targets, the driver stamps them k+1. Terminates when a level adds
+    nothing; the per-iteration driver state is node-bounded (the same
+    ceiling as PAGERANK_BROADCAST_MAX_NODES)."""
+    import ray
+
+    dist = np.full(n, -1, dtype=np.int64)
+    dist[:N_SEEDS] = 0
+    level = 0
+    while True:
+        ref = ray.put(dist)
+        k = level
+
+        def frontier_push(df: pd.DataFrame) -> pd.DataFrame:
+            dv = ray.get(ref)
+            src = df["src"].to_numpy()
+            dst = df["dst"].to_numpy()
+            hit = dst[(dv[src] == k) & (dv[dst] < 0)]
+            return pd.DataFrame({"node": np.unique(hit)})
+
+        newly = rd.read_parquet(snap) \
+            .map_batches(frontier_push, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+        if newly.empty:
+            break
+        dist[np.unique(newly["node"].to_numpy())] = level + 1
+        level += 1
+    return pd.DataFrame({"node": np.arange(n, dtype=np.int64),
+                         "depth": dist})
+
+
+def _bfs_distributed(snap: str, n: int) -> pd.DataFrame:
+    """Join-shaped BFS past the broadcast gate — Bellman-Ford min-plus
+    to fixed point, the directed single-direction twin of
+    _cc_distributed: each iteration hash-joins the streamed edge table
+    against the distance Dataset on src, pushes d+1 to dst, unions the
+    self-distances and takes per-node minima in a hash-partition
+    combine. Distances are monotone non-increasing from the n-valued
+    'infinity', so convergence = unchanged distance sum."""
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions,
+                                               parquet_rows_path)
+
+    npart = join_partitions(parquet_rows_path(f"{snap}/edges.parquet"))
+    INF = np.int64(n)
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["id"], pa.int64())
+        d = pc.if_else(pc.less(ids, pa.scalar(N_SEEDS, pa.int64())),
+                       pa.scalar(0, pa.int64()), pa.scalar(int(INF), pa.int64()))
+        return pa.table({"pr_v": ids, "d": d})
+
+    dist = rd.range(n).map_batches(init_dist, batch_format="pyarrow",
+                                   batch_size=65536).materialize()
+    prev_sum = int(INF) * (n - N_SEEDS)
+
+    def push(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"node": df["dst"], "d": df["d"] + 1}) \
+            .groupby("node", sort=False)["d"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "d": g.to_numpy()})
+
+    def self_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["pr_v"], "d": df["d"]})
+
+    def combine_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["d"].min()
+        return pd.DataFrame({"pr_v": g.index.to_numpy(),
+                             "d": g.to_numpy()})
+
+    while True:
+        with hash_shuffle():
+            f = rd.read_parquet(snap) \
+                .join(dist, "inner", num_partitions=npart,
+                      on=("src",), right_on=("pr_v",)) \
+                .map_batches(push, batch_format="pandas", batch_size=None)
+            s = dist.map_batches(self_rows, batch_format="pandas",
+                                 batch_size=None)
+            dist = f.union(s) \
+                .repartition(num_blocks=npart, keys=["node"]) \
+                .map_batches(combine_min, batch_format="pandas",
+                             batch_size=None).materialize()
+        sums = dist.map_batches(
+            lambda df: pd.DataFrame({"s": [int(df["d"].sum())]}),
+            batch_format="pandas", batch_size=None).to_pandas()
+        cur_sum = int(sums["s"].sum())
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out = dist.to_pandas().rename(columns={"pr_v": "node", "d": "depth"})
+    out.loc[out["depth"] >= int(INF), "depth"] = -1
+    out["node"] = out["node"].astype("int64")
+    out["depth"] = out["depth"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_graph_bfs_depth(sf_dir: str) -> pd.DataFrame:
+    """MULTI-SOURCE BFS hop distance over the directed link graph —
+    the batch twin of the crawler's frontier depth (each visit window
+    IS a BFS level of `stages/expand.py` edges; reference analog: the
+    depth implicit in base.py's urls_to_visit rounds). Unreached nodes
+    report -1. Broadcast levels below the node gate, Bellman-Ford
+    joins above it; the oracle is a depth-capped recursive CTE."""
+    snap = _edges_dir()
+    if _G_ROWS > PAGERANK_BROADCAST_MAX_NODES:
+        return _bfs_distributed(snap, _G_ROWS)
+    return _bfs_broadcast(snap, _G_ROWS)
+
+
+def graph_bfs_oracle_sql() -> str:
+    snap = _edges_dir()
+    return f"""
+WITH RECURSIVE reach(v, d) AS (
+    SELECT range AS v, 0 AS d FROM range({N_SEEDS})
+    UNION
+    SELECT e.dst, r.d + 1
+    FROM reach r JOIN read_parquet('{snap}/edges.parquet') e
+      ON e.src = r.v
+    WHERE r.d < {_G_ROWS})
+SELECT n.v AS node, CAST(COALESCE(min(r.d), -1) AS BIGINT) AS depth
+FROM (SELECT range AS v FROM range({_G_ROWS})) n
+LEFT JOIN reach r ON r.v = n.v
+GROUP BY n.v ORDER BY node
+"""

@@ -99,3 +99,17 @@ def test_edge_snapshot_is_deterministic(tmp_path):
     second = pq.read_table(graph._edges_dir() + "/edges.parquet")
     assert first.equals(second)
     assert first.num_rows > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_distributed_equals_broadcast(monkeypatch):
+    """Bellman-Ford join iteration (past-the-gate shape) must reach the
+    same fixed point as the level-synchronous broadcast BFS."""
+    from kryptone_ray.pipelines import graph
+
+    base = graph.q_graph_bfs_depth("")
+    monkeypatch.setattr(graph, "PAGERANK_BROADCAST_MAX_NODES", -1)
+    dist = graph.q_graph_bfs_depth("")
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  dist.reset_index(drop=True))
+    assert (base["depth"][:graph.N_SEEDS] == 0).all()
