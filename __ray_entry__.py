@@ -127,6 +127,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_rich_names": relational.q_nation_rich_customer_names,
         # CDC MERGE/upsert: LWW by version, tombstone deletes
         "orders_cdc_merge": relational.q_orders_cdc_merge,
+        # SCD Type-2 history build over the same change-set
+        "orders_scd2_census": relational.q_orders_scd2_census,
+        # sort-merge join with range co-partitioning (no hash state)
+        "orders_lineitem_mergejoin": relational.q_orders_lineitem_mergejoin,
         # interval-overlap self-join via per-key sorted sweep
         "orders_overlap_pairs": relational.q_orders_overlap_pairs,
         # Z-order (Morton) clustered export, proven by shard read-back
@@ -287,6 +291,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_unpivot": relational.Q_LINEITEM_UNPIVOT_SQL,
         "nation_rich_names": relational.Q_NATION_RICH_NAMES_SQL,
         "orders_cdc_merge": relational.Q_ORDERS_CDC_MERGE_SQL,
+        "orders_scd2_census": relational.Q_ORDERS_SCD2_SQL,
+        "orders_lineitem_mergejoin": relational.Q_ORDERS_LINEITEM_MERGEJOIN_SQL,
         "orders_overlap_pairs": relational.Q_ORDERS_OVERLAP_PAIRS_SQL,
         "lineitem_zorder_export": relational.Q_LINEITEM_ZORDER_SQL,
         "lang_distribution": textops.Q_LANG_SQL,

@@ -1906,6 +1906,47 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def _orders_with_changes(t):
+    """Deterministic CDC change-set derived from the orders base (keys
+    ≡ 0 mod 7 → v1 price update with status 'U'; keys ≡ 0 mod 97 → v2
+    delete tombstone) — shared by the LWW merge and SCD2 history
+    builds; a real deployment unions a change parquet instead."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
+                    pa.int64())
+    key = t["o_orderkey"]
+    base = pa.table({
+        "o_orderkey": key, "o_orderstatus": t["o_orderstatus"],
+        "cents": cents,
+        "version": pa.array([0] * len(t), type=pa.int32()),
+        "deleted": pa.array([False] * len(t)),
+    })
+    # integer divide-multiply-subtract = key % 7 (pyarrow has no mod)
+    upd_mask = pc.equal(
+        pc.subtract(key, pc.multiply(pc.divide(key, 7), 7)), 0)
+    upd = base.filter(upd_mask)
+    upd = pa.table({
+        "o_orderkey": upd["o_orderkey"],
+        "o_orderstatus": pa.array(["U"] * len(upd)),
+        "cents": pc.add(upd["cents"], 1000),
+        "version": pa.array([1] * len(upd), type=pa.int32()),
+        "deleted": pa.array([False] * len(upd)),
+    })
+    del_mask = pc.equal(
+        pc.subtract(key, pc.multiply(pc.divide(key, 97), 97)), 0)
+    dele = base.filter(del_mask)
+    dele = pa.table({
+        "o_orderkey": dele["o_orderkey"],
+        "o_orderstatus": dele["o_orderstatus"],
+        "cents": dele["cents"],
+        "version": pa.array([2] * len(dele), type=pa.int32()),
+        "deleted": pa.array([True] * len(dele)),
+    })
+    return pa.concat_tables([base, upd, dele])
+
+
 def q_orders_cdc_merge(sf_dir: str) -> pd.DataFrame:
     """CDC MERGE / UPSERT (SCD-style last-write-wins): apply a
     change-set of updates + delete tombstones to the orders base table,
@@ -1920,42 +1961,6 @@ def q_orders_cdc_merge(sf_dir: str) -> pd.DataFrame:
     one block), per-block LWW reduce = sort by version, keep last,
     drop tombstones — then per-block census partials sum driver-side.
     Only (key, status, cents, version) ever moves, never full rows."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def with_changes(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100)),
-                        pa.int64())
-        key = t["o_orderkey"]
-        base = pa.table({
-            "o_orderkey": key, "o_orderstatus": t["o_orderstatus"],
-            "cents": cents,
-            "version": pa.array([0] * len(t), type=pa.int32()),
-            "deleted": pa.array([False] * len(t)),
-        })
-        # integer divide-multiply-subtract = key % 7 (pyarrow has no mod)
-        upd_mask = pc.equal(
-            pc.subtract(key, pc.multiply(pc.divide(key, 7), 7)), 0)
-        upd = base.filter(upd_mask)
-        upd = pa.table({
-            "o_orderkey": upd["o_orderkey"],
-            "o_orderstatus": pa.array(["U"] * len(upd)),
-            "cents": pc.add(upd["cents"], 1000),
-            "version": pa.array([1] * len(upd), type=pa.int32()),
-            "deleted": pa.array([False] * len(upd)),
-        })
-        del_mask = pc.equal(
-            pc.subtract(key, pc.multiply(pc.divide(key, 97), 97)), 0)
-        dele = base.filter(del_mask)
-        dele = pa.table({
-            "o_orderkey": dele["o_orderkey"],
-            "o_orderstatus": dele["o_orderstatus"],
-            "cents": dele["cents"],
-            "version": pa.array([2] * len(dele), type=pa.int32()),
-            "deleted": pa.array([True] * len(dele)),
-        })
-        return pa.concat_tables([base, upd, dele])
-
     def lww_census(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["o_orderkey", "version"], kind="stable")
         last = df.drop_duplicates("o_orderkey", keep="last")
@@ -1967,7 +1972,7 @@ def q_orders_cdc_merge(sf_dir: str) -> pd.DataFrame:
     def build():
         return T(sf_dir, "orders",
                  columns=["o_orderkey", "o_orderstatus", "o_totalprice"]) \
-            .map_batches(with_changes, batch_format="pyarrow",
+            .map_batches(_orders_with_changes, batch_format="pyarrow",
                          batch_size=65536)
 
     n_rows = parquet_rows(sf_dir, "orders")
@@ -2410,4 +2415,177 @@ SELECT COALESCE(st, 'ALL') AS o_orderstatus,
        sum(cents) / 100.0 AS total_price, count(*) AS n
 FROM o GROUP BY CUBE(st, pri)
 ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_orders_scd2_census(sf_dir: str) -> pd.DataFrame:
+    """SCD TYPE-2 HISTORY BUILD over the same deterministic CDC
+    change-set as q_orders_cdc_merge: instead of keeping only the
+    winner, EVERY non-tombstone version becomes a history row with a
+    validity span (valid_to = the next version, open if none), and
+    ``is_current`` marks rows whose span is open and not closed by a
+    tombstone. Output: the (status, is_current) census of the history
+    table — counting superseded rows separately from current ones.
+
+    Same partitioning contract as the LWW merge: all versions of a key
+    land in one hash partition, the per-block pass is one stable sort +
+    shift comparison (vectorized, no per-key loop), and only census
+    partials reach the driver."""
+
+    def scd2_census(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderkey", "version"],
+                            kind="stable").reset_index(drop=True)
+        key = df["o_orderkey"].to_numpy()
+        # a row is current iff nothing follows it for its key (a later
+        # update OR a tombstone both close the span) and it is not
+        # itself a tombstone
+        has_next = np.r_[key[:-1] == key[1:], False]
+        is_current = ~df["deleted"].to_numpy() & ~has_next
+        live = ~df["deleted"].to_numpy()
+        out = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                            "is_current": is_current,
+                            "cents": df["cents"]})[live]
+        g = out.groupby(["o_orderstatus", "is_current"], sort=False)
+        return pd.DataFrame({"n": g.size(),
+                             "cents": g["cents"].sum()}).reset_index()
+
+    def build():
+        return T(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderstatus", "o_totalprice"]) \
+            .map_batches(_orders_with_changes, batch_format="pyarrow",
+                         batch_size=65536)
+
+    n_rows = parquet_rows(sf_dir, "orders")
+    if n_rows < DISTRIBUTED_JOIN_MIN_ROWS:
+        parts = scd2_census(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["o_orderkey"]) \
+                .map_batches(scd2_census, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    g = parts.groupby(["o_orderstatus", "is_current"], sort=False)
+    out = pd.DataFrame({"n": g["n"].sum().astype("int64"),
+                        "total": g["cents"].sum() / 100.0}).reset_index()
+    return out.sort_values(["o_orderstatus", "is_current"]) \
+        .reset_index(drop=True)
+
+
+Q_ORDERS_SCD2_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         0 AS version, FALSE AS deleted
+  FROM orders),
+chg AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, cents + 1000 AS cents,
+         1 AS version, FALSE AS deleted
+  FROM base WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, cents, 2 AS version, TRUE AS deleted
+  FROM base WHERE o_orderkey % 97 = 0),
+h AS (
+  SELECT *, lead(version) OVER (PARTITION BY o_orderkey
+                                ORDER BY version) AS next_v
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg))
+SELECT o_orderstatus, (next_v IS NULL AND NOT deleted) AS is_current,
+       count(*) AS n, sum(cents) / 100.0 AS total
+FROM h WHERE NOT deleted
+GROUP BY o_orderstatus, is_current ORDER BY o_orderstatus, is_current
+"""
+
+
+def q_orders_lineitem_mergejoin(sf_dir: str) -> pd.DataFrame:
+    """SORT-MERGE JOIN with RANGE CO-PARTITIONING — the physical
+    alternative to the hash join the other queries use: both fact
+    tables assign each row a key-range id computed from the SHARED
+    footer min/max of the join key (a metadata read), the two sides
+    co-partition on that id in ONE shuffle each, and every block
+    resolves its range with a sorted-array merge (searchsorted against
+    the unique order keys) instead of a hash table. This is the plan a
+    100-TB engine picks when both inputs are already key-clustered on
+    disk (TPC-H lineitem/orders are) — the block-local sort is then a
+    no-op and the join never builds hash state. Skew contract: ranges
+    are equal-width in key space; a skewed key distribution would use
+    the ntile-shards histogram offsets instead (same recipe, already
+    built)."""
+    import ray
+
+    (olo, ohi) = _footer_minmax(sf_dir, "orders", "o_orderkey")
+    (llo, lhi) = _footer_minmax(sf_dir, "lineitem", "l_orderkey")
+    lo, hi = min(olo, llo), max(ohi, lhi)
+    n_orders = parquet_rows(sf_dir, "orders")
+    nparts = join_partitions(parquet_rows(sf_dir, "lineitem"))
+    span = max(hi - lo + 1, 1)
+
+    def o_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "rid": ((k - lo) * nparts // span).astype(np.int64),
+            "key": k, "side": np.zeros(len(k), dtype=np.int8),
+            "status": df["o_orderstatus"],
+            "cents": np.zeros(len(k), dtype=np.int64)})
+
+    def l_side(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["l_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "rid": ((k - lo) * nparts // span).astype(np.int64),
+            "key": k, "side": np.ones(len(k), dtype=np.int8),
+            "status": np.full(len(k), "", dtype=object),
+            "cents": np.round(df["l_extendedprice"].to_numpy()
+                              * 100).astype(np.int64)})
+
+    def merge_block(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["side"] == 0]
+        l = df[df["side"] == 1]
+        if o.empty or l.empty:
+            return pd.DataFrame({"o_orderstatus": pd.Series([], dtype=str),
+                                 "n_lines": pd.Series([], dtype="int64"),
+                                 "cents": pd.Series([], dtype="int64")})
+        ok = o["key"].to_numpy()
+        order = np.argsort(ok, kind="stable")
+        ok = ok[order]
+        ost = o["status"].to_numpy()[order]
+        lk = l["key"].to_numpy()
+        pos = np.searchsorted(ok, lk)
+        hit = (pos < len(ok))
+        pos = np.minimum(pos, len(ok) - 1)
+        hit &= ok[pos] == lk
+        res = pd.DataFrame({"o_orderstatus": ost[pos[hit]],
+                            "cents": l["cents"].to_numpy()[hit]})
+        g = res.groupby("o_orderstatus", sort=False)
+        return pd.DataFrame({"n_lines": g.size().astype("int64"),
+                             "cents": g["cents"].sum()}).reset_index()
+
+    def build_union():
+        o = T(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]) \
+            .map_batches(o_side, batch_format="pandas", batch_size=65536)
+        l = T(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_extendedprice"]) \
+            .map_batches(l_side, batch_format="pandas", batch_size=65536)
+        return o.union(l)
+
+    if parquet_rows(sf_dir, "lineitem") < DISTRIBUTED_JOIN_MIN_ROWS:
+        parts = merge_block(build_union().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            parts = build_union().repartition(
+                num_blocks=nparts, keys=["rid"]) \
+                .map_batches(merge_block, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    g = parts.groupby("o_orderstatus", sort=False)
+    out = pd.DataFrame({"n_lines": g["n_lines"].sum().astype("int64"),
+                        "revenue": g["cents"].sum() / 100.0}).reset_index()
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+Q_ORDERS_LINEITEM_MERGEJOIN_SQL = """
+SELECT o_orderstatus, count(*) AS n_lines,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus
 """

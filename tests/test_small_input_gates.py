@@ -337,3 +337,16 @@ def test_id_encode_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(textops, "DISTRIBUTED_COMBINE_MIN_ROWS", 0)
     big = textops.q_docs_id_encode(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qname", ["q_orders_scd2_census",
+                                   "q_orders_lineitem_mergejoin"])
+def test_scd2_and_mergejoin_distributed_equal_driver(monkeypatch, qname):
+    from kryptone_ray.pipelines import relational
+
+    fn = getattr(relational, qname)
+    small = _df(fn(SF))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(fn(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
