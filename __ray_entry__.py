@@ -198,6 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_distinct_users": events.q_events_type_distinct_users,
         # exact grouped median/mode from a bounded cents histogram
         "events_value_median": events.q_events_value_median,
+        # product-analytics ops: greedy funnel, cohort retention,
+        # time-weighted average (step-function semantics)
+        "events_funnel": events.q_events_funnel,
+        "events_cohort_retention": events.q_events_cohort_retention,
+        "events_time_weighted_avg": events.q_events_time_weighted_avg,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
@@ -327,6 +332,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cumulative_users": events.Q_EVENTS_CUMULATIVE_USERS_SQL,
         "events_type_distinct_users": events.Q_EVENTS_TYPE_DISTINCT_USERS_SQL,
         "events_value_median": events.Q_EVENTS_VALUE_MEDIAN_SQL,
+        "events_funnel": events.Q_EVENTS_FUNNEL_SQL,
+        "events_cohort_retention": events.Q_EVENTS_COHORT_SQL,
+        "events_time_weighted_avg": events.Q_EVENTS_TWA_SQL,
         # manifest (partition, n_rows) of the resumable day-partitioned sink
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor

@@ -1293,3 +1293,231 @@ SELECT event_type,
        CAST(min(tot) AS BIGINT) AS n_events
 FROM cum GROUP BY event_type ORDER BY event_type
 """
+
+
+def q_events_funnel(sf_dir: str) -> pd.DataFrame:
+    """FUNNEL ANALYSIS (view → click → purchase, greedy ordering): how
+    many users reach each step, where step k+1 must happen strictly
+    AFTER the user's earliest completion of step k. Three vectorized
+    passes — no per-user Python: t1 = min view-ts per user; t2 = min
+    click-ts after t1; t3 = min purchase-ts after t2. Each pass is a
+    filtered per-batch partial min + tiny combine keyed by user, with
+    the previous step's (user → ts) map broadcast (bounded by the
+    step's surviving-user count, which only shrinks down the funnel)."""
+    import pyarrow as pa
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    STEPS = ["view", "click", "purchase"]
+
+    def build(step: str):
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            f = t.filter(pc.equal(t["event_type"], step))
+            g = pa.table({"user_id": f["user_id"],
+                          "t": pc.cast(pc.cast(f["ts"], pa.timestamp("us")),
+                                       pa.int64())}) \
+                .group_by(["user_id"], use_threads=False) \
+                .aggregate([("t", "min")])
+            return g.rename_columns(["user_id", "t"])
+
+        return T(sf_dir, "events",
+                 columns=["user_id", "event_type", "ts"]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+    # step 1: plain per-user min
+    parts = build(STEPS[0]).to_pandas()
+    cur = parts.groupby("user_id", sort=False)["t"].min()
+    counts = [len(cur)]
+    # steps 2..k: per-user min AFTER the previous step's timestamp.
+    # The after-filter needs the previous map per batch — broadcast it
+    # (funnel maps shrink monotonically; a 10^10-user funnel would
+    # hash-join instead, the q_customer_order_stats shape, same gate
+    # family as everything else here).
+    import ray
+
+    for step in STEPS[1:]:
+        prev_ref = ray.put(cur.to_dict())
+
+        def after_min(df: pd.DataFrame, _step=step) -> pd.DataFrame:
+            pv = ray.get(prev_ref)
+            sub = df[df["event_type"] == _step]
+            t = sub["ts"].astype("datetime64[us]").astype("int64")
+            prev_t = sub["user_id"].map(pv)
+            ok = prev_t.notna() & (t > prev_t)
+            g = pd.DataFrame({"user_id": sub["user_id"][ok],
+                              "t": t[ok]}).groupby(
+                "user_id", sort=False)["t"].min()
+            return g.reset_index()
+
+        parts = T(sf_dir, "events",
+                  columns=["user_id", "event_type", "ts"]) \
+            .map_batches(after_min, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+        cur = parts.groupby("user_id", sort=False)["t"].min()
+        counts.append(len(cur))
+
+    return pd.DataFrame({"step": np.arange(1, len(STEPS) + 1,
+                                           dtype="int64"),
+                         "event_type": STEPS,
+                         "n_users": np.array(counts, dtype="int64")})
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS event_type,
+         (SELECT count(*) FROM s1) AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+ORDER BY step
+"""
+
+
+def q_events_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """COHORT RETENTION: users grouped by first-touch day (their
+    cohort); for each (cohort_day, day_offset) the count of cohort
+    users active that many days later. Built from two bounded
+    aggregates — per-user first day (associative min) and distinct
+    (user, day) activity pairs — joined per user; only day-bounded
+    partials and pair-bounded distincts ever move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(t["ts"], unit="day"),
+                      pa.timestamp("us"))
+        g = pa.table({"user_id": t["user_id"], "day": day}) \
+            .group_by(["user_id", "day"], use_threads=False) \
+            .aggregate([("day", "count")])
+        return pa.table({"user_id": g["user_id"], "day": g["day"]})
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    def build():
+        # built inside the caller's shuffle context: the strategy
+        # binds at dataset creation (common.hash_shuffle docstring)
+        return T(sf_dir, "events", columns=["user_id", "ts"]) \
+            .map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        act = build().to_pandas().drop_duplicates(["user_id", "day"])
+    else:
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        with hash_shuffle():
+            act = build().repartition(num_blocks=join_partitions(n_rows),
+                                      keys=["user_id"]) \
+                .map_batches(
+                    lambda df: df.drop_duplicates(["user_id", "day"]),
+                    batch_format="pandas", batch_size=None).to_pandas()
+            act = act.drop_duplicates(["user_id", "day"])
+
+    first = act.groupby("user_id", sort=False)["day"].min().rename("cohort")
+    m = act.merge(first, left_on="user_id", right_index=True)
+    off = ((m["day"] - m["cohort"]).dt.days).astype("int64")
+    out = pd.DataFrame({"cohort_day": m["cohort"], "day_offset": off}) \
+        .groupby(["cohort_day", "day_offset"], sort=True) \
+        .size().rename("n_users").reset_index()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+Q_EVENTS_COHORT_SQL = """
+WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+             FROM events),
+first AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+SELECT cohort AS cohort_day,
+       CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+       count(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+"""
+
+
+def q_events_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """TIME-WEIGHTED AVERAGE value per user (step-function semantics —
+    each value holds until the user's next event; the metric-system
+    aggregate plain AVG gets wrong when samples are irregular). Exact:
+    integer cents × µs-gap sums per user (per-user numerators bound by
+    cents_max × observed span < 2^63), one float division at the end,
+    rounded identically on both sides. Users with a single event have
+    no span and are excluded. Per-user gaps need the user's events
+    together and time-ordered: hash-partition by user above the
+    sessions gate, one vectorized diff per block."""
+
+    def twa(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        c = df["cents"].to_numpy()
+        same = np.r_[u[:-1] == u[1:], False]
+        dt = np.where(same, np.r_[t[1:] - t[:-1], 0], 0)
+        num = pd.Series(c * dt).groupby(u).sum()
+        g = pd.DataFrame({"u": u, "t": t}).groupby("u")["t"]
+        den = g.max() - g.min()
+        keep = den > 0
+        return pd.DataFrame({"user_id": num.index[keep].astype("int64"),
+                             "num": num[keep].astype("int64"),
+                             "den": den[keep].astype("int64")})
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "t": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)),
+                             pa.int64())})
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    def build():
+        return T(sf_dir, "events",
+                 columns=["user_id", "event_id", "ts", "value"]) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        parts = twa(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["user_id"]) \
+                .map_batches(twa, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out = pd.DataFrame({
+        "user_id": parts["user_id"],
+        "twa_value": (parts["num"] / parts["den"] / 100.0).round(6)})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENTS_TWA_SQL = """
+WITH x AS (SELECT user_id, epoch_us(ts) AS t,
+                  CAST(round(value * 100) AS BIGINT) AS c, event_id
+           FROM events),
+w AS (SELECT user_id, t, c,
+             lead(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) AS nt
+      FROM x)
+SELECT user_id,
+       round(sum(c * (nt - t)) / (max(t) - min(t)) / 100.0, 6)
+           AS twa_value
+FROM w GROUP BY user_id HAVING max(t) > min(t)
+ORDER BY user_id
+"""

@@ -350,3 +350,16 @@ def test_scd2_and_mergejoin_distributed_equal_driver(monkeypatch, qname):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = _df(fn(SF))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qname", ["q_events_cohort_retention",
+                                   "q_events_time_weighted_avg"])
+def test_analytics_distributed_equals_driver(monkeypatch, qname):
+    from kryptone_ray.pipelines import events
+
+    fn = getattr(events, qname)
+    small = fn(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = fn(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
