@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_near_dups": multimodal.q_image_phash_near_dups,
         # union-find clusters over the verified aHash pair list
         "image_neardup_clusters": multimodal.q_image_neardup_clusters,
+        # full corpus scan through the Ray-native Datasource (blob
+        # sidecar stitching proven by the bytes_len oracle)
+        "corpus_scan_stats": multimodal.q_corpus_scan_stats,
         # byte-exact image dedup — the one image op with a SQL oracle
         # (md5-over-hex digest convention shared with DuckDB)
         "image_exact_dups": multimodal.q_image_exact_dups,
@@ -300,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_mergejoin": relational.Q_ORDERS_LINEITEM_MERGEJOIN_SQL,
         "orders_overlap_pairs": relational.Q_ORDERS_OVERLAP_PAIRS_SQL,
         "lineitem_zorder_export": relational.Q_LINEITEM_ZORDER_SQL,
+        "corpus_scan_stats": multimodal.corpus_scan_oracle_sql(),
         "lang_distribution": textops.Q_LANG_SQL,
         "token_counts": textops.Q_TOKEN_COUNTS_SQL,
         # same regex on both sides (python re == RE2 for this pattern)

@@ -260,3 +260,98 @@ class CorpusReader:
         t = t.drop_columns(["bytes_off", "bytes_len"])
         return t.add_column(self._bytes_pos, "bytes",
                             pa.array(payload, type=pa.binary()))
+
+
+class CorpusDatasource:
+    """Ray-native FULL-SCAN source for a corpus directory — the
+    ``ray.data.Datasource`` face of the store (``read_corpus()``
+    below), so a stored corpus streams through ``Dataset`` pipelines
+    exactly like ``read_parquet`` would, INCLUDING single-copy layouts
+    whose payload lives only in the ``.blob`` sidecars (a plain
+    read_parquet cannot surface those bytes at all).
+
+    One read task per shard (shards are the natural block size: they
+    were written range-partitioned on ``url_hash``), column-pruned at
+    the parquet read; when ``bytes`` is requested on a sidecar corpus
+    the task mmaps its shard blob and slices payloads in ascending
+    offset order (one sequential pass, page-cache friendly). Lance
+    parity note: this is ``lance.dataset(...).scanner(columns=...)``;
+    swapping in real Lance replaces this class and
+    ``CorpusReader.take_urls`` only."""
+
+    def __init__(self, corpus_dir: str | os.PathLike,
+                 columns: list[str] | None = None):
+        self.dir = pathlib.Path(corpus_dir)
+        self.paths = sorted(self.dir.glob("*.parquet"))
+        if not self.paths:
+            raise FileNotFoundError(f"no corpus files under {self.dir}")
+        schema = pq.ParquetFile(self.paths[0]).schema_arrow
+        self.single_copy = "bytes" not in schema.names
+        self.has_offsets = "bytes_off" in schema.names
+        all_cols = [n for n in schema.names
+                    if n not in ("bytes_off", "bytes_len")]
+        if self.single_copy:
+            all_cols.insert(1, "bytes")
+        self.columns = columns if columns is not None else all_cols
+        unknown = set(self.columns) - set(all_cols)
+        if unknown:
+            raise KeyError(f"unknown corpus columns: {sorted(unknown)}")
+
+    def read_tasks(self):
+        """One zero-arg callable per shard returning its pa.Table."""
+        want_bytes = "bytes" in self.columns
+        cols = self.columns
+
+        def make(path: pathlib.Path):
+            def read_shard() -> pa.Table:
+                pcols = [c for c in cols if c != "bytes"]
+                if want_bytes:
+                    if path.with_suffix(".blob").exists():
+                        pcols = pcols + ["bytes_off", "bytes_len"]
+                    elif "bytes" in pq.ParquetFile(path).schema_arrow.names:
+                        pcols = pcols + ["bytes"]
+                    else:
+                        raise FileNotFoundError(
+                            f"single-copy shard {path} is missing its "
+                            ".blob sidecar")
+                t = pq.read_table(path, columns=pcols)
+                if want_bytes and "bytes_off" in t.schema.names:
+                    blob = np.memmap(path.with_suffix(".blob"),
+                                     dtype=np.uint8, mode="r")
+                    offs = t["bytes_off"].to_numpy()
+                    lens = t["bytes_len"].to_numpy()
+                    payload = pa.array(
+                        [blob[o:o + l].tobytes()
+                         for o, l in zip(offs, lens)], type=pa.binary())
+                    t = t.drop_columns(["bytes_off", "bytes_len"])
+                    t = t.add_column(min(1, t.num_columns), "bytes", payload)
+                return t.select(cols)
+
+            return read_shard
+
+        return [make(p) for p in self.paths]
+
+
+def read_corpus(corpus_dir: str | os.PathLike,
+                columns: list[str] | None = None):
+    """Full corpus scan as a ``ray.data.Dataset`` — one block per
+    range-partitioned shard, parquet column pruning, blob-sidecar
+    payload stitching for single-copy corpora. The per-shard read
+    callables execute as Ray read tasks (streamed, never
+    driver-materialized)."""
+    import ray.data as rd
+
+    src = CorpusDatasource(corpus_dir, columns=columns)
+    tasks = src.read_tasks()
+
+    ds = rd.from_items(list(range(len(tasks))),
+                       override_num_blocks=len(tasks))
+    cdir, cols = str(corpus_dir), src.columns
+
+    def load(batch: pa.Table) -> pa.Table:
+        src = CorpusDatasource(cdir, columns=cols)
+        tasks = src.read_tasks()
+        out = [tasks[int(i)]() for i in batch["item"].to_pylist()]
+        return pa.concat_tables(out)
+
+    return ds.map_batches(load, batch_format="pyarrow", batch_size=None)

@@ -896,3 +896,64 @@ def q_image_neardup_clusters(sf_dir: str) -> pd.DataFrame:
                        columns=["representative", "n_members"])
     out["n_members"] = out["n_members"].astype("int64")
     return out
+
+
+_SCAN_ROWS = 2000
+_SCAN_SEED = 77
+
+
+def _scan_corpus_dir() -> str:
+    """Deterministic SINGLE-COPY corpus snapshot for the scan query —
+    payload bytes exist only in the .blob sidecars, so the oracle match
+    below proves the Datasource's blob stitching, not just parquet IO."""
+    import pathlib
+    import tempfile
+
+    from kryptone_ray.corpus.store import write_corpus
+    from kryptone_ray.corpus.synth import make_corpus_table
+
+    base = pathlib.Path(tempfile.gettempdir()) / \
+        f"kr_scan_corpus_{_SCAN_SEED}_{_SCAN_ROWS}"
+    if not (base / "_SUCCESS").exists():
+        spec = CorpusSpec(n_rows=_SCAN_ROWS, n_hosts=8, seed=_SCAN_SEED)
+        write_corpus(make_corpus_table(spec), base, num_shards=4,
+                     single_copy=True)
+        (base / "_SUCCESS").touch()
+    return str(base)
+
+
+def q_corpus_scan_stats(sf_dir: str) -> pd.DataFrame:
+    """FULL-SCAN the stored corpus through the Ray-native Datasource
+    (`corpus/store.read_corpus` — the Lance `scanner()` face of the
+    store): per-format row counts and total PAYLOAD bytes, where the
+    payload lengths are measured from the blob-stitched ``bytes``
+    column the scan materialized — the DuckDB oracle reads the same
+    shards' ``bytes_len`` metadata column, so a hash match proves every
+    sidecar byte range arrived intact through the Dataset path."""
+    from kryptone_ray.corpus.store import read_corpus
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(t["bytes"])
+        g = pa.table({"fmt": t["fmt"], "blen": pc.cast(lens, pa.int64())}) \
+            .group_by(["fmt"], use_threads=False) \
+            .aggregate([("blen", "sum"), ("blen", "count")])
+        return g.rename_columns(["fmt", "total_bytes", "n"])
+
+    parts = read_corpus(_scan_corpus_dir(), columns=["fmt", "bytes"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    g = parts.groupby("fmt", sort=True)
+    return pd.DataFrame({
+        "fmt": g.size().index,
+        "n": g["n"].sum().astype("int64").to_numpy(),
+        "total_bytes": g["total_bytes"].sum().astype("int64").to_numpy()})
+
+
+def corpus_scan_oracle_sql() -> str:
+    d = _scan_corpus_dir()
+    return f"""
+SELECT fmt, count(*) AS n, CAST(sum(bytes_len) AS BIGINT) AS total_bytes
+FROM read_parquet('{d}/*.parquet') GROUP BY fmt ORDER BY fmt
+"""

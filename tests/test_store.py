@@ -161,3 +161,50 @@ def test_single_copy_layout_take_equals_dual(tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         CorpusReader(d_slim)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("single_copy", [False, True])
+def test_read_corpus_full_scan_roundtrip(tmp_path, single_copy):
+    """read_corpus() streams the whole corpus back bit-identically in
+    BOTH layouts — including single-copy, where the payload exists only
+    in the blob sidecars and a plain read_parquet could never serve it."""
+    from kryptone_ray.corpus.store import read_corpus, write_corpus
+
+    spec = CorpusSpec(n_rows=300, n_hosts=8, seed=7)
+    table = make_corpus_table(spec)
+    d = tmp_path / ("sc" if single_copy else "dual")
+    write_corpus(table, d, num_shards=4, row_group_size=64,
+                 single_copy=single_copy)
+
+    got = read_corpus(d).to_pandas().sort_values("image_id") \
+        .reset_index(drop=True)
+    want = table.to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert list(got["image_id"]) == list(want["image_id"])
+    assert [bytes(b) for b in got["bytes"]] == \
+           [bytes(b) for b in want["bytes"]]
+    assert list(got["caption"]) == list(want["caption"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_read_corpus_column_pruning_and_errors(tmp_path):
+    from kryptone_ray.corpus.store import read_corpus, write_corpus
+
+    spec = CorpusSpec(n_rows=200, n_hosts=4, seed=9)
+    write_corpus(make_corpus_table(spec), tmp_path / "c", num_shards=2,
+                 single_copy=True)
+    # metadata-only scan never touches the blobs
+    slim = read_corpus(tmp_path / "c", columns=["image_id", "fmt"])
+    df = slim.to_pandas()
+    assert list(df.columns) == ["image_id", "fmt"]
+    assert len(df) == 200
+    with pytest.raises(KeyError):
+        read_corpus(tmp_path / "c", columns=["nope"])
+    # single-copy corpus with a deleted sidecar: a bytes scan must FAIL
+    # loudly, not silently drop payloads
+    for b in (tmp_path / "c").glob("*.blob"):
+        b.unlink()
+    import ray
+    with pytest.raises((FileNotFoundError, ray.exceptions.RayTaskError,
+                        ray.exceptions.UserCodeException)):
+        read_corpus(tmp_path / "c").to_pandas()
