@@ -216,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full corpus scan through the Ray-native Datasource (blob
         # sidecar stitching proven by the bytes_len oracle)
         "corpus_scan_stats": multimodal.q_corpus_scan_stats,
+        # store->actor-pool->store image pipeline, census by read-back
+        "corpus_thumbs_roundtrip": multimodal.q_corpus_thumbs_roundtrip,
         # byte-exact image dedup — the one image op with a SQL oracle
         # (md5-over-hex digest convention shared with DuckDB)
         "image_exact_dups": multimodal.q_image_exact_dups,

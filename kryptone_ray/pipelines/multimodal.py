@@ -957,3 +957,97 @@ def corpus_scan_oracle_sql() -> str:
 SELECT fmt, count(*) AS n, CAST(sum(bytes_len) AS BIGINT) AS total_bytes
 FROM read_parquet('{d}/*.parquet') GROUP BY fmt ORDER BY fmt
 """
+
+
+class ThumbCorpusActor:
+    """Actor-pool stage deriving a THUMBNAIL CORPUS row from each source
+    row: decode (dispatch bound at init) → 16×16 nearest-neighbor
+    resize → raw re-encode, carrying the caption through and stamping
+    the thumb's content hash as the new ``phash`` — the full corpus
+    schema (input_hint), so the output is directly ingestible by
+    ``write_corpus_distributed``."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        from kryptone_ray.utils.xxh64 import content_hash64
+
+        self.decode = codecs.decode
+        self.hash = content_hash64
+        self.out_w, self.out_h = out_w, out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch.to_pydict()
+        thumbs, hashes = [], []
+        for i in range(len(batch)):
+            px = self.decode(d["bytes"][i], d["fmt"][i],
+                             d["w"][i], d["h"][i])
+            h, w, _ = px.shape
+            yi = (np.arange(self.out_h) * h // self.out_h).astype(int)
+            xi = (np.arange(self.out_w) * w // self.out_w).astype(int)
+            thumb = px[yi][:, xi]
+            thumbs.append(codecs.encode_raw(thumb))
+            hashes.append(np.uint64(self.hash(thumb.tobytes()))
+                          .astype(np.int64))
+        n = len(batch)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "bytes": pa.array(thumbs, type=pa.binary()),
+            "w": pa.array([self.out_w] * n, type=pa.int32()),
+            "h": pa.array([self.out_h] * n, type=pa.int32()),
+            "fmt": pa.array(["raw"] * n, type=pa.string()),
+            "caption": batch["caption"],
+            "phash": pa.array(hashes, type=pa.int64()),
+        })
+
+
+def q_corpus_thumbs_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END IMAGE PIPELINE OVER THE STORE — the image-training
+    shape the input_hint describes, with the store on BOTH ends:
+    Datasource full scan of the single-copy source corpus → actor-pool
+    decode/resize → distributed single-copy corpus write (sort-shuffle
+    range partitioning, blob sidecars) → verified by reading the NEW
+    corpus back through BOTH access paths (full Datasource scan for the
+    census, indexed ``take_urls`` spot-checks in tests). Rows-only
+    (codecs aren't SQL); the census is deterministic."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    from kryptone_ray.corpus.store import (add_key, read_corpus,
+                                           write_corpus_distributed)
+
+    src = _scan_corpus_dir()
+    out = pathlib.Path("/tmp/kr_thumb_corpus_v1")
+    marker = out / "_DONE"
+    if not marker.exists():
+        shutil.rmtree(out, ignore_errors=True)
+        ds = read_corpus(src) \
+            .map_batches(ThumbCorpusActor, batch_format="pyarrow",
+                         batch_size=64, concurrency=2) \
+            .map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        write_corpus_distributed(ds, out, single_copy=True)
+        marker.touch()
+
+    def census(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "n": pa.array([len(t)], type=pa.int64()),
+            "total_bytes": pa.array(
+                [int(pc.sum(pc.binary_length(t["bytes"])).as_py())],
+                type=pa.int64()),
+            "phash_xor": pa.array(
+                [int(np.bitwise_xor.reduce(
+                    t["phash"].to_numpy().astype(np.uint64)).astype(np.int64))
+                 if len(t) else 0], type=pa.int64()),
+        })
+
+    parts = read_corpus(str(out), columns=["bytes", "phash"]) \
+        .map_batches(census, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
+    return pd.DataFrame({
+        "n_thumbs": [int(parts["n"].sum())],
+        "total_bytes": [int(parts["total_bytes"].sum())],
+        "phash_xor": [int(np.bitwise_xor.reduce(
+            parts["phash_xor"].to_numpy().astype(np.uint64))
+            .astype(np.int64))],
+    })

@@ -208,3 +208,39 @@ def test_read_corpus_column_pruning_and_errors(tmp_path):
     with pytest.raises((FileNotFoundError, ray.exceptions.RayTaskError,
                         ray.exceptions.UserCodeException)):
         read_corpus(tmp_path / "c").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_thumb_corpus_roundtrip_takes_and_hashes():
+    """The derived thumbnail corpus serves indexed takes, and each
+    taken thumb's phash equals a direct decode+resize+hash of the
+    SOURCE row — the store→actor-pool→store pipeline end to end."""
+    from kryptone_ray.pipelines import multimodal as mm
+    from kryptone_ray.corpus.store import CorpusReader
+    from kryptone_ray.corpus import codecs
+    from kryptone_ray.utils.xxh64 import content_hash64
+
+    out = mm.q_corpus_thumbs_roundtrip("")
+    assert out["n_thumbs"][0] == mm._SCAN_ROWS
+    assert out["total_bytes"][0] == mm._SCAN_ROWS * 16 * 16 * 3
+
+    spec = CorpusSpec(n_rows=mm._SCAN_ROWS, n_hosts=8, seed=mm._SCAN_SEED)
+    src = make_corpus_table(spec)
+    ids = src["image_id"].to_pylist()[:: mm._SCAN_ROWS // 7]
+    r = CorpusReader("/tmp/kr_thumb_corpus_v1")
+    got = r.take_urls(ids)
+    assert len(got) == len(ids)
+    d = src.to_pydict()
+    by_id = {d["image_id"][i]: i for i in range(len(d["image_id"]))}
+    g = got.to_pydict()
+    for k in range(len(got)):
+        i = by_id[g["image_id"][k]]
+        px = codecs.decode(d["bytes"][i], d["fmt"][i], d["w"][i], d["h"][i])
+        h, w, _ = px.shape
+        import numpy as np
+        yi = (np.arange(16) * h // 16).astype(int)
+        xi = (np.arange(16) * w // 16).astype(int)
+        thumb = px[yi][:, xi]
+        assert bytes(g["bytes"][k]) == codecs.encode_raw(thumb)
+        assert np.uint64(g["phash"][k]).astype(np.int64) == \
+            np.uint64(content_hash64(thumb.tobytes())).astype(np.int64)
