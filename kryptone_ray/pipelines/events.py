@@ -1521,3 +1521,77 @@ SELECT user_id,
 FROM w GROUP BY user_id HAVING max(t) > min(t)
 ORDER BY user_id
 """
+
+
+def q_events_pattern_matches(sf_dir: str,
+                             gap_minutes: int = 5) -> pd.DataFrame:
+    """SEQUENCE-PATTERN MATCHING (MATCH_RECOGNIZE-lite): per user,
+    count occurrences of the pattern "an ``error`` immediately followed
+    by a ``purchase`` within ``gap_minutes``" in event order (ts, then
+    event_id — the deterministic total order every window query here
+    uses). One vectorized shift comparison per block — the user's
+    events must be together and ordered, so the distributed shape is
+    the sessionization hash-partition; only (user, ts, type) moves."""
+
+    def matches(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        t = df["t"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        hit = same & (et[:-1] == "error") & (et[1:] == "purchase") & \
+            (t[1:] - t[:-1] <= gap_minutes * 60_000_000)
+        g = pd.Series(hit.astype("int64")).groupby(u[:-1]).sum()
+        g = g[g > 0]
+        return pd.DataFrame({"user_id": g.index.astype("int64"),
+                             "n_matches": g.to_numpy()})
+
+    def prep(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "t": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())})
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    def build():
+        return T(sf_dir, "events",
+                 columns=["user_id", "event_id", "event_type", "ts"]) \
+            .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        out = matches(build().to_pandas())
+    else:
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["user_id"]) \
+                .map_batches(matches, batch_format="pandas",
+                             batch_size=None).to_pandas()
+        g = parts.groupby("user_id", sort=False)["n_matches"].sum()
+        out = pd.DataFrame({"user_id": g.index.astype("int64"),
+                            "n_matches": g.to_numpy().astype("int64")})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+Q_EVENTS_PATTERN_SQL = """
+WITH w AS (SELECT user_id,
+                  event_type,
+                  lead(event_type) OVER u AS next_type,
+                  epoch_us(ts) AS t,
+                  lead(epoch_us(ts)) OVER u AS next_t
+           FROM events
+           WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, count(*) AS n_matches
+FROM w
+WHERE event_type = 'error' AND next_type = 'purchase'
+  AND next_t - t <= 5 * 60 * 1000000
+GROUP BY user_id ORDER BY user_id
+"""

@@ -363,3 +363,13 @@ def test_analytics_distributed_equals_driver(monkeypatch, qname):
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
     big = fn(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pattern_matches_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_pattern_matches(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_pattern_matches(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
