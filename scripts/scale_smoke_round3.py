@@ -60,12 +60,25 @@ def ensure_tables() -> None:
                    OUT / "orders.parquet", row_group_size=200_000)
 
     ev = pd.DataFrame({
-        "event_type": np.array(["view", "click", "buy", "scroll"])[
+        "event_id": np.arange(N_EVENTS, dtype=np.int64),
+        "event_type": np.array(["view", "click", "purchase", "error"])[
             rng.integers(0, 4, N_EVENTS)],
         "user_id": rng.integers(0, N_EVENTS // 20, N_EVENTS).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 30 * 24 * 3600_000_000, N_EVENTS),
+                          unit="us"),
+        "value": rng.integers(3, 32753, N_EVENTS) / 100.0,
     })
     pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
                    OUT / "events.parquet", row_group_size=200_000)
+
+    n_lines = N_ORDERS * 3
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, N_ORDERS, n_lines).astype(np.int64),
+        "l_extendedprice": rng.integers(100, 10_000_000, n_lines) / 100.0,
+    })
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   OUT / "lineitem.parquet", row_group_size=200_000)
 
     vocab = np.array(VOCAB)
     n_words = rng.integers(8, 40, size=N_DOCS)
@@ -105,7 +118,7 @@ def main() -> None:
     assert N_NAMES >= dedup.MINHASH_DISTRIBUTED_MIN_DOCS
 
     con = duckdb.connect()
-    for t in ("orders", "events", "documents", "customer"):
+    for t in ("orders", "events", "documents", "customer", "lineitem"):
         con.sql(f"CREATE VIEW {t} AS SELECT * "
                 f"FROM read_parquet('{OUT}/{t}.parquet')")
 
@@ -128,12 +141,24 @@ def main() -> None:
 
     run("orders_cdc_merge", relational.q_orders_cdc_merge,
         relational.Q_ORDERS_CDC_MERGE_SQL)
+    run("orders_scd2_census", relational.q_orders_scd2_census,
+        relational.Q_ORDERS_SCD2_SQL)
     run("orders_overlap_pairs", relational.q_orders_overlap_pairs,
         relational.Q_ORDERS_OVERLAP_PAIRS_SQL)
+    run("orders_lineitem_mergejoin", relational.q_orders_lineitem_mergejoin,
+        relational.Q_ORDERS_LINEITEM_MERGEJOIN_SQL)
     run("events_type_distinct_users", events.q_events_type_distinct_users,
         events.Q_EVENTS_TYPE_DISTINCT_USERS_SQL)
+    run("events_cohort_retention", events.q_events_cohort_retention,
+        events.Q_EVENTS_COHORT_SQL)
+    run("events_time_weighted_avg", events.q_events_time_weighted_avg,
+        events.Q_EVENTS_TWA_SQL)
+    run("events_pattern_matches", events.q_events_pattern_matches,
+        events.Q_EVENTS_PATTERN_SQL)
     run("shingle_dedup_census", textops.q_shingle_dedup_census,
         textops.Q_SHINGLE_DEDUP_SQL)
+    run("docs_id_encode", textops.q_docs_id_encode,
+        textops.Q_DOCS_ID_ENCODE_SQL)
 
     # edit-1: count recount by a DIFFERENT algorithm — for equal-length
     # digit names distance-1 pairs differ in exactly one digit, so group
