@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted_avg": events.q_events_time_weighted_avg,
         # MATCH_RECOGNIZE-lite adjacent-pair pattern within a gap
         "events_pattern_matches": events.q_events_pattern_matches,
+        # closed-form linear regression from associative sums
+        "events_value_regression": events.q_events_value_regression,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
@@ -344,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": events.Q_EVENTS_COHORT_SQL,
         "events_time_weighted_avg": events.Q_EVENTS_TWA_SQL,
         "events_pattern_matches": events.Q_EVENTS_PATTERN_SQL,
+        "events_value_regression": events.Q_EVENTS_REGRESSION_SQL,
         # manifest (partition, n_rows) of the resumable day-partitioned sink
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor

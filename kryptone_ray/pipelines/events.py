@@ -1595,3 +1595,59 @@ WHERE event_type = 'error' AND next_type = 'purchase'
   AND next_t - t <= 5 * 60 * 1000000
 GROUP BY user_id ORDER BY user_id
 """
+
+
+def q_events_value_regression(sf_dir: str) -> pd.DataFrame:
+    """LINEAR REGRESSION BY SUFFICIENT STATISTICS — the closed-form ML
+    aggregate: fit value ≈ a·hour_of_day + b per event type from the
+    five associative sums (n, Σx, Σy, Σxy, Σx²), which reduce per
+    batch and combine in one tiny shuffle exactly like any other
+    partial aggregate; no iteration, no driver data pass. All sums are
+    exact integers (hours 0-23, cents), the slope/intercept are ONE
+    float division each at the end — the SQL oracle builds the same
+    integer sums and divides identically, so the match is bit-exact
+    (int64 headroom: 23·32753·1e7 rows ≈ 7.5e12 « 2^63)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from kryptone_ray.pipelines.common import partial_sum_count_arrow
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.hour(t["ts"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "x": x, "y": y,
+                         "xy": pc.multiply(x, y), "xx": pc.multiply(x, x)})
+
+    ds = T(sf_dir, "events", columns=["event_type", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    s = partial_sum_count_arrow(
+        ds, keys=["event_type"],
+        sums={"sx": "x", "sy": "y", "sxy": "xy", "sxx": "xx"},
+        count_name="n")
+    n = s["n"].astype("int64")
+    num = n * s["sxy"].astype("int64") - s["sx"].astype("int64") * s["sy"].astype("int64")
+    den = n * s["sxx"].astype("int64") - s["sx"].astype("int64") ** 2
+    slope = num / den
+    intercept = (s["sy"].astype("int64") - slope * s["sx"].astype("int64")) / n
+    out = pd.DataFrame({"event_type": s["event_type"],
+                        "slope_cents_per_hour": slope.round(6),
+                        "intercept_cents": intercept.round(4),
+                        "n": n})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+Q_EVENTS_REGRESSION_SQL = """
+WITH p AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+                  CAST(round(value * 100) AS BIGINT) AS y
+           FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM p GROUP BY event_type)
+SELECT event_type,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           AS slope_cents_per_hour,
+       round((sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE))
+              * sx) / CAST(n AS DOUBLE), 4) AS intercept_cents,
+       n
+FROM s ORDER BY event_type
+"""
