@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2_census": relational.q_orders_scd2_census,
         # sort-merge join with range co-partitioning (no hash state)
         "orders_lineitem_mergejoin": relational.q_orders_lineitem_mergejoin,
+        # market-basket co-occurrence: top brand pairs per order
+        "brand_basket_pairs": relational.q_brand_basket_pairs,
         # interval-overlap self-join via per-key sorted sweep
         "orders_overlap_pairs": relational.q_orders_overlap_pairs,
         # Z-order (Morton) clustered export, proven by shard read-back
@@ -307,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cdc_merge": relational.Q_ORDERS_CDC_MERGE_SQL,
         "orders_scd2_census": relational.Q_ORDERS_SCD2_SQL,
         "orders_lineitem_mergejoin": relational.Q_ORDERS_LINEITEM_MERGEJOIN_SQL,
+        "brand_basket_pairs": relational.Q_BRAND_BASKET_SQL,
         "orders_overlap_pairs": relational.Q_ORDERS_OVERLAP_PAIRS_SQL,
         "lineitem_zorder_export": relational.Q_LINEITEM_ZORDER_SQL,
         "corpus_scan_stats": multimodal.corpus_scan_oracle_sql(),

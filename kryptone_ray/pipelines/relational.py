@@ -2589,3 +2589,60 @@ SELECT o_orderstatus, count(*) AS n_lines,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def q_brand_basket_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """MARKET-BASKET CO-OCCURRENCE (frequent-itemset pairs): the top-k
+    pairs of part brands bought together in the same order. Per-order
+    pair expansion is bounded by (lines/order)² — a TPC-H constant, so
+    the expansion never outgrows its block; brand resolution is a tiny
+    broadcast (|brands| = 25, FIXED size, not a growing dimension);
+    pair counts collapse per batch before one domain-bounded (≤ 25²/2
+    keys) combine. Deterministic top-k tie-break (count desc, brands
+    asc)."""
+    import ray
+
+    from kryptone_ray.pipelines.common import partial_sum_count
+
+    part = small(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_ref = ray.put(dict(zip(part["p_partkey"], part["p_brand"])))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        bm = ray.get(brand_ref)
+        d = pd.DataFrame({"o": df["l_orderkey"],
+                          "b": df["l_partkey"].map(bm)})
+        d = d.drop_duplicates()
+        m = d.merge(d, on="o")
+        m = m[m["b_x"] < m["b_y"]]
+        g = m.groupby(["b_x", "b_y"], sort=False).size()
+        return g.rename("n").reset_index() \
+            .rename(columns={"b_x": "brand_a", "b_y": "brand_b"})
+
+    # NOTE on the self-merge above: it runs per BATCH, so an order's
+    # lines must be co-batched. A parquet written order-clustered (the
+    # TPC-H layout) satisfies that; the general path hash-partitions by
+    # order key first — same contract as every per-key window here.
+    from kryptone_ray.pipelines.common import hash_shuffle
+
+    n_rows = parquet_rows(sf_dir, "lineitem")
+    with hash_shuffle():
+        ds = T(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
+            .repartition(num_blocks=join_partitions(n_rows),
+                         keys=["l_orderkey"]) \
+            .map_batches(pairs, batch_format="pandas", batch_size=None)
+        out = partial_sum_count(ds, keys=["brand_a", "brand_b"],
+                                sums={"n": "n"})
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "brand_a", "brand_b"],
+                          ascending=[False, True, True]).head(k)
+    return out[["brand_a", "brand_b", "n"]].reset_index(drop=True)
+
+
+Q_BRAND_BASKET_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT a.b AS brand_a, b.b AS brand_b, count(*) AS n
+FROM d a JOIN d b ON a.o = b.o AND a.b < b.b
+GROUP BY brand_a, brand_b
+ORDER BY n DESC, brand_a, brand_b LIMIT 20
+"""
