@@ -67,9 +67,11 @@ def test_kill_and_resume_tasks_mode(world, tmp_path, ray_session):
     golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
 
     run_dir = tmp_path / "run-tasks"
-    eng1 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="tasks")
+    eng1 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="tasks",
+                      small_window_local_max=0)
     eng1.run(seeds=seeds, checkpoint_every=2, max_batches=4)
-    eng2 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="tasks")
+    eng2 = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir), mode="tasks",
+                      small_window_local_max=0)
     eng2.resume(seeds)
     eng2.run(seeds=None)
     assert eng2.seen.sorted_urls() == sorted(golden.seen)

@@ -24,7 +24,8 @@ def small_world(tmp_path_factory):
     return spec, d
 
 
-def run_pair(spec, corpus_dir, tmp_path, crawl_spec, mode="local", seeds=None):
+def run_pair(spec, corpus_dir, tmp_path, crawl_spec, mode="local", seeds=None,
+             small_window_local_max=1024):
     seeds = seeds or seed_urls(spec, 12)
     sim = GoldenSimulator(page_outlinks(spec), crawl_spec)
     golden = sim.run(seeds)
@@ -36,6 +37,10 @@ def run_pair(spec, corpus_dir, tmp_path, crawl_spec, mode="local", seeds=None):
         run_dir=str(tmp_path / f"run-{mode}"),
         num_seen_shards=4,
         mode=mode,
+        # mode tests pass 0: test-scale windows are all below the
+        # small-window gate, which would silently reroute them to the
+        # local body and leave the distributed path untested
+        small_window_local_max=small_window_local_max,
     )
     eng.run(seeds=seeds)
     return golden, eng
@@ -108,14 +113,16 @@ def test_parity_crawl_to_exhaustion(small_world, tmp_path):
 def test_parity_ray_mode(small_world, tmp_path, ray_session):
     spec, d = small_world
     cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",), max_pages=120)
-    golden, eng = run_pair(spec, d, tmp_path, cs, mode="ray")
+    golden, eng = run_pair(spec, d, tmp_path, cs, mode="ray",
+                           small_window_local_max=0)
     assert_parity(golden, eng)
 
 
 def test_parity_tasks_mode(small_world, tmp_path, ray_session):
     spec, d = small_world
     cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",), max_pages=120)
-    golden, eng = run_pair(spec, d, tmp_path, cs, mode="tasks")
+    golden, eng = run_pair(spec, d, tmp_path, cs, mode="tasks",
+                           small_window_local_max=0)
     assert_parity(golden, eng)
 
 
@@ -130,7 +137,8 @@ def test_cuckoo_seen_mode_crawl(small_world, tmp_path, ray_session):
     seeds = seed_urls(spec, 12)
     golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
     eng = RayCrawler(str(d), page_outlinks(spec), cs, str(tmp_path / "ck"),
-                     mode="tasks", seen_mode="cuckoo")
+                     mode="tasks", seen_mode="cuckoo",
+                     small_window_local_max=0)
     eng.run(seeds=seeds)
     eng_visited = set(eng.visits_table()["url"].to_pylist())
     golden_visited = {u for _, u, _ in golden.visits}

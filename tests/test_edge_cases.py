@@ -77,10 +77,12 @@ def test_resume_with_sharded_scheduler(world, tmp_path, ray_session):
     golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
     run_dir = tmp_path / "rs"
     eng1 = RayCrawler(str(d / "corpus"), page_outlinks(spec), cs, str(run_dir),
-                      mode="tasks", scheduler_shards=2)
+                      mode="tasks", scheduler_shards=2,
+                      small_window_local_max=0)
     eng1.run(seeds=seeds, checkpoint_every=2, max_batches=2)
     eng2 = RayCrawler(str(d / "corpus"), page_outlinks(spec), cs, str(run_dir),
-                      mode="tasks", scheduler_shards=2)
+                      mode="tasks", scheduler_shards=2,
+                      small_window_local_max=0)
     eng2.resume(seeds)
     eng2.run(seeds=None)
     assert eng2.seen.sorted_urls() == sorted(golden.seen)

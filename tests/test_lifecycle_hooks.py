@@ -187,7 +187,8 @@ def test_hooks_run_in_task_mode(world, tmp_path, ray_session):
     cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",),
                    max_pages=48)
     eng = RayCrawler(str(d), page_outlinks(spec), cs, str(tmp_path / "run"),
-                     mode="tasks", page_actions=emit_items)
+                     mode="tasks", page_actions=emit_items,
+                     small_window_local_max=0)
     eng.run(seeds=seed_urls(spec, 6))
     items = sorted((tmp_path / "run" / "items").glob("batch-*.parquet"))
     assert items

@@ -119,6 +119,6 @@ def test_parity_with_robots_tasks_mode(tmp_path, ray_session):
     seeds = seed_urls(spec, 8)
     golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
     eng = RayCrawler(str(d), page_outlinks(spec), cs, str(tmp_path / "run"),
-                     mode="tasks")
+                     mode="tasks", small_window_local_max=0)
     eng.run(seeds=seeds)
     assert_parity(golden, eng)

@@ -72,7 +72,8 @@ def test_engine_parity_with_sharded_scheduler(ray_session, tmp_path):
     seeds = seed_urls(spec, 8)
     golden = GoldenSimulator(page_outlinks(spec), cs).run(seeds)
     eng = RayCrawler(str(d), page_outlinks(spec), cs, str(tmp_path / "run"),
-                     mode="tasks", scheduler_shards=3)
+                     mode="tasks", scheduler_shards=3,
+                     small_window_local_max=0)
     eng.run(seeds=seeds)
     assert_parity(golden, eng)
 
