@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percent_rank without sort/shuffle (bounded-domain histogram +
         # broadcast cumulative counts)
         "customer_percent_rank": relational.q_customer_percent_rank,
+        # dense_rank top-k with ties, no sort (bounded-domain hist)
+        "customer_dense_rank_top": relational.q_customer_dense_rank_top,
         # exact global ranks + ntile sharding without a global sort
         "orders_ntile_shards": relational.q_orders_ntile_shards,
         # TPC-H Q17 shape: correlated avg subquery as fact×self-aggregate
@@ -302,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "custkey_set_ops": relational.Q_CUSTKEY_SET_OPS_SQL,
         "orders_moving_avg": relational.Q_ORDERS_MOVING_AVG_SQL,
         "customer_percent_rank": relational.Q_CUSTOMER_PERCENT_RANK_SQL,
+        "customer_dense_rank_top": relational.Q_CUSTOMER_DENSE_RANK_SQL,
         "orders_ntile_shards": relational.Q_ORDERS_NTILE_SHARDS_SQL,
         "small_quantity_revenue": relational.Q_SMALL_QTY_REVENUE_SQL,
         "lineitem_unpivot": relational.Q_LINEITEM_UNPIVOT_SQL,

@@ -2646,3 +2646,87 @@ FROM d a JOIN d b ON a.o = b.o AND a.b < b.b
 GROUP BY brand_a, brand_b
 ORDER BY n DESC, brand_a, brand_b LIMIT 20
 """
+
+
+def q_customer_dense_rank_top(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """DENSE_RANK window + top-k WITH TIES (``dense_rank() OVER
+    (PARTITION BY segment ORDER BY acctbal DESC) <= k`` — the
+    "top-3 balances per segment, ties all qualify" query): computed
+    with NO sort and NO shuffle by the same bounded-cents-domain
+    histogram trick as q_customer_percent_rank — dense rank descending
+    = 1 + count of DISTINCT values above, read off a reversed cumsum of
+    the merged per-segment histograms; a map-only second pass emits the
+    qualifying rows. Output size is bounded by k × ties, not the table."""
+    import ray
+
+    OFF = 100_000
+    DOM = 1_100_000
+
+    def cents(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        c = pc.add(pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100)),
+                           pa.int64()), OFF)
+        return pa.table([t["c_custkey"], t["c_mktsegment"], c],
+                        names=["c_custkey", "c_mktsegment", "cents"])
+
+    def build():
+        return T(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment", "c_acctbal"]) \
+            .map_batches(cents, batch_format="pyarrow", batch_size=65536)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for seg, sub in df.groupby("c_mktsegment", sort=False):
+            h = np.bincount(sub["cents"].to_numpy(), minlength=DOM)
+            nz = np.flatnonzero(h)
+            out.append(pd.DataFrame({"seg": seg, "v": nz, "n": h[nz]}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = build().map_batches(hist_partial, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+    # per segment: dense rank (desc) of value v = 1 + #distinct values > v;
+    # the k-th distinct value from the top is the qualify threshold
+    thresholds = {}
+    for seg, sub in parts.groupby("seg", sort=False):
+        present = np.zeros(DOM, dtype=bool)
+        present[np.unique(sub["v"].to_numpy())] = True
+        vals = np.flatnonzero(present)
+        thresholds[seg] = int(vals[max(0, len(vals) - k)])
+    ref = ray.put(thresholds)
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        th = ray.get(ref)
+        keep = df["cents"].to_numpy() >= \
+            df["c_mktsegment"].map(th).to_numpy()
+        return df[keep]
+
+    out = build().map_batches(qualify, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    # dense rank assignment for the qualifying rows (tiny): rank among
+    # the distinct qualifying values per segment, descending
+    rows = []
+    for seg, sub in out.groupby("c_mktsegment", sort=False):
+        vals = np.sort(sub["cents"].unique())[::-1]
+        rank_of = {int(v): i + 1 for i, v in enumerate(vals)}
+        rows.append(pd.DataFrame({
+            "c_custkey": sub["c_custkey"],
+            "c_mktsegment": seg,
+            "c_acctbal": (sub["cents"] - 100_000) / 100.0,
+            "rnk": sub["cents"].map(rank_of).astype("int64")}))
+    res = pd.concat(rows, ignore_index=True)
+    return res.sort_values(["c_mktsegment", "rnk", "c_custkey"]) \
+        .reset_index(drop=True)
+
+
+Q_CUSTOMER_DENSE_RANK_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal, rnk
+FROM (SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC) AS BIGINT)
+                 AS rnk
+      FROM customer)
+WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk, c_custkey
+"""
