@@ -333,6 +333,7 @@ class RayCrawler:
                 delay_fn=delay_fn,
             )
         self._reader: CorpusReader | None = None
+        self._error_counts: dict[str, int] = {}  # per-visit-file cache
         self._stage_task = None
         self._cfg_refs = None
         self.vcfg: ValidationConfig | None = None
@@ -779,14 +780,21 @@ class RayCrawler:
 
     def count_errors(self) -> int:
         """Fetch misses; in ray/tasks mode visit logs are written in-task,
-        so the count is derived from the logs on demand."""
+        so the count is derived from the logs on demand. Visit files are
+        append-only and immutable once written, so each file is counted
+        ONCE and cached — without this a long politeness run (hundreds
+        of window files) pays an O(files) re-read at EVERY checkpoint,
+        quadratic over the run."""
         if self.mode == "local":
             return self.errors
-        n = 0
         for f in (self.run_dir / "visits").glob("batch-*.parquet"):
+            key = f.name
+            if key in self._error_counts:
+                continue
             t = pq.read_table(f, columns=["status"])
-            n += len(t) - t["status"].to_pandas().eq("ok").sum()
-        return int(n)
+            self._error_counts[key] = int(
+                len(t) - t["status"].to_pandas().eq("ok").sum())
+        return int(sum(self._error_counts.values()))
 
     def metrics(self) -> dict:
         return {
