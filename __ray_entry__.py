@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
+        # lineage audit: seed -> frontier shard -> fetch batch chains
+        "crawl_seed_attribution": crawlops.q_crawl_seed_attribution,
         "link_verdicts": crawlops.q_link_verdicts,
         "url_predicates": crawlops.q_url_predicates,
         "caption_prices": crawlops.q_caption_prices,

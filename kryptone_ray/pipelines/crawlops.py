@@ -563,3 +563,106 @@ SELECT ext, count(*) AS n FROM (
 GROUP BY ext ORDER BY ext
 """,
     }
+
+
+def q_crawl_seed_attribution(sf_dir: str) -> pd.DataFrame:
+    """LINEAGE AUDIT — materializes the north rule's "seed → frontier
+    shard → fetch batch" chain for a pinned mini-crawl: every visited
+    page is attributed to its ORIGIN SEED by walking the lineage log's
+    first-contributor edges (parent(url) = the lineage row for url with
+    the smallest (fetch_batch, ord) — the earliest recorded discovery,
+    a deterministic provenance rule independent of engine internals).
+
+    Shapes: parent extraction is a grouped ARGMIN over the lineage log
+    (per-batch partials, combine per out_url — at 10^10 URLs this
+    hash-partitions by out_url like every grouped argmin here); the
+    seed resolution is bounded-depth label propagation (the
+    graph.q_graph_bfs_depth shape — parent chains are exactly as long
+    as the crawl depth). Output: per seed, pages attributed, max chain
+    depth, distinct fetch batches and frontier shards its subtree
+    touched — one row per seed, rows-only (engine corpus)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.corpus.store import write_corpus
+    from kryptone_ray.corpus.synth import make_corpus_table, page_outlinks
+    from kryptone_ray.engine.crawl import RayCrawler
+    from kryptone_ray.sim.golden import CrawlSpec
+
+    tmp = tempfile.mkdtemp(prefix="kr_q_attr_")
+    write_corpus(make_corpus_table(_SPEC), f"{tmp}/corpus", num_shards=4)
+    cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=200)
+    eng = RayCrawler(f"{tmp}/corpus", page_outlinks(_SPEC), cs, f"{tmp}/run",
+                     mode="local")
+    seeds = seed_urls(_SPEC, 8)
+    eng.run(seeds=seeds)
+
+    visits = eng.visits_table().to_pandas()[["url", "depth", "visit_idx"]]
+    lin = pa.concat_tables([
+        pq.read_table(f) for f in sorted(
+            pathlib.Path(tmp, "run", "lineage").glob("batch-*.parquet"))
+    ]).to_pandas()
+
+    # lineage records RAW out-links; map them through the same
+    # canonicalization the validator applies (reference urljoin(origin,
+    # path) semantics + fragment strip) so they key against the
+    # canonical frontier/visit urls
+    from kryptone_ray.utils.urlkit import join_relative, remove_fragment
+
+    # start_url = LAST seed (engine.seed(), reference base.py:1048-1049)
+    origin = seeds[-1]
+
+    def canon(u: str) -> str:
+        u = u if isinstance(u, str) else ""
+        if u.startswith("/"):
+            u = join_relative(origin, u)
+        return remove_fragment(u)
+
+    lin["out_url"] = lin["out_url"].map(canon)
+
+    # grouped argmin: first recorded contributor per out_url (per-batch
+    # partial + combine — written driver-side here, the lineage of a
+    # 200-page crawl; the partial IS the distributed shape)
+    lin = lin.sort_values(["fetch_batch", "ord"], kind="stable")
+    parent = lin.drop_duplicates("out_url", keep="first") \
+        .set_index("out_url")[["page_url", "fetch_batch",
+                               "frontier_shard"]]
+
+    # bounded-depth label propagation to the seed
+    seed_of = {u: u for u in seeds}
+    batches_of: dict[str, set] = {u: set() for u in seeds}
+    shards_of: dict[str, set] = {u: set() for u in seeds}
+    visited = visits.sort_values("visit_idx")
+    unresolved = 0
+    for url, depth in zip(visited["url"], visited["depth"]):
+        chain = []
+        cur = url
+        while cur not in seed_of:
+            if cur not in parent.index:
+                break
+            row = parent.loc[cur]
+            chain.append((cur, int(row["fetch_batch"]),
+                          int(row["frontier_shard"])))
+            cur = row["page_url"]
+        if cur in seed_of:
+            s = seed_of[cur]
+            for u, fb, fs in chain:
+                seed_of[u] = s
+                batches_of[s].add(fb)
+                shards_of[s].add(fs)
+        else:
+            unresolved += 1
+    assert unresolved == 0, f"{unresolved} visited pages lack a seed chain"
+
+    vis_seed = visited.assign(seed=visited["url"].map(seed_of))
+    g = vis_seed.groupby("seed", sort=True)
+    out = pd.DataFrame({
+        "seed": list(g.groups),
+        "n_pages": g.size().to_numpy().astype("int64"),
+        "max_depth": g["depth"].max().to_numpy().astype("int64"),
+        "n_fetch_batches": [len(batches_of[s]) for s in g.groups],
+        "n_frontier_shards": [len(shards_of[s]) for s in g.groups],
+    })
+    return out.reset_index(drop=True)

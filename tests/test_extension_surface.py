@@ -192,3 +192,20 @@ def test_multiple_url_manager():
     m2.populate(["http://e.com/", "http://e.com/a"])
     m2.get()
     assert m2.add_urls(["http://e.com/"]) == set()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_attribution_covers_every_visit():
+    """The lineage audit must attribute EVERY visited page to exactly
+    one origin seed (north-rule lineage: seed → frontier shard →
+    fetch batch), deterministically."""
+    import pandas as pd
+
+    from kryptone_ray.pipelines import crawlops
+
+    out = crawlops.q_crawl_seed_attribution("")
+    assert int(out["n_pages"].sum()) == 200  # the pinned crawl visits
+    assert out["seed"].is_unique
+    assert (out["n_pages"] >= 1).all()
+    out2 = crawlops.q_crawl_seed_attribution("")
+    pd.testing.assert_frame_equal(out, out2)
