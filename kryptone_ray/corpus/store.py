@@ -299,37 +299,38 @@ class CorpusDatasource:
 
     def read_tasks(self):
         """One zero-arg callable per shard returning its pa.Table."""
-        want_bytes = "bytes" in self.columns
         cols = self.columns
+        return [(lambda p=p: _read_corpus_shard(str(p), cols))
+                for p in self.paths]
 
-        def make(path: pathlib.Path):
-            def read_shard() -> pa.Table:
-                pcols = [c for c in cols if c != "bytes"]
-                if want_bytes:
-                    if path.with_suffix(".blob").exists():
-                        pcols = pcols + ["bytes_off", "bytes_len"]
-                    elif "bytes" in pq.ParquetFile(path).schema_arrow.names:
-                        pcols = pcols + ["bytes"]
-                    else:
-                        raise FileNotFoundError(
-                            f"single-copy shard {path} is missing its "
-                            ".blob sidecar")
-                t = pq.read_table(path, columns=pcols)
-                if want_bytes and "bytes_off" in t.schema.names:
-                    blob = np.memmap(path.with_suffix(".blob"),
-                                     dtype=np.uint8, mode="r")
-                    offs = t["bytes_off"].to_numpy()
-                    lens = t["bytes_len"].to_numpy()
-                    payload = pa.array(
-                        [blob[o:o + l].tobytes()
-                         for o, l in zip(offs, lens)], type=pa.binary())
-                    t = t.drop_columns(["bytes_off", "bytes_len"])
-                    t = t.add_column(min(1, t.num_columns), "bytes", payload)
-                return t.select(cols)
 
-            return read_shard
-
-        return [make(p) for p in self.paths]
+def _read_corpus_shard(path_s: str, cols: list[str]) -> pa.Table:
+    """Read one shard with column pruning; when ``bytes`` is requested
+    on a sidecar shard, mmap-slice the payloads (ascending offsets —
+    one sequential pass) and attach them as a binary column."""
+    path = pathlib.Path(path_s)
+    want_bytes = "bytes" in cols
+    pcols = [c for c in cols if c != "bytes"]
+    if want_bytes:
+        if path.with_suffix(".blob").exists():
+            pcols = pcols + ["bytes_off", "bytes_len"]
+        elif "bytes" in pq.ParquetFile(path).schema_arrow.names:
+            pcols = pcols + ["bytes"]
+        else:
+            raise FileNotFoundError(
+                f"single-copy shard {path} is missing its .blob sidecar")
+    t = pq.read_table(path, columns=pcols)
+    if want_bytes and "bytes_off" in t.schema.names:
+        blob = np.memmap(path.with_suffix(".blob"), dtype=np.uint8,
+                         mode="r")
+        offs = t["bytes_off"].to_numpy()
+        lens = t["bytes_len"].to_numpy()
+        payload = pa.array(
+            [blob[o:o + l].tobytes() for o, l in zip(offs, lens)],
+            type=pa.binary())
+        t = t.drop_columns(["bytes_off", "bytes_len"])
+        t = t.add_column(min(1, t.num_columns), "bytes", payload)
+    return t.select(cols)
 
 
 def read_corpus(corpus_dir: str | os.PathLike,
@@ -342,16 +343,16 @@ def read_corpus(corpus_dir: str | os.PathLike,
     import ray.data as rd
 
     src = CorpusDatasource(corpus_dir, columns=columns)
-    tasks = src.read_tasks()
+    # paths + schema are resolved ONCE on the driver; each task receives
+    # its shard path strings directly (no per-task dir glob / footer
+    # re-read — O(S) metadata work total, not O(S²))
+    paths = [str(p) for p in src.paths]
+    cols = src.columns
 
-    ds = rd.from_items(list(range(len(tasks))),
-                       override_num_blocks=len(tasks))
-    cdir, cols = str(corpus_dir), src.columns
+    ds = rd.from_items(paths, override_num_blocks=len(paths))
 
     def load(batch: pa.Table) -> pa.Table:
-        src = CorpusDatasource(cdir, columns=cols)
-        tasks = src.read_tasks()
-        out = [tasks[int(i)]() for i in batch["item"].to_pylist()]
-        return pa.concat_tables(out)
+        return pa.concat_tables(
+            [_read_corpus_shard(p, cols) for p in batch["item"].to_pylist()])
 
     return ds.map_batches(load, batch_format="pyarrow", batch_size=None)

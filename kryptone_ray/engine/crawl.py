@@ -772,6 +772,9 @@ class RayCrawler:
             for f in (self.run_dir / kind).glob("batch-*.parquet"):
                 if int(f.stem.split("-")[1]) >= ckpt_batches:
                     f.unlink()
+        # the per-file error-count cache may hold entries for the files
+        # just deleted — drop it wholesale (it lazily recounts survivors)
+        self._error_counts.clear()
 
     # --- outputs ------------------------------------------------------
     def visits_table(self) -> pa.Table:

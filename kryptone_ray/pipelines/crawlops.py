@@ -654,7 +654,11 @@ def q_crawl_seed_attribution(sf_dir: str) -> pd.DataFrame:
                 shards_of[s].add(fs)
         else:
             unresolved += 1
-    assert unresolved == 0, f"{unresolved} visited pages lack a seed chain"
+    if unresolved:
+        # a real error, not a debug check — python -O must not turn a
+        # broken provenance chain into a silently under-counted census
+        raise RuntimeError(
+            f"{unresolved} visited pages lack a seed chain")
 
     vis_seed = visited.assign(seed=visited["url"].map(seed_of))
     g = vis_seed.groupby("seed", sort=True)

@@ -1016,7 +1016,10 @@ def q_corpus_thumbs_roundtrip(sf_dir: str) -> pd.DataFrame:
                                            write_corpus_distributed)
 
     src = _scan_corpus_dir()
-    out = pathlib.Path("/tmp/kr_thumb_corpus_v1")
+    # cache key carries every input the transform depends on — a dims or
+    # source change regenerates instead of serving a stale corpus
+    out = pathlib.Path(
+        f"/tmp/kr_thumb_corpus_{_SCAN_SEED}_{_SCAN_ROWS}_16x16")
     marker = out / "_DONE"
     if not marker.exists():
         shutil.rmtree(out, ignore_errors=True)

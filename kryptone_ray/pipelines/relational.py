@@ -2121,7 +2121,11 @@ def _morton_spread_sql(col: str) -> str:
     return v
 
 
-def q_lineitem_zorder_export(sf_dir: str, shard_bits: int = 4) -> pd.DataFrame:
+ZORDER_SHARD_BITS = 4  # shared by the pipeline, its SQL oracle and tests
+
+
+def q_lineitem_zorder_export(sf_dir: str,
+                             shard_bits: int = ZORDER_SHARD_BITS) -> pd.DataFrame:
     """Z-ORDER (Morton) CLUSTERED EXPORT — multi-dimensional data
     clustering for range-scan locality (the Delta/Iceberg ``ZORDER BY``
     operator): interleave the bits of ``(l_partkey, l_suppkey)`` (16
@@ -2213,7 +2217,7 @@ n16 AS (
   FROM lineitem, mm),
 z AS (
   SELECT ({_ZP} | ({_ZS} << 1)) AS z, cents FROM n16)
-SELECT CAST(z >> 28 AS BIGINT) AS shard, count(*) AS n_rows,
+SELECT CAST(z >> {32 - ZORDER_SHARD_BITS} AS BIGINT) AS shard, count(*) AS n_rows,
        CAST(sum(z) AS BIGINT) AS sum_z, sum(cents) / 100.0 AS total
 FROM z GROUP BY shard ORDER BY shard
 """
@@ -2618,20 +2622,28 @@ def q_brand_basket_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return g.rename("n").reset_index() \
             .rename(columns={"b_x": "brand_a", "b_y": "brand_b"})
 
-    # NOTE on the self-merge above: it runs per BATCH, so an order's
-    # lines must be co-batched. A parquet written order-clustered (the
-    # TPC-H layout) satisfies that; the general path hash-partitions by
-    # order key first — same contract as every per-key window here.
-    from kryptone_ray.pipelines.common import hash_shuffle
-
+    # NOTE on the pairs() self-merge: it runs per BATCH, so an order's
+    # lines must be co-located. Below the gate the whole (2-column)
+    # projection combines on the driver — trivially co-located; above
+    # it the general path hash-partitions by order key first, the same
+    # contract as every per-key window here.
     n_rows = parquet_rows(sf_dir, "lineitem")
-    with hash_shuffle():
-        ds = T(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"]) \
-            .repartition(num_blocks=join_partitions(n_rows),
-                         keys=["l_orderkey"]) \
-            .map_batches(pairs, batch_format="pandas", batch_size=None)
-        out = partial_sum_count(ds, keys=["brand_a", "brand_b"],
-                                sums={"n": "n"})
+    if n_rows < DISTRIBUTED_JOIN_MIN_ROWS:
+        df = T(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey"]).to_pandas()
+        out = pairs(df).groupby(["brand_a", "brand_b"],
+                                as_index=False)["n"].sum()
+    else:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        with hash_shuffle():
+            ds = T(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_partkey"]) \
+                .repartition(num_blocks=join_partitions(n_rows),
+                             keys=["l_orderkey"]) \
+                .map_batches(pairs, batch_format="pandas", batch_size=None)
+            out = partial_sum_count(ds, keys=["brand_a", "brand_b"],
+                                    sums={"n": "n"})
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["n", "brand_a", "brand_b"],
                           ascending=[False, True, True]).head(k)

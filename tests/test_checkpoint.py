@@ -146,3 +146,28 @@ def test_overlapped_checkpoint_captures_boundary_state(world, tmp_path):
     assert manifest["pages_visited"] > pages_at_boundary
     assert not (run_dir / "checkpoint.tmp").exists()
     assert not (run_dir / "checkpoint.old").exists()
+
+
+def test_error_cache_invalidated_on_resume(world, tmp_path, ray_session):
+    """count_errors() caches per-visit-file counts; resume() deletes
+    post-checkpoint files, so the cache must be dropped — a stale cache
+    would keep counting deleted files forever (same-instance resume)."""
+    spec, d = world
+    cs = CrawlSpec(batch_size=16, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=96)
+    seeds = seed_urls(spec, 6)
+    run_dir = tmp_path / "run-errcache"
+    eng = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir),
+                     mode="tasks", small_window_local_max=0)
+    eng.run(seeds=seeds, checkpoint_every=2, max_batches=4)
+    eng.count_errors()  # populate the cache over batches 0..3
+    cached = set(eng._error_counts)
+    assert cached
+    eng.resume(seeds)   # drops post-checkpoint logs AND the cache
+    assert eng._error_counts == {}
+    eng.run(seeds=None)
+    # cached total must equal a from-scratch recount over surviving files
+    total = eng.count_errors()
+    fresh = RayCrawler(str(d), page_outlinks(spec), cs, str(run_dir),
+                       mode="tasks", small_window_local_max=0)
+    assert total == fresh.count_errors()

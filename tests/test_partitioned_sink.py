@@ -71,7 +71,7 @@ def test_zorder_export_clusters_and_seals():
     tag = hashlib.sha1(sf.encode()).hexdigest()[:10]
     dirs = sorted(glob.glob(f"/tmp/kr_zorder_{tag}/shard=*"),
                   key=lambda s: int(s.split("=")[1]))
-    assert len(dirs) == 16
+    assert len(dirs) == 2 ** relational.ZORDER_SHARD_BITS
     prev_max = -1
     for d in dirs:
         assert (pathlib.Path(d) / "_SUCCESS").exists()

@@ -227,7 +227,8 @@ def test_thumb_corpus_roundtrip_takes_and_hashes():
     spec = CorpusSpec(n_rows=mm._SCAN_ROWS, n_hosts=8, seed=mm._SCAN_SEED)
     src = make_corpus_table(spec)
     ids = src["image_id"].to_pylist()[:: mm._SCAN_ROWS // 7]
-    r = CorpusReader("/tmp/kr_thumb_corpus_v1")
+    r = CorpusReader(
+        f"/tmp/kr_thumb_corpus_{mm._SCAN_SEED}_{mm._SCAN_ROWS}_16x16")
     got = r.take_urls(ids)
     assert len(got) == len(ids)
     d = src.to_pydict()
