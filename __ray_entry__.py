@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pattern_matches": events.q_events_pattern_matches,
         # closed-form linear regression from associative sums
         "events_value_regression": events.q_events_value_regression,
+        # windowed dedup: first event per (user, tumbling hour)
+        "events_windowed_dedup": events.q_events_windowed_dedup,
         # approximate by design — pytest-verified vs exact, rows-only
         "value_quantiles_sketch": events.q_value_quantiles_sketch,
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
@@ -355,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_weighted_avg": events.Q_EVENTS_TWA_SQL,
         "events_pattern_matches": events.Q_EVENTS_PATTERN_SQL,
         "events_value_regression": events.Q_EVENTS_REGRESSION_SQL,
+        "events_windowed_dedup": events.Q_EVENTS_WINDOWED_DEDUP_SQL,
         # manifest (partition, n_rows) of the resumable day-partitioned sink
         "events_partitioned_sink": events.Q_EVENTS_PARTITIONED_SINK_SQL,
         # generated from the same marker table as the predictor

@@ -1651,3 +1651,55 @@ SELECT event_type,
        n
 FROM s ORDER BY event_type
 """
+
+
+def q_events_windowed_dedup(sf_dir: str) -> pd.DataFrame:
+    """WINDOWED DEDUP — keep the FIRST event per (user, tumbling hour):
+    the streaming-ingest classic (at-least-once feeds dedup on a key ×
+    window). First = min (ts, event_id), an associative argmin, so
+    per-batch partials collapse to one row per (user, window) per batch
+    and the combine is exact under any partitioning — no ordering
+    barrier, no shuffle beyond the pair-bounded partials. Output: per
+    window, rows kept vs rows seen (the dedup ratio a pipeline
+    monitors)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        tus = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "w": hour, "t": tus,
+                      "eid": t["event_id"]}) \
+            .group_by(["user_id", "w"], use_threads=False) \
+            .aggregate([("t", "min"), ("eid", "min"), ("t", "count")])
+        return g.rename_columns(["user_id", "w", "t_min", "eid_min", "n"])
+
+    parts = T(sf_dir, "events", columns=["user_id", "event_id", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=65536).to_pandas()
+    # combine: min over partials per (user, window); n sums. (eid_min is
+    # the deterministic tie-break for equal timestamps; with both mins
+    # taken independently the kept row is min-ts then min-eid — matching
+    # the SQL row_number ORDER BY ts, event_id.)
+    g = parts.groupby(["user_id", "w"], sort=False)
+    per_key = pd.DataFrame({"n": g["n"].sum()}).reset_index()
+    out = per_key.groupby("w", sort=True).agg(
+        n_kept=("n", "size"), n_seen=("n", "sum")).reset_index()
+    out = out.rename(columns={"w": "window_start"})
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_seen"] = out["n_seen"].astype("int64")
+    return out
+
+
+Q_EVENTS_WINDOWED_DEDUP_SQL = """
+WITH r AS (SELECT user_id, date_trunc('hour', ts) AS w,
+                  row_number() OVER (PARTITION BY user_id,
+                                     date_trunc('hour', ts)
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT w AS window_start,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) AS n_seen
+FROM r GROUP BY w ORDER BY w
+"""
