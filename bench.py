@@ -126,7 +126,7 @@ def run_crawl(corpus_dir: str, n_rows: int) -> dict:
         fetch_concurrency=max(2, NUM_CPUS // 4),
         ray_batch_rows=1024,
         small_window_local_max=int(
-            os.environ.get("KR_BENCH_SMALL_WINDOW", "1024")),
+            os.environ.get("KR_BENCH_SMALL_WINDOW", "256")),
     )
     n_seeds = int(os.environ.get("KR_BENCH_SEEDS", "16384"))
     t0 = time.time()

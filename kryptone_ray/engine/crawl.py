@@ -252,7 +252,7 @@ class RayCrawler:
         after_fail=None,
         after_data_save=None,
         scheduler_shards: int = 0,
-        small_window_local_max: int = 1024,
+        small_window_local_max: int = 256,
     ):
         self.corpus_dir = str(corpus_dir)
         self.outlinks_fn = outlinks_fn
@@ -261,17 +261,19 @@ class RayCrawler:
         self.mode = mode
         # SMALL-WINDOW GATE (the engine twin of the query-side
         # small-input gates): a politeness-collapsed window (at most one
-        # page per ready host, so bounded by the host count) pays
-        # ~100 ms+ of task dispatch + shard-flush barriers for a few ms
-        # of work; measured on the bench corpus, driver-local execution
-        # wins for every window up to ~1k pages (60k-page politeness-on
-        # crawl: 423 -> ~600 pages/s). Windows at or below this page
-        # count therefore run the SAME stage body driver-side. Each
-        # window's outcome is sim-equal on either path (both modes pass
-        # golden parity end to end), so mixing paths never changes
-        # visit order or the seen set. Bulk windows (politeness-off,
-        # 65536 pages) stay distributed — at multi-node scale the
-        # threshold is the point where window work ≈ dispatch cost.
+        # page per ready host) pays ~100 ms+ of task dispatch +
+        # shard-flush barriers for a few ms of work. Windows at or
+        # below this page count run the SAME stage body driver-side.
+        # Threshold measured on the bench corpus (60k-page politeness
+        # crawl): ≤256-page windows always win locally; 256-512-page
+        # windows carry enough decode+expand work to prefer the task
+        # path (gate 256 best-of: 95.5 s vs 121.9 s all-local vs
+        # 141.8 s pre-gate = 423→630 pages/s). Each window's outcome is
+        # sim-equal on either path (golden parity green on all modes),
+        # so mixing paths never changes visit order or the seen set.
+        # Bulk windows (politeness-off, 65536 pages) stay distributed —
+        # at multi-node scale the threshold is where window work ≈
+        # dispatch cost.
         self.small_window_local_max = small_window_local_max
         self.num_seen_shards = num_seen_shards
         self.fetch_concurrency = fetch_concurrency
