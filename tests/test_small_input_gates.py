@@ -373,3 +373,13 @@ def test_pattern_matches_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
     big = events.q_events_pattern_matches(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_basket_pairs_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import relational
+
+    small = _df(relational.q_brand_basket_pairs(SF))
+    monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
+    big = _df(relational.q_brand_basket_pairs(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
