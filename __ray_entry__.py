@@ -82,20 +82,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
-        # relational (SURVEY §2 filters/aggregates/joins/top-k/distinct)
+        # ---- driver window (first 50 entries) ------------------------
+        # The driver's CORRECTNESS check evaluates only the FIRST 50
+        # entries of this dict, so the ordering rotates per round: round
+        # 4 fronts the 43 entries that have never received a driver-side
+        # row (rounds 1-3 windows covered the rest), plus 7 regression
+        # sentinels for code touched this round (minhash/ngram/knn/
+        # sessions/q5/bucketed_join) and q1 as the stable canary.
+        "pii_redaction": pii.q_pii_redaction,
+        "shingle_dedup_census": textops.q_shingle_dedup_census,
+        "docs_id_encode": textops.q_docs_id_encode,
+        "neardup_clusters": dedup.q_neardup_clusters,
+        "name_edit1_pairs": dedup.q_name_edit1_pairs,
+        "knn_lsh": ann.q_knn_lsh,
+        "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
+        "hll_distinct_users": events.q_hll_distinct_users,
+        "events_value_band_join": events.q_events_value_band_join,
+        "events_gap_to_next": events.q_events_gap_to_next,
+        "events_pivot_daily": events.q_events_pivot_daily,
+        "events_hourly_full_outer": events.q_events_hourly_full_outer,
+        "events_argmax_user": events.q_events_argmax_user,
+        "events_value_stddev": events.q_events_value_stddev,
+        "events_cumulative_users": events.q_events_cumulative_users,
+        "events_type_distinct_users": events.q_events_type_distinct_users,
+        "events_value_median": events.q_events_value_median,
+        "events_funnel": events.q_events_funnel,
+        "events_cohort_retention": events.q_events_cohort_retention,
+        "events_time_weighted_avg": events.q_events_time_weighted_avg,
+        "events_pattern_matches": events.q_events_pattern_matches,
+        "events_value_regression": events.q_events_value_regression,
+        "events_windowed_dedup": events.q_events_windowed_dedup,
+        "value_quantiles_sketch": events.q_value_quantiles_sketch,
+        "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
+        "events_partitioned_sink": events.q_events_partitioned_sink,
+        "events_late_census": events.q_events_late_census,
+        "image_neardup_clusters": multimodal.q_image_neardup_clusters,
+        "corpus_scan_stats": multimodal.q_corpus_scan_stats,
+        "corpus_thumbs_roundtrip": multimodal.q_corpus_thumbs_roundtrip,
+        "image_exact_dups": multimodal.q_image_exact_dups,
+        "image_size_stats": multimodal.q_image_size_stats,
+        "image_decode_quarantine": multimodal.q_image_decode_quarantine,
+        "caption_image_mismatch": multimodal.q_caption_image_mismatch,
+        "image_wds_export": multimodal.q_image_wds_export,
+        "image_knn": multimodal.q_image_knn,
+        "graph_degree_stats": graph.q_graph_degree_stats,
+        "graph_pagerank": graph.q_graph_pagerank,
+        "graph_components": graph.q_graph_components,
+        "graph_bfs_depth": graph.q_graph_bfs_depth,
+        "graph_triangles": graph.q_graph_triangles,
+        "crawl_seed_attribution": crawlops.q_crawl_seed_attribution,
+        "page_audits": crawlops.q_page_audits,
+        # round-4 regression sentinels (code touched this round)
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
+        "knn_bruteforce": ann.q_knn_bruteforce,
+        "events_sessions": events.q_events_sessions,
+        "q5_nation_volume": relational.q5_nation_volume,
+        "bucketed_join": relational.q_bucketed_join,
         "q1_pricing_summary": relational.q1_pricing_summary,
+        # ---- end driver window ---------------------------------------
+        # relational (SURVEY §2 filters/aggregates/joins/top-k/distinct)
         "filter_project": relational.q_filter_project,
         "topk_orders": relational.q_topk_orders,
         "distinct_segments": relational.q_distinct_segments,
         "count_by_priority": relational.q_count_by_priority,
         "customer_order_stats": relational.q_customer_order_stats,
         "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_nation_volume": relational.q5_nation_volume,
         # TPC-H Q7 shape: nation-pair volume by year (multi-join)
         "q7_nation_pair_volume": relational.q7_nation_pair_volume,
         # GROUP BY CUBE: all four grouping sets from one scan
         "orders_cube": relational.q_orders_cube,
-        "bucketed_join": relational.q_bucketed_join,
         "part_type_stats": relational.q_part_type_stats,
         "orders_monthly": relational.q_orders_monthly,
         "customer_balance_stats": relational.q_customer_balance_stats,
@@ -157,109 +213,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reproducible hash-shuffle shard export, proven by read-back
         "training_shard_export": textops.q_training_shard_export,
         # PII scrub (deterministic doc_id-derived injection, see pii.py)
-        "pii_redaction": pii.q_pii_redaction,
         # exact k-gram substring-dedup census (128-bit hashed shingles)
-        "shingle_dedup_census": textops.q_shingle_dedup_census,
         # tokenizer fit (rank vocab) + id-encode, per-doc id summary
-        "docs_id_encode": textops.q_docs_id_encode,
         # dedup family (training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "simhash_clusters": dedup.q_simhash_clusters,
-        "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
         "embedding_near_dups": dedup.q_embedding_near_dups,
         "embedding_near_dups_lsh": dedup.q_embedding_near_dups_lsh,
-        "neardup_clusters": dedup.q_neardup_clusters,
         # string-similarity join (edit distance 1, deletion neighborhoods)
-        "name_edit1_pairs": dedup.q_name_edit1_pairs,
         # similarity search
-        "knn_bruteforce": ann.q_knn_bruteforce,
         # LSH sibling of knn_ivf — rows-only (recall<1 by design)
-        "knn_lsh": ann.q_knn_lsh,
         "knn_ivf": ann.q_knn_ivf,
         # events / stream-shaped
         "events_by_type": events.q_events_by_type,
         "events_tumbling_1h": events.q_events_tumbling_1h,
-        "events_sessions": events.q_events_sessions,
         "events_topk_users": events.q_events_topk_users,
         "events_json_props": events.q_events_json_props,
         "events_sliding_1h_30m": events.q_events_sliding_1h_30m,
         "events_asof_orders": events.q_events_asof_orders,
-        "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
-        "hll_distinct_users": events.q_hll_distinct_users,
-        "events_value_band_join": events.q_events_value_band_join,
-        "events_gap_to_next": events.q_events_gap_to_next,
-        "events_pivot_daily": events.q_events_pivot_daily,
         # FULL OUTER JOIN of two grouped aggregates (coalesced nulls)
-        "events_hourly_full_outer": events.q_events_hourly_full_outer,
         # arg-max reduce (max_by with deterministic total tie-break)
-        "events_argmax_user": events.q_events_argmax_user,
         # exact grouped stddev from integer partials (HUGEINT-safe combine)
-        "events_value_stddev": events.q_events_value_stddev,
         # running COUNT(DISTINCT) via per-user first-touch min + cumsum
-        "events_cumulative_users": events.q_events_cumulative_users,
         # exact grouped COUNT(DISTINCT) via two-level pair partials
-        "events_type_distinct_users": events.q_events_type_distinct_users,
         # exact grouped median/mode from a bounded cents histogram
-        "events_value_median": events.q_events_value_median,
         # product-analytics ops: greedy funnel, cohort retention,
         # time-weighted average (step-function semantics)
-        "events_funnel": events.q_events_funnel,
-        "events_cohort_retention": events.q_events_cohort_retention,
-        "events_time_weighted_avg": events.q_events_time_weighted_avg,
         # MATCH_RECOGNIZE-lite adjacent-pair pattern within a gap
-        "events_pattern_matches": events.q_events_pattern_matches,
         # closed-form linear regression from associative sums
-        "events_value_regression": events.q_events_value_regression,
         # windowed dedup: first event per (user, tumbling hour)
-        "events_windowed_dedup": events.q_events_windowed_dedup,
         # approximate by design — pytest-verified vs exact, rows-only
-        "value_quantiles_sketch": events.q_value_quantiles_sketch,
-        "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
-        "events_partitioned_sink": events.q_events_partitioned_sink,
         # multimodal (actor-pool decode/resize over binary columns)
         "image_decode_stats": multimodal.q_image_decode_stats,
         "image_resize_thumbs": multimodal.q_image_resize_thumbs,
         "image_phash_near_dups": multimodal.q_image_phash_near_dups,
         # union-find clusters over the verified aHash pair list
-        "image_neardup_clusters": multimodal.q_image_neardup_clusters,
         # full corpus scan through the Ray-native Datasource (blob
         # sidecar stitching proven by the bytes_len oracle)
-        "corpus_scan_stats": multimodal.q_corpus_scan_stats,
         # store->actor-pool->store image pipeline, census by read-back
-        "corpus_thumbs_roundtrip": multimodal.q_corpus_thumbs_roundtrip,
         # byte-exact image dedup — the one image op with a SQL oracle
         # (md5-over-hex digest convention shared with DuckDB)
-        "image_exact_dups": multimodal.q_image_exact_dups,
         # metadata census over the same snapshot (fmt/orientation/
         # pixels/storage density) — fully SQL-oracle-able
-        "image_size_stats": multimodal.q_image_size_stats,
         # corrupt-input quarantine: decode-attempt triage vs byte-forensics
         # oracle (planted truncation / bad-magic damage)
-        "image_decode_quarantine": multimodal.q_image_decode_quarantine,
         # multimodal dedup census: same caption, >1 distinct payload
-        "caption_image_mismatch": multimodal.q_caption_image_mismatch,
         # WebDataset-style tar shard export, verified by tar read-back
-        "image_wds_export": multimodal.q_image_wds_export,
         # link-graph analytics (crawl-side batch twin of expand lineage)
-        "graph_degree_stats": graph.q_graph_degree_stats,
-        "graph_pagerank": graph.q_graph_pagerank,
-        "graph_components": graph.q_graph_components,
         # multi-source BFS hop distance (crawl-depth twin)
-        "graph_bfs_depth": graph.q_graph_bfs_depth,
-        "graph_triangles": graph.q_graph_triangles,
         # streaming watermark semantics: late-arrival census per window
-        "events_late_census": events.q_events_late_census,
-        "image_knn": multimodal.q_image_knn,
         # crawl-side operators (rows-only; deterministic pinned corpus)
         "crawl_visits": crawlops.q_crawl_visits,
         # lineage audit: seed -> frontier shard -> fetch batch chains
-        "crawl_seed_attribution": crawlops.q_crawl_seed_attribution,
         "link_verdicts": crawlops.q_link_verdicts,
         "url_predicates": crawlops.q_url_predicates,
         "caption_prices": crawlops.q_caption_prices,
         "caption_emails": crawlops.q_caption_emails,
-        "page_audits": crawlops.q_page_audits,
         "frontier_reorder": crawlops.q_frontier_reorder,
         "extract_urls": crawlops.q_extract_urls,
         "filter_cache": crawlops.q_filter_cache,
