@@ -132,17 +132,20 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
         df = T(sf_dir, "events",
                columns=["user_id", "event_id", "ts"]).to_pandas()
         out = sessionize_frame(df, gap_minutes)
-    else:
-        def sess_block(df: pd.DataFrame) -> pd.DataFrame:
-            return sessionize_frame(df, gap_minutes)
+        return out.sort_values("user_id").reset_index(drop=True)
 
-        with hash_shuffle():
-            ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
-            out = ds.repartition(num_blocks=join_partitions(n_rows),
-                                 keys=["user_id"]) \
-                .map_batches(sess_block, batch_format="pandas",
-                             batch_size=None).to_pandas()
-    return out.sort_values("user_id").reset_index(drop=True)
+    def sess_block(df: pd.DataFrame) -> pd.DataFrame:
+        return sessionize_frame(df, gap_minutes)
+
+    # per-user output is table-sized at 10^10 events — return the
+    # Dataset (the q_bucketed_join shape) instead of landing it whole
+    # on the driver; the oracle compare is order-insensitive.
+    with hash_shuffle():
+        ds = T(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+        return ds.repartition(num_blocks=join_partitions(n_rows),
+                              keys=["user_id"]) \
+            .map_batches(sess_block, batch_format="pandas",
+                         batch_size=None)
 
 
 Q_EVENTS_SESSIONS_SQL = """
@@ -1015,23 +1018,28 @@ def q_events_cumulative_users(sf_dir: str) -> pd.DataFrame:
     if parquet_rows(sf_dir, "events") < DISTRIBUTED_SESSIONS_MIN_ROWS:
         df = build().to_pandas()
         first = df.groupby("user_id", sort=False)["day"].min()
+        hist = first.value_counts().sort_index()
     else:
         from kryptone_ray.pipelines.common import (hash_shuffle,
                                                    join_partitions)
 
-        def block_min(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("user_id", sort=False, as_index=False)["day"] \
-                .min()
+        # per-user first days are table-sized; each block (holding ALL
+        # of its users' partials after the hash shuffle) collapses to
+        # its O(#days) first-day histogram, and the driver only sums
+        # histograms — never sees a per-user row.
+        def block_hist(df: pd.DataFrame) -> pd.DataFrame:
+            first = df.groupby("user_id", sort=False)["day"].min()
+            h = first.value_counts()
+            return pd.DataFrame({"day": h.index,
+                                 "n_new": h.to_numpy().astype("int64")})
 
         with hash_shuffle():
-            df = build().repartition(
+            parts = build().repartition(
                 num_blocks=join_partitions(parquet_rows(sf_dir, "events")),
                 keys=["user_id"]) \
-                .map_batches(block_min, batch_format="pandas",
+                .map_batches(block_hist, batch_format="pandas",
                              batch_size=None).to_pandas()
-        first = df.set_index("user_id")["day"]
-
-    hist = first.value_counts().sort_index()
+        hist = parts.groupby("day", sort=True)["n_new"].sum()
     return pd.DataFrame({"day": hist.index,
                          "n_new": hist.to_numpy().astype("int64"),
                          "cum_users": hist.cumsum().to_numpy().astype("int64")})
@@ -1523,8 +1531,13 @@ ORDER BY user_id
 """
 
 
-def q_events_pattern_matches(sf_dir: str,
-                             gap_minutes: int = 5) -> pd.DataFrame:
+# gap shared by the pipeline default AND the SQL oracle (f-string
+# interpolation below) so a non-default call can't diverge silently.
+PATTERN_GAP_MINUTES = 5
+
+
+def q_events_pattern_matches(
+        sf_dir: str, gap_minutes: int = PATTERN_GAP_MINUTES) -> pd.DataFrame:
     """SEQUENCE-PATTERN MATCHING (MATCH_RECOGNIZE-lite): per user,
     count occurrences of the pattern "an ``error`` immediately followed
     by a ``purchase`` within ``gap_minutes``" in event order (ts, then
@@ -1581,7 +1594,7 @@ def q_events_pattern_matches(sf_dir: str,
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-Q_EVENTS_PATTERN_SQL = """
+Q_EVENTS_PATTERN_SQL = f"""
 WITH w AS (SELECT user_id,
                   event_type,
                   lead(event_type) OVER u AS next_type,
@@ -1592,7 +1605,7 @@ WITH w AS (SELECT user_id,
 SELECT user_id, count(*) AS n_matches
 FROM w
 WHERE event_type = 'error' AND next_type = 'purchase'
-  AND next_t - t <= 5 * 60 * 1000000
+  AND next_t - t <= {PATTERN_GAP_MINUTES} * 60 * 1000000
 GROUP BY user_id ORDER BY user_id
 """
 
@@ -1605,8 +1618,13 @@ def q_events_value_regression(sf_dir: str) -> pd.DataFrame:
     partial aggregate; no iteration, no driver data pass. All sums are
     exact integers (hours 0-23, cents), the slope/intercept are ONE
     float division each at the end — the SQL oracle builds the same
-    integer sums and divides identically, so the match is bit-exact
-    (int64 headroom: 23·32753·1e7 rows ≈ 7.5e12 « 2^63)."""
+    integer sums and divides identically, so the match is bit-exact.
+    Headroom: the per-row products fit int64 through the distributed
+    sum (Σxy ≤ 23·32753·n ≈ 7.5e12 at n=1e7), but the closed-form
+    terms n·Σxy and Σx·Σy reach ~7.5e19 at that same scale — past
+    2^63 — so the final num/den arithmetic runs in arbitrary-precision
+    Python ints (object dtype) on the tiny per-event-type frame,
+    matching DuckDB's HUGEINT sums, before the one double division."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1625,10 +1643,20 @@ def q_events_value_regression(sf_dir: str) -> pd.DataFrame:
         sums={"sx": "x", "sy": "y", "sxy": "xy", "sxx": "xx"},
         count_name="n")
     n = s["n"].astype("int64")
-    num = n * s["sxy"].astype("int64") - s["sx"].astype("int64") * s["sy"].astype("int64")
-    den = n * s["sxx"].astype("int64") - s["sx"].astype("int64") ** 2
-    slope = num / den
-    intercept = (s["sy"].astype("int64") - slope * s["sx"].astype("int64")) / n
+    # exact arbitrary-precision combine (n·Σxy etc. overflow int64 past
+    # ~1e7 rows/type); DuckDB computes these in HUGEINT, we in Python int
+    n_o = n.astype(object)
+    sx = s["sx"].astype("int64").astype(object)
+    sy = s["sy"].astype("int64").astype(object)
+    sxy = s["sxy"].astype("int64").astype(object)
+    sxx = s["sxx"].astype("int64").astype(object)
+    num = n_o * sxy - sx * sy
+    den = n_o * sxx - sx * sx
+    # one double division, like the oracle's CAST(... AS DOUBLE): cast
+    # the exact ints to double first (correctly-rounded, = HUGEINT cast)
+    slope = num.astype("float64") / den.astype("float64")
+    intercept = (sy.astype("float64") - slope * sx.astype("float64")) \
+        / n_o.astype("float64")
     out = pd.DataFrame({"event_type": s["event_type"],
                         "slope_cents_per_hour": slope.round(6),
                         "intercept_cents": intercept.round(4),
@@ -1666,26 +1694,50 @@ def q_events_windowed_dedup(sf_dir: str) -> pd.DataFrame:
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
+        # census only needs counts per (user, window): the kept row is
+        # implied (min ts, then min event_id — matching the SQL
+        # row_number ORDER BY ts, event_id) but never materialized.
         hour = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")),
                                  unit="hour")
-        tus = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-        g = pa.table({"user_id": t["user_id"], "w": hour, "t": tus,
-                      "eid": t["event_id"]}) \
+        g = pa.table({"user_id": t["user_id"], "w": hour}) \
             .group_by(["user_id", "w"], use_threads=False) \
-            .aggregate([("t", "min"), ("eid", "min"), ("t", "count")])
-        return g.rename_columns(["user_id", "w", "t_min", "eid_min", "n"])
+            .aggregate([("user_id", "count")])
+        return g.rename_columns(["user_id", "w", "n"])
 
-    parts = T(sf_dir, "events", columns=["user_id", "event_id", "ts"]) \
-        .map_batches(partial, batch_format="pyarrow",
-                     batch_size=65536).to_pandas()
-    # combine: min over partials per (user, window); n sums. (eid_min is
-    # the deterministic tie-break for equal timestamps; with both mins
-    # taken independently the kept row is min-ts then min-eid — matching
-    # the SQL row_number ORDER BY ts, event_id.)
-    g = parts.groupby(["user_id", "w"], sort=False)
-    per_key = pd.DataFrame({"n": g["n"].sum()}).reset_index()
-    out = per_key.groupby("w", sort=True).agg(
-        n_kept=("n", "size"), n_seen=("n", "sum")).reset_index()
+    def build():
+        return T(sf_dir, "events", columns=["user_id", "ts"]) \
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+
+    def window_census(df: pd.DataFrame) -> pd.DataFrame:
+        # dedupe partials per (user, window), then collapse to the tiny
+        # per-window census; exact under hash partitioning by user_id
+        # because every (user, window) pair lives in one partition.
+        per_key = df.groupby(["user_id", "w"], sort=False)["n"].sum() \
+            .reset_index()
+        return per_key.groupby("w", sort=False).agg(
+            n_kept=("n", "size"), n_seen=("n", "sum")).reset_index()
+
+    from kryptone_ray.pipelines.common import parquet_rows
+
+    n_rows = parquet_rows(sf_dir, "events")
+    if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
+        parts = window_census(build().to_pandas())
+    else:
+        # distinct (user, window) pairs approach the row count when
+        # users emit ~1 event per window, so the combine must not land
+        # whole on the driver: hash-partition by user_id, census per
+        # partition, then sum the O(#windows) per-partition censuses.
+        from kryptone_ray.pipelines.common import (hash_shuffle,
+                                                   join_partitions)
+
+        with hash_shuffle():
+            parts = build().repartition(
+                num_blocks=join_partitions(n_rows), keys=["user_id"]) \
+                .map_batches(window_census, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    out = parts.groupby("w", sort=True).agg(
+        n_kept=("n_kept", "sum"), n_seen=("n_seen", "sum")).reset_index()
     out = out.rename(columns={"w": "window_start"})
     out["n_kept"] = out["n_kept"].astype("int64")
     out["n_seen"] = out["n_seen"].astype("int64")

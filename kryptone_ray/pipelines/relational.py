@@ -712,7 +712,17 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
-def q_top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
+# per-query knobs shared by the pipeline default AND its SQL oracle
+# (interpolated into the f-string oracles below, the ZORDER_SHARD_BITS
+# pattern) so calling with a non-default value can't silently diverge.
+TOP_ORDERS_K = 3
+NATION_RICH_MIN_ACCTBAL = 9000.0
+BRAND_BASKET_K = 20
+DENSE_RANK_K = 3
+
+
+def q_top_orders_per_customer(sf_dir: str,
+                              k: int = TOP_ORDERS_K) -> pd.DataFrame:
     """WINDOW RANK / top-k PER GROUP (``row_number() OVER (PARTITION BY
     ... ORDER BY ...)`` shape — the reference's per-domain "best pages"
     ranking, seo.py audit ordering analog): the k highest-value orders
@@ -769,7 +779,7 @@ def q_top_orders_per_customer(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
 
 
-Q_TOP_ORDERS_PER_CUSTOMER_SQL = """
+Q_TOP_ORDERS_PER_CUSTOMER_SQL = f"""
 SELECT o_custkey, rn AS rnk, o_orderkey,
        CAST(round(o_totalprice * 100) AS BIGINT) / 100.0 AS o_totalprice
 FROM (
@@ -779,7 +789,7 @@ FROM (
            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
                     o_orderkey) AS rn
   FROM orders)
-WHERE rn <= 3
+WHERE rn <= {TOP_ORDERS_K}
 ORDER BY o_custkey, rnk
 """
 
@@ -1855,8 +1865,9 @@ GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure
 """
 
 
-def q_nation_rich_customer_names(sf_dir: str,
-                                 min_acctbal: float = 9000.0) -> pd.DataFrame:
+def q_nation_rich_customer_names(
+        sf_dir: str,
+        min_acctbal: float = NATION_RICH_MIN_ACCTBAL) -> pd.DataFrame:
     """Ordered STRING_AGG / LISTAGG: per nation, the comma-joined names
     of high-balance customers in ``c_custkey`` order, plus their count.
 
@@ -1897,11 +1908,11 @@ def q_nation_rich_customer_names(sf_dir: str,
     return out.sort_values("c_nationkey").reset_index(drop=True)
 
 
-Q_NATION_RICH_NAMES_SQL = """
+Q_NATION_RICH_NAMES_SQL = f"""
 SELECT c_nationkey,
        string_agg(c_name, ',' ORDER BY c_custkey) AS names,
        count(*) AS n_rich
-FROM customer WHERE c_acctbal > 9000.0
+FROM customer WHERE c_acctbal > {NATION_RICH_MIN_ACCTBAL}
 GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
@@ -2595,7 +2606,8 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
-def q_brand_basket_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+def q_brand_basket_pairs(sf_dir: str,
+                         k: int = BRAND_BASKET_K) -> pd.DataFrame:
     """MARKET-BASKET CO-OCCURRENCE (frequent-itemset pairs): the top-k
     pairs of part brands bought together in the same order. Per-order
     pair expansion is bounded by (lines/order)² — a TPC-H constant, so
@@ -2650,17 +2662,18 @@ def q_brand_basket_pairs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["brand_a", "brand_b", "n"]].reset_index(drop=True)
 
 
-Q_BRAND_BASKET_SQL = """
+Q_BRAND_BASKET_SQL = f"""
 WITH d AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
            FROM lineitem JOIN part ON l_partkey = p_partkey)
 SELECT a.b AS brand_a, b.b AS brand_b, count(*) AS n
 FROM d a JOIN d b ON a.o = b.o AND a.b < b.b
 GROUP BY brand_a, brand_b
-ORDER BY n DESC, brand_a, brand_b LIMIT 20
+ORDER BY n DESC, brand_a, brand_b LIMIT {BRAND_BASKET_K}
 """
 
 
-def q_customer_dense_rank_top(sf_dir: str, k: int = 3) -> pd.DataFrame:
+def q_customer_dense_rank_top(sf_dir: str,
+                              k: int = DENSE_RANK_K) -> pd.DataFrame:
     """DENSE_RANK window + top-k WITH TIES (``dense_rank() OVER
     (PARTITION BY segment ORDER BY acctbal DESC) <= k`` — the
     "top-3 balances per segment, ties all qualify" query): computed
@@ -2732,13 +2745,13 @@ def q_customer_dense_rank_top(sf_dir: str, k: int = 3) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-Q_CUSTOMER_DENSE_RANK_SQL = """
+Q_CUSTOMER_DENSE_RANK_SQL = f"""
 SELECT c_custkey, c_mktsegment, c_acctbal, rnk
 FROM (SELECT c_custkey, c_mktsegment, c_acctbal,
              CAST(dense_rank() OVER (PARTITION BY c_mktsegment
                                      ORDER BY c_acctbal DESC) AS BIGINT)
                  AS rnk
       FROM customer)
-WHERE rnk <= 3
+WHERE rnk <= {DENSE_RANK_K}
 ORDER BY c_mktsegment, rnk, c_custkey
 """

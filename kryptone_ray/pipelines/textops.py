@@ -536,7 +536,13 @@ FROM documents ORDER BY digest LIMIT 64
 """
 
 
-def q_shingle_dedup_census(sf_dir: str, k: int = 8) -> pd.DataFrame:
+# shingle width shared by the pipeline default AND its SQL oracle
+# (interpolated below, the ZORDER_SHARD_BITS pattern) so calling with a
+# different k can't silently diverge from the oracle.
+SHINGLE_K = 8
+
+
+def q_shingle_dedup_census(sf_dir: str, k: int = SHINGLE_K) -> pd.DataFrame:
     """EXACT SUBSTRING-DEDUP CENSUS at k-gram granularity (the
     Lee-et-al "Deduplicating Training Data Makes Language Models
     Better" exact-substring idea, expressed at word-shingle
@@ -604,11 +610,11 @@ def q_shingle_dedup_census(sf_dir: str, k: int = 8) -> pd.DataFrame:
                          "n_shingles": hist.to_numpy().astype("int64")})
 
 
-Q_SHINGLE_DEDUP_SQL = """
+Q_SHINGLE_DEDUP_SQL = f"""
 WITH sh AS (
-  SELECT array_to_string(ws[i:i+7], ' ') AS shingle
+  SELECT array_to_string(ws[i:i+{SHINGLE_K - 1}], ' ') AS shingle
   FROM (SELECT string_split(text, ' ') AS ws FROM documents),
-       UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+       UNNEST(generate_series(1, len(ws) - {SHINGLE_K - 1})) AS t(i)
 ),
 cnt AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
 SELECT c AS multiplicity, count(*) AS n_shingles

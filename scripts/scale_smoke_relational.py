@@ -89,6 +89,11 @@ def main() -> None:
         "smoke must exercise the distributed sessionization path"
     t0 = time.time()
     sess = E.q_events_sessions(str(OUT))
+    import ray.data as _rd
+
+    if isinstance(sess, _rd.Dataset):  # streamed above the gate now
+        sess = sess.to_pandas()
+    sess = sess.sort_values("user_id").reset_index(drop=True)
     res["timings_sec"]["events_sessions"] = round(time.time() - t0, 2)
 
     # independent recount: one single-process vectorized pass

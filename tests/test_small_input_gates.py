@@ -40,9 +40,9 @@ def test_bucketed_join_distributed_equals_driver(monkeypatch):
 def test_events_sessions_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import events
 
-    small = events.q_events_sessions(SF)
+    small = _df(events.q_events_sessions(SF))
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
-    big = events.q_events_sessions(SF)
+    big = _df(events.q_events_sessions(SF))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
 
 
@@ -79,6 +79,26 @@ def test_minhash_distributed_verify_equals_broadcast(monkeypatch):
     monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
     monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS", 0)
     big = dedup.q_minhash_lsh_pairs(SF01)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_windowed_dedup_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_windowed_dedup(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_windowed_dedup(SF)
+    pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_cumulative_users_distributed_equals_driver(monkeypatch):
+    from kryptone_ray.pipelines import events
+
+    small = events.q_events_cumulative_users(SF)
+    monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
+    big = events.q_events_cumulative_users(SF)
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
 
 
@@ -383,3 +403,46 @@ def test_basket_pairs_distributed_equals_driver(monkeypatch):
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
     big = _df(relational.q_brand_basket_pairs(SF))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_regression_exact_past_int64(tmp_path):
+    """The closed-form terms n·Σxy and Σx·Σy overflow int64 well before
+    the per-row sums do (round-4 advice): with 120k rows at ~1e6 value,
+    n·Σxy ≈ 2.6e19 > 2^63. The combine must run in arbitrary precision
+    and still match DuckDB's HUGEINT arithmetic bit-for-bit."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kryptone_ray.pipelines import events
+
+    rng = np.random.default_rng(7)
+    n = 120_000
+    ts = (np.datetime64("2024-01-01T00:00:00", "us")
+          + rng.integers(0, 30 * 86_400, n) * np.timedelta64(1_000_000, "us"))
+    # 2-decimal values near 8e6 so n·Σxy ≈ 6e4·(6e4·11.5·8e8) ≈ 3e19
+    # per type — past 2^63; correlated with the hour so num/den are far
+    # from zero and any wrap is visible
+    hours = (ts.astype("datetime64[h]").astype("int64")) % 24
+    value = np.round(8e6 + hours * 1234.56 + rng.integers(0, 100, n), 2)
+    t = pa.table({
+        "event_type": pa.array(rng.choice(["a", "b"], n)),
+        "ts": pa.array(ts),
+        "value": pa.array(value, pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = events.q_events_value_regression(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = con.execute(events.Q_EVENTS_REGRESSION_SQL).df()
+    # the sums themselves must have crossed 2^63 for this test to bite
+    chk = con.execute(
+        "SELECT max(n * sxy) FROM (SELECT count(*) AS n, "
+        "sum(CAST(hour(ts) AS BIGINT) * CAST(round(value*100) AS BIGINT)) "
+        "AS sxy FROM events GROUP BY event_type)").fetchone()[0]
+    assert int(chk) > 2**63
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
