@@ -37,35 +37,31 @@ def q_knn_bruteforce(sf_dir: str) -> pd.DataFrame:
            rows_per_block=8192)
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        # matmul + IN-TASK top-K (round-4 fix: the nq×nb cross product
+        # used to cross a stage boundary before pruning — only nq×K
+        # rows leave each task now). Ties at the K boundary break by
+        # neighbor_id asc (lexsort), matching the global merge order.
         qi, qm = ray.get(q_ref)
         c = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         c /= np.clip(np.linalg.norm(c, axis=1, keepdims=True), 1e-12, None)
         sims = qm @ c.T  # (n_queries, batch)
         cids = df["vec_id"].to_numpy()
         nq, nb = sims.shape
-        out = pd.DataFrame(
-            {
-                "query_id": np.repeat(qi, nb),
-                "neighbor_id": np.tile(cids, nq),
-                "sim": sims.ravel(),
-            }
-        )
-        return out[out["query_id"] != out["neighbor_id"]]
+        sims[cids[None, :] == qi[:, None]] = -np.inf  # drop self-match
+        k = min(K, nb)
+        qs, ns, ss = [], [], []
+        for r in range(nq):  # nq is tiny (N_QUERIES); lexsort is exact
+            order = np.lexsort((cids, -sims[r]))[:k]
+            qs.append(np.full(k, qi[r]))
+            ns.append(cids[order])
+            ss.append(sims[r][order])
+        out = pd.DataFrame({"query_id": np.concatenate(qs),
+                            "neighbor_id": np.concatenate(ns),
+                            "sim": np.concatenate(ss)})
+        return out[out["sim"] > -np.inf]
 
-    # per-batch local top-K before the global merge keeps shuffle tiny
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(["query_id", "sim", "neighbor_id"],
-                           ascending=[True, False, True])
-            .groupby("query_id", sort=False)
-            .head(K)
-        )
-
-    parts = (
-        ds.map_batches(f, batch_format="pandas", batch_size=1024)
-        .map_batches(local_topk, batch_format="pandas", batch_size=65536)
-        .to_pandas()
-    )
+    parts = ds.map_batches(f, batch_format="pandas",
+                           batch_size=1024).to_pandas()
     top = (
         parts.sort_values(["query_id", "sim", "neighbor_id"],
                           ascending=[True, False, True])

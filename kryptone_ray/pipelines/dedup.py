@@ -177,6 +177,15 @@ MINHASH_DISTRIBUTED_MIN_DOCS = 100_000
 # an adversarial corpus can inflate candidate density past driver
 # memory even when the corpus itself streams).
 MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS = 2_000_000
+# buckets larger than this are excluded from the distributed self-join
+# (a non-discriminative (band, bucket) — e.g. boilerplate duplicated
+# 10^6 times — inflates ONE join partition quadratically, the same
+# failure q_simhash_clusters caps). Members of a capped bucket are
+# star-paired to the bucket's min doc_id instead: linear output that
+# preserves cluster connectivity (every member still reaches the
+# representative through a verified pair) while dropping the
+# member×member middle pairs a degenerate bucket would emit.
+MINHASH_HOT_BUCKET_CAP = 512
 
 
 def _jaccard_verify_rows(doc_a, doc_b, text_a, text_b,
@@ -196,13 +205,17 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
     """MinHash+LSH near-dup pairs:
 
     1. signatures + band buckets per batch (vectorized XXH64) — always
-       distributed (the compute-heavy stage);
+       distributed (the compute-heavy stage). Token-less docs are
+       dropped before bucketing (they share the all-MAX signature —
+       ONE degenerate bucket per band — yet can never verify: the
+       exact-Jaccard step skips empty shingle sets, so the guard is
+       outcome-identical);
     2. candidate pairs: below ``MINHASH_DISTRIBUTED_MIN_DOCS`` a driver
        pandas self-merge over the metadata-sized bucket table; above it
-       a native hash-shuffle SELF-JOIN on (band, bucket) — each join
-       partition emits its own pairs (a degenerate hot bucket inflates
-       its partition quadratically; at 10^10 docs cap bucket size or
-       salt the band key);
+       a native hash-shuffle SELF-JOIN on (band, bucket), with buckets
+       past ``MINHASH_HOT_BUCKET_CAP`` excluded from the join and
+       star-paired to their min doc_id instead (cluster-preserving,
+       not pair-complete — see the cap constant's note);
     3. exact shingle-Jaccard verify: candidate-bounded fetch + broadcast
        text dict up to ``MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS``
        candidates, then a fully distributed two-join verify (pair table
@@ -223,8 +236,15 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
     n_docs = parquet_rows(sf_dir, "documents")
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = minhash_signatures_batch(df["text"].tolist())
-        return band_buckets_batch(df["doc_id"].to_numpy(), sigs, bands)
+        texts = df["text"].tolist()
+        sigs = minhash_signatures_batch(texts)
+        # empty-signature guard: token-less docs never verify (empty
+        # shingle set), so bucketing them only builds a degenerate
+        # all-MAX bucket — drop before the explode, both paths
+        nonempty = np.fromiter((bool(t.split()) for t in texts),
+                               dtype=bool, count=len(texts))
+        return band_buckets_batch(df["doc_id"].to_numpy()[nonempty],
+                                  sigs[nonempty], bands)
 
     def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["doc_id"] < df["doc_id_r"]]
@@ -296,6 +316,60 @@ def _minhash_candidates_distributed(sf_dir: str, bands: int,
            rows_per_block=512)
     buckets = ds.map_batches(sig_batch, batch_format="pandas",
                              batch_size=512).materialize()
+    npart = join_partitions(n_docs * bands)
+
+    # hot-bucket census (the simhash cap, ported): per-block partial
+    # counts → hash-partition by bucket key → per-block combine keeps
+    # only buckets past the cap, so the driver receives at most
+    # rows/cap entries — never the (unbounded, unlike simhash's 4×2^16)
+    # full (band, bucket) key table.
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["band", "bucket"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["band", "bucket"], sort=False)["n"].sum()
+        g = g[g > MINHASH_HOT_BUCKET_CAP]
+        return g.rename("n").reset_index()
+
+    hot = buckets.map_batches(bucket_partial, batch_format="pandas",
+                              batch_size=None) \
+        .repartition(num_blocks=npart, keys=["band", "bucket"]) \
+        .map_batches(hot_only, batch_format="pandas",
+                     batch_size=None).to_pandas()
+
+    star_pairs = None
+    if len(hot):
+        import ray as _ray
+
+        hot_ref = _ray.put(frozenset(zip(hot["band"].astype(int),
+                                         hot["bucket"].astype(int))))
+
+        def split(df: pd.DataFrame, keep_hot: bool) -> pd.DataFrame:
+            hk = _ray.get(hot_ref)
+            mask = np.fromiter(
+                ((int(b), int(k)) in hk
+                 for b, k in zip(df["band"], df["bucket"])),
+                dtype=bool, count=len(df))
+            return df[mask] if keep_hot else df[~mask]
+
+        # star recovery: each hot bucket's members pair with the
+        # bucket's min doc_id — O(members) output, connectivity kept
+        def star(df: pd.DataFrame) -> pd.DataFrame:
+            rep = df.groupby(["band", "bucket"], sort=False)["doc_id"] \
+                .transform("min")
+            sub = df[df["doc_id"] > rep]
+            return pd.DataFrame({"doc_a": rep[df["doc_id"] > rep],
+                                 "doc_b": sub["doc_id"]}).drop_duplicates()
+
+        star_pairs = buckets.map_batches(
+            lambda df: split(df, True), batch_format="pandas",
+            batch_size=None) \
+            .repartition(num_blocks=npart, keys=["band", "bucket"]) \
+            .map_batches(star, batch_format="pandas", batch_size=None)
+        buckets = buckets.map_batches(
+            lambda df: split(df, False), batch_format="pandas",
+            batch_size=None).materialize()
 
     def rename_right(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"doc_id": "doc_id_r", "band": "band_r",
@@ -303,11 +377,13 @@ def _minhash_candidates_distributed(sf_dir: str, bands: int,
 
     right = buckets.map_batches(rename_right, batch_format="pandas",
                                 batch_size=None)
-    npart = join_partitions(n_docs * bands)
     cand = buckets.join(right, "inner", num_partitions=npart,
                         on=("band", "bucket"), right_on=("band_r", "bucket_r"))
     pairs_ds = cand.map_batches(emit_pairs, batch_format="pandas",
-                                batch_size=None).materialize()
+                                batch_size=None)
+    if star_pairs is not None:
+        pairs_ds = pairs_ds.union(star_pairs)
+    pairs_ds = pairs_ds.materialize()
     n_pairs = pairs_ds.count()
     if n_pairs <= MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS:
         return pairs_ds.to_pandas().drop_duplicates().reset_index(drop=True)
@@ -550,13 +626,118 @@ def _ngram_per_source(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     )
 
 
+# source groups past this doc count switch from the O(n²) size-pruned
+# scan to the exact prefix-filter census (identical output, near-linear
+# on realistic hot sources) — tests force it by patching to 0.
+NGRAM_PREFIX_MIN_DOCS = 4096
+
+
+def _ngram_per_source_fast(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact near-dup census for ONE hot source, sub-quadratic on
+    realistic data (round-4 fix for the per-source quadratic wall):
+
+    1. identical gram-set collapse — docs with the same 5-gram set have
+       J = 1, so every class of size ≥ 2 is flagged wholesale and only
+       one representative per DISTINCT set enters the scan (kills the
+       boilerplate-duplicated-10^6× case outright);
+    2. prefix-filter candidate generation (Bayardo et al. 2007,
+       "Scaling Up All Pairs Similarity Search", WWW — the AllPairs
+       family the old size-prune came from): with grams globally
+       ordered rarest-first, J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so the
+       intersection cannot fit in A's suffix of size ⌈t·|A|⌉ − 1 — some
+       shared gram lies in A's first |A| − ⌈t·|A|⌉ + 1 grams. Probing a
+       FULL inverted index with only that prefix is therefore exact
+       (no prefix-∩-prefix subtlety), and rarest-first makes the probed
+       buckets the smallest ones;
+    3. both-flagged skip — the census only needs the dup FLAG, so a
+       candidate pair whose classes are both already witnessed is never
+       verified; in a dense near-dup clique verification work is
+       amortized O(1) per doc after the first hit.
+
+    Residual worst case: many DISTINCT near-identical sets sharing
+    their rare grams still enumerate large buckets (exactness costs
+    that); the realistic hot source (duplicate/boilerplate-heavy) is
+    near-linear. Output identical to ``_ngram_per_source`` — equality-
+    and smoke-tested."""
+    import math
+
+    texts = g["text"].str.lower()
+    grams = [
+        frozenset(t[i: i + 5] for i in range(max(1, len(t) - 4)))
+        for t in texts
+    ]
+    n = len(g)
+    # 1) class collapse
+    class_of = np.empty(n, dtype=np.int64)
+    class_sets: list[frozenset] = []
+    class_count: list[int] = []
+    seen: dict[frozenset, int] = {}
+    for i, s in enumerate(grams):
+        c = seen.get(s)
+        if c is None:
+            c = len(class_sets)
+            seen[s] = c
+            class_sets.append(s)
+            class_count.append(0)
+        class_of[i] = c
+        class_count[c] += 1
+    counts = np.asarray(class_count)
+    dup_class = counts >= 2  # J(identical sets) = 1 ≥ t
+
+    # 2) exact prefix-filter scan over the distinct sets
+    from collections import Counter, defaultdict
+
+    df_ct = Counter()
+    for s in class_sets:
+        df_ct.update(s)
+    sizes = np.array([len(s) for s in class_sets])
+    order = np.argsort(sizes, kind="stable")
+    index: dict[str, list[int]] = defaultdict(list)
+    for ci in order:
+        s = class_sets[ci]
+        sz = sizes[ci]
+        p = sz - math.ceil(threshold * sz) + 1
+        prefix = sorted(s, key=lambda x: (df_ct[x], x))[:p]
+        cand: set[int] = set()
+        for gram in prefix:
+            cand.update(index[gram])
+        for cj in cand:
+            if dup_class[ci] and dup_class[cj]:
+                continue  # 3) census only needs the flag
+            if sizes[cj] < threshold * sz or sizes[cj] > sz / threshold:
+                continue
+            inter = len(s & class_sets[cj])
+            if inter and inter / (sz + sizes[cj] - inter) >= threshold:
+                dup_class[ci] = dup_class[cj] = True
+        for gram in s:  # full index, prefix probe — exact by the bound
+            index[gram].append(ci)
+
+    n_dup = int(counts[dup_class].sum())
+    return pd.DataFrame(
+        {"source": [g["source"].iloc[0]], "n_docs": [n],
+         "n_near_dup": [n_dup]}
+    )
+
+
+def _ngram_census_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Per-source dispatch: small groups keep the size-pruned scan
+    (simple, golden-tested), hot groups take the exact prefix-filter
+    path — identical output either way."""
+    if len(g) > NGRAM_PREFIX_MIN_DOCS:
+        return _ngram_per_source_fast(g, threshold)
+    return _ngram_per_source(g, threshold)
+
+
 def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
     """Character-n-gram Jaccard near-dup count per source: docs whose
     5-gram Jaccard vs ANOTHER doc in the same source exceeds threshold.
-    Quadratic within source groups only (the source partitioning is the
-    unit of work either way). Below the gate the table reads to the
+    Work is per-source (the source partitioning is the unit either
+    way): groups under ``NGRAM_PREFIX_MIN_DOCS`` run the size-pruned
+    scan, hotter groups the exact prefix-filter census
+    (``_ngram_per_source_fast`` — identical output, near-linear on
+    duplicate-heavy sources). Below the doc gate the table reads to the
     driver and one raw Ray task per source runs the scan (the documented
-    Dataset-API exception: a per-group quadratic over a handful of
+    Dataset-API exception: a per-group scan over a handful of
     groups needs neither a sort nor a shuffle, and Ray's sort-based
     ``groupby().map_groups`` pays ~1.5 s fixed to dispatch 5 one-task
     groups); above it the sort groupby co-locates sources at corpus
@@ -568,7 +749,7 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
         df = T(sf_dir, "documents",
                columns=["doc_id", "source", "text"]).to_pandas()
-        scan = ray.remote(_ngram_per_source)
+        scan = ray.remote(_ngram_census_group)
         refs = [scan.remote(g, threshold)
                 for _, g in df.groupby("source", sort=False)]
         out = pd.concat(ray.get(refs), ignore_index=True)
@@ -576,7 +757,7 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
     ds = T(sf_dir, "documents", columns=["doc_id", "source", "text"])
     out = ds.groupby("source").map_groups(
-        lambda g: _ngram_per_source(g, threshold),
+        lambda g: _ngram_census_group(g, threshold),
         batch_format="pandas").to_pandas()
     return out.sort_values("source").reset_index(drop=True)
 
@@ -843,18 +1024,143 @@ def q_neardup_clusters(sf_dir: str, bands: int = 16,
     in the cluster is the removal set.
 
     Scale shape: the pair list is near-dup-density-bounded (never
-    corpus-sized), so the union-find runs on the driver with path
-    compression + union-by-size — O(pairs α). At 10^10 docs with a
-    pair list too large for one node, switch to iterative min-label
-    propagation (repeat: label = min(label, min over neighbors) via a
-    hash-join per round, O(log diameter) rounds — MMDS ch.10 shape);
-    near-dup graphs are overwhelmingly tiny cliques, so rounds ≈ 2.
+    corpus-sized), so below ``UNIONFIND_MAX_PAIRS`` the union-find runs
+    on the driver with path compression + union-by-size — O(pairs α).
+    Above it, iterative min-label propagation (label = min(label, min
+    over neighbors) via two hash-joins per round to a detected fixed
+    point, O(log diameter) rounds — MMDS ch.10 shape, the
+    q_graph_components machinery); near-dup graphs are overwhelmingly
+    tiny cliques, so rounds ≈ 2. Both paths are equality-tested on the
+    same pair list (tests/test_dedup_distributed.py).
 
     Rows-only (minhash is not SQL-expressible); deterministic given the
     pinned permutation seed; transitivity property-tested (a→b→c chains
     collapse into one cluster)."""
     pairs = q_minhash_lsh_pairs(sf_dir, bands=bands, threshold=threshold)
-    return _union_find_clusters(pairs, "doc_a", "doc_b")
+    return _cluster_pairs(pairs, "doc_a", "doc_b")
+
+
+# pair lists past this size cluster via distributed min-label
+# propagation instead of the driver union-find (the verified-pair list
+# is density-bounded but still grows with the corpus; at 10^10 docs it
+# is not driver-sized). Tests force the distributed path by patching
+# to 0.
+UNIONFIND_MAX_PAIRS = 2_000_000
+
+
+def _cluster_pairs(pairs: pd.DataFrame, col_a: str,
+                   col_b: str) -> pd.DataFrame:
+    if len(pairs) <= UNIONFIND_MAX_PAIRS:
+        return _union_find_clusters(pairs, col_a, col_b)
+    return _label_prop_clusters(pairs, col_a, col_b)
+
+
+def _label_prop_clusters(pairs: pd.DataFrame, col_a: str,
+                         col_b: str) -> pd.DataFrame:
+    """Distributed connected components over an int64 pair list by
+    min-label propagation to a DETECTED fixed point — the
+    graph._cc_distributed shape applied to a pair Dataset: each round
+    hash-joins the edge table against the label Dataset once per
+    direction, unions the self-labels, and takes per-node minima in a
+    hash-partition combine. Labels are monotone non-increasing, so
+    convergence = unchanged label sum (summed in Python ints per block:
+    an int64 per-block sum can wrap at 10^10-scale node ids).
+    Output is identical to ``_union_find_clusters``: component label =
+    min node id, so (representative, n_members) rows match exactly."""
+    import ray.data as rd
+
+    from kryptone_ray.pipelines.common import hash_shuffle, join_partitions
+
+    edges_df = pd.DataFrame({"a": pairs[col_a].astype("int64"),
+                             "b": pairs[col_b].astype("int64")})
+    npart = join_partitions(len(edges_df))
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.unique(np.concatenate([df["a"].to_numpy(),
+                                      df["b"].to_numpy()]))
+        return pd.DataFrame({"pr_v": v, "lab": v})
+
+    def fwd(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"node": df["b"], "lab": df["lab"]}) \
+            .groupby("node", sort=False)["lab"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "lab": g.to_numpy()})
+
+    def bwd(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"node": df["a"], "lab": df["lab"]}) \
+            .groupby("node", sort=False)["lab"].min()
+        return pd.DataFrame({"node": g.index.to_numpy(),
+                             "lab": g.to_numpy()})
+
+    def self_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["pr_v"], "lab": df["lab"]})
+
+    def combine_min(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["lab"].min()
+        return pd.DataFrame({"pr_v": g.index.to_numpy(),
+                             "lab": g.to_numpy()})
+
+    def block_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"s": [str(int(df["lab"].astype(object).sum()))]})
+
+    with hash_shuffle():
+        edges = rd.from_pandas(edges_df).materialize()
+        labels = edges.map_batches(node_rows, batch_format="pandas",
+                                   batch_size=None) \
+            .repartition(num_blocks=npart, keys=["pr_v"]) \
+            .map_batches(lambda df: df.drop_duplicates(),
+                         batch_format="pandas", batch_size=None) \
+            .materialize()
+
+    def label_sum(ls) -> int:
+        sums = ls.map_batches(block_sum, batch_format="pandas",
+                              batch_size=None).to_pandas()
+        return sum(int(s) for s in sums["s"])
+
+    prev_sum = label_sum(labels)
+    while True:
+        with hash_shuffle():
+            lab_b = labels.map_batches(
+                lambda df: df.rename(columns={"pr_v": "lab_v"}),
+                batch_format="pandas", batch_size=None)
+            f = edges.join(labels, "inner", num_partitions=npart,
+                           on=("a",), right_on=("pr_v",)) \
+                .map_batches(fwd, batch_format="pandas", batch_size=None)
+            b = edges.join(lab_b, "inner", num_partitions=npart,
+                           on=("b",), right_on=("lab_v",)) \
+                .map_batches(bwd, batch_format="pandas", batch_size=None)
+            s = labels.map_batches(self_rows, batch_format="pandas",
+                                   batch_size=None)
+            labels = f.union(b).union(s) \
+                .repartition(num_blocks=npart, keys=["node"]) \
+                .map_batches(combine_min, batch_format="pandas",
+                             batch_size=None).materialize()
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    # per-component census: per-block (lab, n) partials → hash-partition
+    # by lab → combine; only the (representative, n_members) table —
+    # bounded by cluster count, never the node table — reaches pandas
+    def lab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lab", sort=False).size()
+        return g.rename("n").reset_index()
+
+    def lab_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lab", sort=False)["n"].sum()
+        return pd.DataFrame({"representative": g.index.to_numpy(),
+                             "n_members": g.to_numpy()})
+
+    with hash_shuffle():
+        out = labels.map_batches(lab_partial, batch_format="pandas",
+                                 batch_size=None) \
+            .repartition(num_blocks=npart, keys=["lab"]) \
+            .map_batches(lab_combine, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    out["representative"] = out["representative"].astype("int64")
+    out["n_members"] = out["n_members"].astype("int64")
+    return out.sort_values("representative").reset_index(drop=True)
 
 
 def _union_find_clusters(pairs: pd.DataFrame, col_a: str,

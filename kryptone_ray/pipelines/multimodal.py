@@ -864,14 +864,23 @@ def q_image_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     if pairs.empty:
         return pd.DataFrame({"representative": pd.Series([], dtype=str),
                              "n_members": pd.Series([], dtype="int64")})
-    # int-code the string ids, then take connected components; the
-    # representative is the min STRING id per component (not min code,
-    # which factorize order would make arbitrary)
+    # int-code the string ids by SORTED rank (np.unique), so min code ↔
+    # min string id and both clustering paths agree on representatives
     all_ids = pd.concat([pairs["image_a"], pairs["image_b"]],
-                        ignore_index=True)
-    codes, uniq = pd.factorize(all_ids)
+                        ignore_index=True).to_numpy()
+    uniq = np.unique(all_ids)
+    codes = np.searchsorted(uniq, all_ids)
     n = len(pairs)
     int_pairs = pd.DataFrame({"a": codes[:n], "b": codes[n:]})
+
+    from kryptone_ray.pipelines import dedup as _dedup
+
+    if len(int_pairs) > _dedup.UNIONFIND_MAX_PAIRS:
+        # pair graph past driver size: distributed min-label propagation
+        # (dedup._label_prop_clusters — the q_graph_components shape)
+        out = _dedup._label_prop_clusters(int_pairs, "a", "b")
+        out["representative"] = uniq[out["representative"].to_numpy()]
+        return out.sort_values("representative").reset_index(drop=True)
     import collections
     adj = collections.defaultdict(set)
     for a, b in zip(int_pairs["a"], int_pairs["b"]):

@@ -425,38 +425,56 @@ def q5_nation_volume(sf_dir: str) -> pd.DataFrame:
                       <= BROADCAST_MAX_ROWS)
 
     if broadcast_dims:
+        # key→nation broadcast as dense numpy LOOKUP ARRAYS (keys are
+        # 0..N-1), read by position inside zero-copy Arrow batches —
+        # no per-batch pandas conversion and no Python dict lookups on
+        # the two hottest stages (round-4 Arrow-native partials)
         cust = small(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
         supp = small(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
-        maps_ref = ray.put((
-            dict(zip(cust["c_custkey"], cust["c_nationkey"])),
-            dict(zip(supp["s_suppkey"], supp["s_nationkey"])),
-        ))
+        import numpy as _np
 
-        def order_nation(df: pd.DataFrame) -> pd.DataFrame:
+        cn_arr = _np.zeros(int(cust["c_custkey"].max()) + 1, dtype=_np.int64)
+        cn_arr[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+        sn_arr = _np.zeros(int(supp["s_suppkey"].max()) + 1, dtype=_np.int64)
+        sn_arr[supp["s_suppkey"].to_numpy()] = supp["s_nationkey"].to_numpy()
+        maps_ref = ray.put((cn_arr, sn_arr))
+
+        def order_nation(t):
+            import pyarrow as pa
+
             cn, _ = ray.get(maps_ref)
-            return pd.DataFrame(
-                {"o_orderkey": df["o_orderkey"],
-                 "c_nation": df["o_custkey"].map(cn).astype("int64")}
-            )
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "c_nation": pa.array(cn[ck], pa.int64())})
 
         orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
-            .map_batches(order_nation, batch_format="pandas", batch_size=65536)
+            .map_batches(order_nation, batch_format="pyarrow",
+                         batch_size=65536)
 
-        def line_rev(df: pd.DataFrame) -> pd.DataFrame:
+        def line_rev(t):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
             _, sn = ray.get(maps_ref)
-            cents = (df["l_extendedprice"] * 100).round().astype("int64")
-            disc_bp = (df["l_discount"] * 100).round().astype("int64")
-            part = pd.DataFrame(
-                {"l_orderkey": df["l_orderkey"],
-                 "s_nation": df["l_suppkey"].map(sn).astype("int64"),
-                 "rev_e4": cents * (100 - disc_bp)}
-            )
-            return part.groupby(["l_orderkey", "s_nation"], sort=False,
-                                as_index=False)["rev_e4"].sum()
+            cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                            pa.int64())
+            disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                           pa.int64())
+            rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                                 disc))
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            tbl = pa.table({"l_orderkey": t["l_orderkey"],
+                            "s_nation": pa.array(sn[sk], pa.int64()),
+                            "rev_e4": rev})
+            g = tbl.group_by(["l_orderkey", "s_nation"],
+                             use_threads=False).aggregate([("rev_e4", "sum")])
+            return pa.table({"l_orderkey": g["l_orderkey"],
+                             "s_nation": g["s_nation"],
+                             "rev_e4": g["rev_e4_sum"]})
 
         line_ds = T(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
-            .map_batches(line_rev, batch_format="pandas", batch_size=65536)
+            .map_batches(line_rev, batch_format="pyarrow", batch_size=65536)
     else:
         cust_ds = T(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
         orders_ds = T(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]) \
@@ -556,13 +574,19 @@ def q_bucketed_join(sf_dir: str):
     ``num_partitions`` join partitions seeing only its hash range of
     either side. Produces order line counts per order with totals."""
 
-    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("l_orderkey", sort=False)["l_quantity"].agg(["sum", "size"])
-        g.columns = ["sum_qty", "n_lines"]
-        return g.reset_index()
+    def line_partial(t):
+        # zero-copy Arrow partial (round-4): pyarrow's C++ group_by over
+        # the raw batch — no pandas conversion on the fact table
+        import pyarrow as pa
+
+        g = t.group_by(["l_orderkey"], use_threads=False).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "sum_qty": g["l_quantity_sum"],
+                         "n_lines": g["l_quantity_count"]})
 
     line = T(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]) \
-        .map_batches(line_partial, batch_format="pandas", batch_size=65536)
+        .map_batches(line_partial, batch_format="pyarrow", batch_size=65536)
 
     if parquet_rows(sf_dir, "lineitem") < DISTRIBUTED_JOIN_MIN_ROWS:
         parts = line.to_pandas()

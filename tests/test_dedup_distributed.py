@@ -271,3 +271,141 @@ def test_image_neardup_clusters_cover_planted_pairs():
     n_expected = multimodal._MM_ROWS // 10
     assert cl["n_members"].sum() >= 2 * n_expected
     assert not cl["representative"].str.endswith("?dup").any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_hot_bucket_cap_and_empty_guard(monkeypatch, tmp_path):
+    """Round-4 scale hazard fix: a degenerate bucket (one text repeated
+    1200×, plus 300 token-less docs sharing the all-MAX signature) must
+    not inflate a join partition quadratically. The capped distributed
+    run must (a) finish, (b) emit NO pairs for empty docs, (c) keep all
+    1200 copies connected through the representative (star recovery),
+    and (d) agree with the driver path on the non-degenerate docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(50)]
+    texts, ids = [], []
+    # 1200 identical docs — every band bucket holds all 1200 (> cap 512)
+    for i in range(1200):
+        ids.append(i)
+        texts.append("alpha beta gamma delta epsilon zeta eta theta")
+    # 300 token-less docs
+    for i in range(1200, 1500):
+        ids.append(i)
+        texts.append("")
+    # 200 distinct normal docs (unique shingles — no near-dups)
+    for i in range(1500, 1700):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, 30)) + f" unique{i} tail{i}")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "source": pa.array(["s"] * len(ids)),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    out = dedup.q_minhash_lsh_pairs(str(tmp_path))
+    # empty docs never appear
+    assert not ((out["doc_a"] >= 1200) & (out["doc_a"] < 1500)).any()
+    assert not ((out["doc_b"] >= 1200) & (out["doc_b"] < 1500)).any()
+    # star recovery: all 1200 identical docs pair with representative 0
+    dup_ids = set(range(1200))
+    touched = set(out[out["doc_a"] == 0]["doc_b"]) | {0}
+    assert dup_ids <= touched
+    # connectivity: clustering the capped pairs recovers ONE cluster
+    # holding all 1200 members
+    clusters = dedup._union_find_clusters(out, "doc_a", "doc_b")
+    row = clusters[clusters["representative"] == 0]
+    assert len(row) == 1 and int(row["n_members"].iloc[0]) == 1200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_prop_clusters_equal_union_find(monkeypatch):
+    """Round-4: above UNIONFIND_MAX_PAIRS clustering switches from the
+    driver union-find to distributed min-label propagation; both must
+    produce identical (representative, n_members) rows. Exercised on
+    the real sf0.01 verified-pair list plus a synthetic chain+clique
+    graph (deep path stresses the >2-round propagation case)."""
+    pairs = dedup.q_minhash_lsh_pairs(SF)
+    uf = dedup._union_find_clusters(pairs, "doc_a", "doc_b")
+    lp = dedup._label_prop_clusters(pairs, "doc_a", "doc_b")
+    pd.testing.assert_frame_equal(uf, lp)
+
+    # chain 0-1-2-...-19 (diameter 19 → several rounds) + clique {100..104}
+    chain = pd.DataFrame({"doc_a": range(19), "doc_b": range(1, 20)})
+    clique = pd.DataFrame(
+        [(a, b) for a in range(100, 105) for b in range(a + 1, 105)],
+        columns=["doc_a", "doc_b"])
+    g = pd.concat([chain, clique], ignore_index=True)
+    uf = dedup._union_find_clusters(g, "doc_a", "doc_b")
+    lp = dedup._label_prop_clusters(g, "doc_a", "doc_b")
+    pd.testing.assert_frame_equal(uf, lp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_clusters_gate_routes_to_label_prop(monkeypatch):
+    """Forcing the pair gate to 0 must route q_neardup_clusters through
+    the distributed path with unchanged output."""
+    small = dedup.q_neardup_clusters(SF)
+    monkeypatch.setattr(dedup, "UNIONFIND_MAX_PAIRS", 0)
+    big = dedup.q_neardup_clusters(SF)
+    pd.testing.assert_frame_equal(small, big)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_neardup_clusters_gate_routes_to_label_prop(monkeypatch):
+    from kryptone_ray.pipelines import multimodal
+
+    small = multimodal.q_image_neardup_clusters("")
+    monkeypatch.setattr(dedup, "UNIONFIND_MAX_PAIRS", 0)
+    big = multimodal.q_image_neardup_clusters("")
+    pd.testing.assert_frame_equal(small.reset_index(drop=True),
+                                  big.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_ngram_prefix_filter_equals_quadratic_scan():
+    """The round-4 prefix-filter census must equal the size-pruned
+    quadratic scan on every real sf0.01 source group AND on a planted
+    hot source mixing exact dups, near-dups and unique docs."""
+    import time
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    for _, g in docs.groupby("source", sort=False):
+        slow = dedup._ngram_per_source(g, 0.8)
+        fast = dedup._ngram_per_source_fast(g, 0.8)
+        pd.testing.assert_frame_equal(slow.reset_index(drop=True),
+                                      fast.reset_index(drop=True))
+
+    # planted hot source: 3000 copies of one boilerplate, 50 docs that
+    # are near-dups of it (tail tweak), 500 unique docs, 5 empties
+    rng = np.random.default_rng(3)
+    words = [f"tok{i}" for i in range(200)]
+    base = " ".join(rng.choice(words, 60))
+    texts = [base] * 3000
+    texts += [base[:-6] + f" zz{i:03d}" for i in range(50)]
+    texts += [" ".join(rng.choice(words, 40)) + f" u{i}x{i}y{i}z{i}w{i}q{i}"
+              for i in range(500)]
+    texts += [""] * 5
+    g = pd.DataFrame({"doc_id": range(len(texts)),
+                      "source": "hot", "text": texts})
+    t0 = time.time()
+    fast = dedup._ngram_per_source_fast(g, 0.8)
+    fast_s = time.time() - t0
+    slow = dedup._ngram_per_source(g, 0.8)
+    pd.testing.assert_frame_equal(slow.reset_index(drop=True),
+                                  fast.reset_index(drop=True))
+    assert fast_s < 30  # bounded; the quadratic scan is the comparison
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_gate_routes_hot_groups(monkeypatch):
+    """Patching the group gate to 0 must route every group through the
+    prefix-filter path with unchanged query output."""
+
+    small = dedup.q_ngram_jaccard_dups(SF)
+    monkeypatch.setattr(dedup, "NGRAM_PREFIX_MIN_DOCS", 0)
+    big = dedup.q_ngram_jaccard_dups(SF)
+    pd.testing.assert_frame_equal(small, big)
