@@ -145,3 +145,28 @@ def test_cuckoo_seen_mode_crawl(small_world, tmp_path, ray_session):
     assert eng_visited <= golden_visited
     assert len(eng_visited) >= 0.99 * len(golden_visited)
     assert abs(eng.seen.size() - len(golden.seen)) <= 0.01 * len(golden.seen)
+
+
+@pytest.mark.parametrize("mode", ["ray", "tasks"])
+def test_parity_mixed_gate_regime(small_world, tmp_path, ray_session, mode):
+    """Round-4 advice: the production default gate (256) creates a MIXED
+    regime — some windows run driver-side via the small-window gate,
+    others through the distributed window body — and no test exercised
+    both branches inside one crawl. Gate=16 with batch_size=32 does:
+    the 12-seed first window (and politeness-collapsed stragglers) run
+    local, full 32-page windows run distributed; the whole run must
+    still match the golden simulator exactly."""
+    import pyarrow.parquet as pq
+
+    spec, d = small_world
+    cs = CrawlSpec(batch_size=32, wait_time=25.0, allowed_hosts=("*",),
+                   max_pages=150)
+    golden, eng = run_pair(spec, d, tmp_path, cs, mode=mode,
+                           small_window_local_max=16)
+    # both branches must actually have run
+    sizes = []
+    for f in sorted((tmp_path / f"run-{mode}" / "metrics").glob("*.parquet")):
+        sizes.extend(pq.read_table(f)["pages"].to_pylist())
+    assert any(s <= 16 for s in sizes), f"no local window in {sizes}"
+    assert any(s > 16 for s in sizes), f"no distributed window in {sizes}"
+    assert_parity(golden, eng)
