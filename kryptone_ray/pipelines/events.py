@@ -317,8 +317,14 @@ def q_events_asof_orders(sf_dir: str) -> pd.DataFrame:
              "sum_asof_orderkey": g["o_orderkey"].sum().to_numpy().astype("int64")}
         )
 
-    parts = joined.map_batches(asof_block, batch_format="pandas",
-                               batch_size=None).to_pandas()
+    parts_ds = joined.map_batches(asof_block, batch_format="pandas",
+                                  batch_size=None)
+    # per-user rows are complete per block (the join co-partitions by
+    # key), and per-user output is table-sized at 10^10 events — above
+    # the gate the Dataset streams out instead of landing on the driver
+    if parquet_rows(sf_dir, "events") >= DISTRIBUTED_SESSIONS_MIN_ROWS:
+        return parts_ds
+    parts = parts_ds.to_pandas()
     out = parts.groupby("user_id", sort=False, as_index=False).sum()
     out["n_matched"] = out["n_matched"].astype("int64")
     out["sum_asof_orderkey"] = out["sum_asof_orderkey"].astype("int64")
@@ -378,16 +384,21 @@ def q_events_asof_orders_sortmerge(sf_dir: str) -> pd.DataFrame:
              "sum_asof_orderkey":
                  g["o_orderkey"].sum().to_numpy().astype("int64")})
 
-    npart = join_partitions(parquet_rows(sf_dir, "events"))
+    n_rows = parquet_rows(sf_dir, "events")
+    npart = join_partitions(n_rows)
     with hash_shuffle():
         ev = T(sf_dir, "events", columns=["user_id", "event_id", "ts"]) \
             .map_batches(tag_events, batch_format="pandas", batch_size=65536)
         od = T(sf_dir, "orders",
                columns=["o_custkey", "o_orderkey", "o_orderdate"]) \
             .map_batches(tag_orders, batch_format="pandas", batch_size=65536)
-        out = ev.union(od).repartition(num_blocks=npart, keys=["key"]) \
+        parts_ds = ev.union(od).repartition(num_blocks=npart, keys=["key"]) \
             .map_batches(asof_block, batch_format="pandas",
-                         batch_size=None).to_pandas()
+                         batch_size=None)
+    # per-user output is table-sized — stream it above the gate
+    if n_rows >= DISTRIBUTED_SESSIONS_MIN_ROWS:
+        return parts_ds
+    out = parts_ds.to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -596,15 +607,16 @@ def q_events_value_band_join(sf_dir: str, band_cents: int = 5) -> pd.DataFrame:
         ev, cu = build_sides()
         out = band_block(pd.concat([ev.to_pandas(), cu.to_pandas()],
                                    ignore_index=True))
-    else:
-        with hash_shuffle():
-            ev, cu = build_sides()
-            out = ev.union(cu).repartition(
-                num_blocks=join_partitions(n_events), keys=["bucket"]) \
-                .map_batches(band_block, batch_format="pandas",
-                             batch_size=None).to_pandas()
-    out = out.astype("int64")
-    return out.sort_values(["event_id", "c_custkey"]).reset_index(drop=True)
+        out = out.astype("int64")
+        return out.sort_values(["event_id", "c_custkey"]) \
+            .reset_index(drop=True)
+    # pair output is table-sized (events x band density) — stream it
+    with hash_shuffle():
+        ev, cu = build_sides()
+        return ev.union(cu).repartition(
+            num_blocks=join_partitions(n_events), keys=["bucket"]) \
+            .map_batches(lambda df: band_block(df).astype("int64"),
+                         batch_format="pandas", batch_size=None)
 
 
 Q_EVENTS_VALUE_BAND_SQL = """
@@ -648,14 +660,14 @@ def q_events_gap_to_next(sf_dir: str) -> pd.DataFrame:
     n_rows = parquet_rows(sf_dir, "events")
     if n_rows < DISTRIBUTED_SESSIONS_MIN_ROWS:
         out = gaps(build().to_pandas())
-    else:
-        with hash_shuffle():
-            out = build().repartition(
-                num_blocks=join_partitions(n_rows),
-                keys=["user_id"]) \
-                .map_batches(gaps, batch_format="pandas",
-                             batch_size=None).to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+        return out.sort_values("event_id").reset_index(drop=True)
+    # per-event output is table-sized — stream it above the gate
+    with hash_shuffle():
+        return build().repartition(
+            num_blocks=join_partitions(n_rows),
+            keys=["user_id"]) \
+            .map_batches(gaps, batch_format="pandas",
+                         batch_size=None)
 
 
 Q_EVENTS_GAP_SQL = """
@@ -1583,14 +1595,13 @@ def q_events_pattern_matches(
         from kryptone_ray.pipelines.common import (hash_shuffle,
                                                    join_partitions)
 
+        # each user's events land whole in one block, so the per-block
+        # result is final — per-user output is table-sized: stream it
         with hash_shuffle():
-            parts = build().repartition(
+            return build().repartition(
                 num_blocks=join_partitions(n_rows), keys=["user_id"]) \
                 .map_batches(matches, batch_format="pandas",
-                             batch_size=None).to_pandas()
-        g = parts.groupby("user_id", sort=False)["n_matches"].sum()
-        out = pd.DataFrame({"user_id": g.index.astype("int64"),
-                            "n_matches": g.to_numpy().astype("int64")})
+                             batch_size=None)
     return out.sort_values("user_id").reset_index(drop=True)
 
 

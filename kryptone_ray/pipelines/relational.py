@@ -785,22 +785,25 @@ def q_top_orders_per_customer(sf_dir: str,
             .map_batches(partial_topk, batch_format="pandas",
                          batch_size=65536)
 
-    if n_orders < DISTRIBUTED_JOIN_MIN_ROWS:
-        out = final_topk(build_parts().to_pandas())
-    else:
-        from kryptone_ray.pipelines.common import hash_shuffle
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice"] = df.pop("cents") / 100.0
+        df["rnk"] = df["rnk"].astype("int64")
+        return df[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
 
-        with hash_shuffle():
-            # partials are k×keys-sized; repartition them, not orders
-            out = build_parts().repartition(
-                num_blocks=join_partitions(n_orders, rows_per_partition=500_000),
-                keys=["o_custkey"]) \
-                .map_batches(final_topk, batch_format="pandas",
-                             batch_size=None).to_pandas()
-    out["o_totalprice"] = out.pop("cents") / 100.0
-    out["rnk"] = out["rnk"].astype("int64")
-    out = out[["o_custkey", "rnk", "o_orderkey", "o_totalprice"]]
-    return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+    if n_orders < DISTRIBUTED_JOIN_MIN_ROWS:
+        out = finish(final_topk(build_parts().to_pandas()))
+        return out.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+    from kryptone_ray.pipelines.common import hash_shuffle
+
+    # k×customers output is table-sized — stream it above the gate
+    with hash_shuffle():
+        # partials are k×keys-sized; repartition them, not orders
+        return build_parts().repartition(
+            num_blocks=join_partitions(n_orders, rows_per_partition=500_000),
+            keys=["o_custkey"]) \
+            .map_batches(lambda df: finish(final_topk(df)),
+                         batch_format="pandas", batch_size=None)
 
 
 Q_TOP_ORDERS_PER_CUSTOMER_SQL = f"""
@@ -867,16 +870,17 @@ def q_customers_no_urgent(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame({"c_custkey": sub["key"],
                                  "c_mktsegment": sub["c_mktsegment"]})
 
+        # per-customer output is table-sized — stream it above the gate
         with hash_shuffle():
             both = build_cust().map_batches(
                 tag_cust, batch_format="pandas", batch_size=65536) \
                 .union(build_probe().map_batches(
                     tag_probe, batch_format="pandas", batch_size=65536))
-            out = both.repartition(
+            return both.repartition(
                 num_blocks=join_partitions(parquet_rows(sf_dir, "customer")),
                 keys=["key"]) \
                 .map_batches(anti_block, batch_format="pandas",
-                             batch_size=None).to_pandas()
+                             batch_size=None)
     out = out[["c_custkey", "c_mktsegment"]]
     return out.sort_values("c_custkey").reset_index(drop=True)
 
@@ -1042,16 +1046,17 @@ def q_customer_running_spend(sf_dir: str) -> pd.DataFrame:
 
     if n_orders < DISTRIBUTED_JOIN_MIN_ROWS:
         out = running(build().to_pandas())
-    else:
-        from kryptone_ray.pipelines.common import hash_shuffle
+        return out.sort_values(["o_custkey", "o_orderkey"]) \
+            .reset_index(drop=True)
+    from kryptone_ray.pipelines.common import hash_shuffle
 
-        with hash_shuffle():
-            out = build().repartition(
-                num_blocks=join_partitions(n_orders),
-                keys=["o_custkey"]) \
-                .map_batches(running, batch_format="pandas",
-                             batch_size=None).to_pandas()
-    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    # per-order output is table-sized — stream it above the gate
+    with hash_shuffle():
+        return build().repartition(
+            num_blocks=join_partitions(n_orders),
+            keys=["o_custkey"]) \
+            .map_batches(running, batch_format="pandas",
+                         batch_size=None)
 
 
 Q_CUSTOMER_RUNNING_SPEND_SQL = """
@@ -1109,19 +1114,21 @@ def q_orders_with_returns(sf_dir: str) -> pd.DataFrame:
         def semi_block(df: pd.DataFrame) -> pd.DataFrame:
             have = df.loc[df["is_probe"], "key"].unique()
             sub = df[~df["is_probe"] & df["key"].isin(have)]
+            price = (sub["o_totalprice"] * 100).round() / 100.0
             return pd.DataFrame({"o_orderkey": sub["key"],
-                                 "o_totalprice": sub["o_totalprice"]})
+                                 "o_totalprice": price})
 
+        # per-order output is table-sized — stream it above the gate
         with hash_shuffle():
             both = build_orders().map_batches(
                 tag_orders, batch_format="pandas", batch_size=65536) \
                 .union(build_probe().map_batches(
                     tag_probe, batch_format="pandas", batch_size=65536))
-            out = both.repartition(
+            return both.repartition(
                 num_blocks=join_partitions(parquet_rows(sf_dir, "orders")),
                 keys=["key"]) \
                 .map_batches(semi_block, batch_format="pandas",
-                             batch_size=None).to_pandas()
+                             batch_size=None)
     out["o_totalprice"] = (out["o_totalprice"] * 100).round() / 100.0
     out = out[["o_orderkey", "o_totalprice"]]
     return out.sort_values("o_orderkey").reset_index(drop=True)
@@ -1289,9 +1296,11 @@ def q_orders_with_returns_bloom(sf_dir: str) -> pd.DataFrame:
         def semi_block(df: pd.DataFrame) -> pd.DataFrame:
             have = df.loc[df["is_probe"], "key"].unique()
             sub = df[~df["is_probe"] & df["key"].isin(have)]
+            price = (sub["o_totalprice"] * 100).round() / 100.0
             return pd.DataFrame({"o_orderkey": sub["key"],
-                                 "o_totalprice": sub["o_totalprice"]})
+                                 "o_totalprice": price})
 
+        # per-order output is table-sized — stream it above the gate
         with hash_shuffle():
             cand = T(sf_dir, "orders",
                      columns=["o_orderkey", "o_totalprice"]) \
@@ -1299,11 +1308,11 @@ def q_orders_with_returns_bloom(sf_dir: str) -> pd.DataFrame:
                              batch_size=65536)
             both = cand.union(build_probe_keys().map_batches(
                 tag_probe, batch_format="pandas", batch_size=65536))
-            out = both.repartition(
+            return both.repartition(
                 num_blocks=join_partitions(parquet_rows(sf_dir, "orders")),
                 keys=["key"]) \
                 .map_batches(semi_block, batch_format="pandas",
-                             batch_size=None).to_pandas()
+                             batch_size=None)
     out["o_totalprice"] = (out["o_totalprice"] * 100).round() / 100.0
     out = out[["o_orderkey", "o_totalprice"]]
     return out.sort_values("o_orderkey").reset_index(drop=True)

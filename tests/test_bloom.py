@@ -47,11 +47,19 @@ def test_empty_keys():
 def test_bloom_semi_join_matches_plain(monkeypatch):
     from kryptone_ray.pipelines import relational
 
+    import ray.data as rd
+
+    def _df(res):
+        if not isinstance(res, rd.Dataset):
+            return res
+        return res.to_pandas().sort_values("o_orderkey") \
+            .reset_index(drop=True)
+
     SF = "/root/testdata/sf0.001"
-    plain = relational.q_orders_with_returns(SF)
-    via_bloom = relational.q_orders_with_returns_bloom(SF)
+    plain = _df(relational.q_orders_with_returns(SF))
+    via_bloom = _df(relational.q_orders_with_returns_bloom(SF))
     pd.testing.assert_frame_equal(plain, via_bloom, check_dtype=False)
-    # distributed shape too
+    # distributed shape too (streams a Dataset above the gate now)
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
-    big = relational.q_orders_with_returns_bloom(SF)
+    big = _df(relational.q_orders_with_returns_bloom(SF))
     pd.testing.assert_frame_equal(plain, big, check_dtype=False)

@@ -176,60 +176,66 @@ def test_topk_users_distributed_equals_driver(monkeypatch):
 def test_top_orders_per_customer_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import relational
 
-    small = relational.q_top_orders_per_customer(SF)
+    small = _df(relational.q_top_orders_per_customer(SF))
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
-    big = relational.q_top_orders_per_customer(SF)
-    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+    big = _df(relational.q_top_orders_per_customer(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big),
+                                  check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_customers_no_urgent_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import relational
 
-    small = relational.q_customers_no_urgent(SF)
+    small = _df(relational.q_customers_no_urgent(SF))
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
-    big = relational.q_customers_no_urgent(SF)
-    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+    big = _df(relational.q_customers_no_urgent(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big),
+                                  check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_value_band_join_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import events
 
-    small = events.q_events_value_band_join(SF)
+    small = _df(events.q_events_value_band_join(SF))
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
-    big = events.q_events_value_band_join(SF)
-    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+    big = _df(events.q_events_value_band_join(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big),
+                                  check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_running_spend_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import relational
 
-    small = relational.q_customer_running_spend(SF)
+    small = _df(relational.q_customer_running_spend(SF))
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
-    big = relational.q_customer_running_spend(SF)
-    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+    big = _df(relational.q_customer_running_spend(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big),
+                                  check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_gap_to_next_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import events
 
-    small = events.q_events_gap_to_next(SF)
+    small = _df(events.q_events_gap_to_next(SF))
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
-    big = events.q_events_gap_to_next(SF)
-    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+    big = _df(events.q_events_gap_to_next(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big),
+                                  check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_orders_with_returns_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import relational
 
-    small = relational.q_orders_with_returns(SF)
+    small = _df(relational.q_orders_with_returns(SF))
     monkeypatch.setattr(relational, "DISTRIBUTED_JOIN_MIN_ROWS", 0)
-    big = relational.q_orders_with_returns(SF)
-    pd.testing.assert_frame_equal(small, big, check_dtype=False)
+    big = _df(relational.q_orders_with_returns(SF))
+    pd.testing.assert_frame_equal(_norm(small), _norm(big),
+                                  check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -389,9 +395,9 @@ def test_analytics_distributed_equals_driver(monkeypatch, qname):
 def test_pattern_matches_distributed_equals_driver(monkeypatch):
     from kryptone_ray.pipelines import events
 
-    small = events.q_events_pattern_matches(SF)
+    small = _df(events.q_events_pattern_matches(SF))
     monkeypatch.setattr(events, "DISTRIBUTED_SESSIONS_MIN_ROWS", 0)
-    big = events.q_events_pattern_matches(SF)
+    big = _df(events.q_events_pattern_matches(SF))
     pd.testing.assert_frame_equal(_norm(small), _norm(big), check_dtype=False)
 
 

@@ -13,6 +13,14 @@ import pandas as pd
 import pytest
 
 
+def _df(res):
+    import ray.data as rd
+
+    return (res.to_pandas().sort_values(res.schema().names[0])
+            .reset_index(drop=True)
+            if isinstance(res, rd.Dataset) else res)
+
+
 def _random_world(seed: int, n_events: int = 400, n_orders: int = 120,
                   n_keys: int = 9):
     rng = np.random.default_rng(seed)
@@ -61,7 +69,7 @@ def test_asof_join_matches_reference_on_random_data(tmp_path, seed):
     pq.write_table(pa.Table.from_pandas(ev), sf / "events.parquet")
     pq.write_table(pa.Table.from_pandas(od), sf / "orders.parquet")
 
-    got = ev_mod.q_events_asof_orders(str(sf))
+    got = _df(ev_mod.q_events_asof_orders(str(sf)))
     exp = _reference_asof(ev, od)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
                                   check_dtype=False)
@@ -117,8 +125,8 @@ def test_asof_sortmerge_equals_join_strategy():
     exactly the hash-join strategy's output — same tie-breaks."""
     from kryptone_ray.pipelines import events
 
-    a = events.q_events_asof_orders("/root/testdata/sf0.001")
-    b = events.q_events_asof_orders_sortmerge("/root/testdata/sf0.001")
+    a = _df(events.q_events_asof_orders("/root/testdata/sf0.001"))
+    b = _df(events.q_events_asof_orders_sortmerge("/root/testdata/sf0.001"))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
