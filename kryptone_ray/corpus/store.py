@@ -37,6 +37,7 @@ once (blob only). Swapping in real Lance ``take`` replaces
 
 from __future__ import annotations
 
+import collections
 import os
 import pathlib
 
@@ -194,6 +195,49 @@ class CorpusReader:
         self._meta_cols = [n for n in schema.names if n != "bytes"]
         self._bytes_pos = self._schema_v1.names.index("bytes")
         self._mmaps: dict[int, np.memmap | bytes] = {}
+        # DECODED-GROUP LRU (politeness-regime lever): a collapsed crawl
+        # window takes ~50 scattered urls, so every take re-decodes the
+        # same metadata row groups (54% of a 60k-page politeness crawl's
+        # wall in the round-4 profile). Cache decoded META tables (fast
+        # path only — payload bytes stay in the blob mmap) under a row
+        # budget; at bench scale the whole metadata set fits (~10 MB),
+        # at 100 TB the budget bounds each fetch actor to a fixed slice
+        # and eviction keeps takes correct. 0 disables.
+        self._cache_budget = int(os.environ.get(
+            "KR_READER_CACHE_ROWS", str(1 << 19)))
+        self._group_cache: "collections.OrderedDict[tuple[int,int], pa.Table]" = (
+            collections.OrderedDict())
+        self._cache_rows = 0
+        # per-group row counts for slicing a batched multi-group read
+        self._group_rows: dict[tuple[int, int], int] = {}
+        for fi, f in enumerate(self.files):
+            md = f.metadata
+            for g in range(md.num_row_groups):
+                self._group_rows[(fi, g)] = md.row_group(g).num_rows
+
+    def _cached_groups(self, fi: int, groups: list[int],
+                       cols: list[str]) -> pa.Table:
+        """Concatenate the decoded meta tables of ``groups`` of file
+        ``fi``, reading only cache-missing groups (one batched
+        read_row_groups call), then LRU-inserting each."""
+        missing = [g for g in groups if (fi, g) not in self._group_cache]
+        if missing:
+            t = self.files[fi].read_row_groups(sorted(missing), columns=cols)
+            off = 0
+            for g in sorted(missing):
+                n = self._group_rows[(fi, g)]
+                self._group_cache[(fi, g)] = t.slice(off, n)
+                self._cache_rows += n
+                off += n
+            while (self._cache_rows > self._cache_budget
+                   and len(self._group_cache) > len(groups)):
+                _, old = self._group_cache.popitem(last=False)
+                self._cache_rows -= len(old)
+        parts = []
+        for g in groups:
+            self._group_cache.move_to_end((fi, g))
+            parts.append(self._group_cache[(fi, g)])
+        return pa.concat_tables(parts)
 
     def _blob(self, fi: int):
         m = self._mmaps.get(fi)
@@ -230,8 +274,11 @@ class CorpusReader:
         for fi in np.unique(self.rg_file[sel]):
             groups = self.rg_group[sel[self.rg_file[sel] == fi]].tolist()
             cols = self._meta_cols if self.fast else None
-            t = self.files[int(fi)].read_row_groups(sorted(groups),
-                                                    columns=cols)
+            if self.fast and self._cache_budget > 0:
+                t = self._cached_groups(int(fi), sorted(groups), cols)
+            else:
+                t = self.files[int(fi)].read_row_groups(sorted(groups),
+                                                        columns=cols)
             t = t.filter(pc.is_in(t[KEY], value_set=key_arr))
             if len(t):
                 # exact string match keeps this exact under hash collision

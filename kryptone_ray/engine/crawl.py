@@ -30,6 +30,7 @@ WITHOUT re-fetching completed batches.
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import shutil
 
@@ -162,6 +163,12 @@ def _worker_reader(corpus_dir: str) -> CorpusReader:
         r = CorpusReader(corpus_dir)
         _READER_CACHE[corpus_dir] = r
     return r
+
+
+def _env_flag_off(name: str) -> bool:
+    """True when the env var explicitly disables a default-on feature
+    ("0"/"off"/"false", case-insensitive); unset or anything else = on."""
+    return os.environ.get(name, "").strip().lower() in ("0", "off", "false")
 
 
 def _empty_validated() -> pa.Table:
@@ -402,11 +409,31 @@ class RayCrawler:
             self.seed(seeds)
         assert self.vcfg is not None, "seed() first (or resume())"
         batches_done = 0
-        while True:
+        # CROSS-WINDOW PIPELINING (politeness-ON lever): window N+1's
+        # fetch+decode+validate runs in ONE background thread while the
+        # driver writes window N's visits/lineage/metrics parquet. Visit
+        # order and all state are UNCHANGED: the next window is popped at
+        # exactly the point the sequential loop pops it (after window N's
+        # ingest), the stage body is side-effect-free without hooks, and
+        # seen/scheduler mutations stay on the driver thread. Disabled
+        # when lifecycle hooks are registered (their contract is 'window
+        # ingested, next window NOT yet selected') and skipped across a
+        # checkpoint boundary (the checkpoint must capture the frontier
+        # BEFORE the next pop so a resume re-pops the same window).
+        pipeline_ok = (
+            not self.hooks
+            and self.before_next_page_actions is None
+            and not _env_flag_off("KR_BENCH_PIPELINE_WINDOWS")
+        )
+        executor = None
+        pending: tuple[pa.Table, object] | None = None
+
+        def _pop_window() -> pa.Table | None:
             if max_batches is not None and batches_done >= max_batches:
-                break
-            if self.spec.max_pages is not None and self.pages_visited >= self.spec.max_pages:
-                break
+                return None
+            if (self.spec.max_pages is not None
+                    and self.pages_visited >= self.spec.max_pages):
+                return None
             # sim semantics: pages beyond max_pages stay in the frontier.
             # pop_batch(limit) never over-pops (sequential-greedy prefix
             # property), so visit_counter/clock advance only for pages
@@ -416,8 +443,8 @@ class RayCrawler:
                     if self.spec.max_pages is not None else None)
             urls, depths, idxs, ts, bidx = self.sched.pop_batch(limit=room)
             if not urls:
-                break
-            batch = pa.table(
+                return None
+            return pa.table(
                 {
                     "url": pa.array(urls, type=pa.string()),
                     "depth": pa.array(depths, type=pa.int32()),
@@ -426,59 +453,112 @@ class RayCrawler:
                     "batch_idx": pa.array([bidx] * len(urls), type=pa.int64()),
                 }
             )
-            # small-window gate: below the threshold the distributed
-            # modes run the window driver-side (same stage body; see
-            # __init__ note) — politeness-collapsed windows stop paying
-            # per-window task dispatch
-            run_local = (self.mode not in ("ray", "tasks")
-                         or len(urls) <= self.small_window_local_max)
-            try:
-                if not run_local and self.mode == "ray":
-                    validated = self._process_batch_ray(batch)
-                elif not run_local and self.mode == "tasks":
-                    validated = self._process_batch_tasks(batch)
-                else:
-                    validated, lineage, visits = self._process_batch_local(batch)
-                    self.errors += sum(1 for s in visits["status"].to_pylist() if s != "ok")
-                    pq.write_table(visits, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
-                    pq.write_table(lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
-            except Exception as exc:
-                # after_fail hook (base.py:818-825): dump-before-dying —
-                # the subclass gets one shot at salvaging state, then the
-                # failure propagates unchanged
-                if self.after_fail is not None:
-                    self.after_fail(exc)
-                raise
 
-            self.pages_visited += len(urls)
-            self._ingest_validated(validated)
-            # per-window metrics record (north rule: every partition emits
-            # lineage AND metrics to the checkpoint store) — the
-            # distributed Performance counters (base.py:199-250)
-            mt = pa.table(
-                {
-                    "batch_idx": pa.array([bidx], type=pa.int64()),
-                    "virtual_ts": pa.array([ts], type=pa.float64()),
-                    "pages": pa.array([len(urls)], type=pa.int64()),
-                    "pages_visited_total": pa.array(
-                        [self.pages_visited], type=pa.int64()
-                    ),
-                    "frontier_size": pa.array([self.sched.size()], type=pa.int64()),
-                    "seen_size": pa.array([self.seen.size()], type=pa.int64()),
-                }
-            )
-            pq.write_table(mt, self.run_dir / "metrics" / f"batch-{bidx:08d}.parquet")
-            if self.before_next_page_actions is not None:
-                # batch-wise before_next_page_actions (base.py:812-816):
-                # the window is fully visited and ingested, the politeness
-                # wait has (virtually) expired, the next window not yet
-                # selected — the hook sees the just-visited url list
-                self.before_next_page_actions(list(urls))
-            batches_done += 1
-            if checkpoint_every and (bidx + 1) % checkpoint_every == 0:
-                # overlapped: state captured here, IO rides under the
-                # next window's compute
-                self.checkpoint(overlap=True)
+        try:
+            while True:
+                if pending is not None:
+                    batch, fut = pending
+                    pending = None
+                else:
+                    batch = _pop_window()
+                    if batch is None:
+                        break
+                    fut = None
+                n_urls = len(batch)
+                bidx = int(batch["batch_idx"][0].as_py())
+                ts = float(batch["ts"][0].as_py())
+                # small-window gate: below the threshold the distributed
+                # modes run the window driver-side (same stage body; see
+                # __init__ note) — politeness-collapsed windows stop paying
+                # per-window task dispatch
+                run_local = (self.mode not in ("ray", "tasks")
+                             or n_urls <= self.small_window_local_max)
+                lineage = visits = None
+                try:
+                    if fut is not None:
+                        validated, lineage, visits = fut.result()
+                    elif not run_local and self.mode == "ray":
+                        validated = self._process_batch_ray(batch)
+                    elif not run_local and self.mode == "tasks":
+                        validated = self._process_batch_tasks(batch)
+                    else:
+                        validated, lineage, visits = self._process_batch_local(batch)
+                except Exception as exc:
+                    # after_fail hook (base.py:818-825): dump-before-dying —
+                    # the subclass gets one shot at salvaging state, then the
+                    # failure propagates unchanged
+                    if self.after_fail is not None:
+                        self.after_fail(exc)
+                    raise
+
+                self.pages_visited += n_urls
+                self._ingest_validated(validated)
+                batches_done += 1
+                # frontier/seen sizes captured HERE (post-ingest,
+                # pre-next-pop) so the metrics row is identical to the
+                # sequential loop's even when the next window is popped
+                # early below
+                frontier_size = self.sched.size()
+                seen_size = self.seen.size()
+                will_ckpt = bool(checkpoint_every
+                                 and (bidx + 1) % checkpoint_every == 0)
+                if pipeline_ok and not will_ckpt:
+                    nxt = _pop_window()
+                    if nxt is not None:
+                        nxt_local = (self.mode not in ("ray", "tasks")
+                                     or len(nxt) <= self.small_window_local_max)
+                        if nxt_local:
+                            if executor is None:
+                                from concurrent.futures import ThreadPoolExecutor
+
+                                executor = ThreadPoolExecutor(max_workers=1)
+                            pending = (
+                                nxt,
+                                executor.submit(self._process_batch_local, nxt),
+                            )
+                        else:
+                            # a bulk window keeps the distributed path; it
+                            # is processed synchronously next iteration
+                            pending = (nxt, None)
+                # window N bookkeeping rides under window N+1's fetch
+                if visits is not None:
+                    self.errors += sum(
+                        1 for s in visits["status"].to_pylist() if s != "ok")
+                    pq.write_table(
+                        visits, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
+                    pq.write_table(
+                        lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
+                # per-window metrics record (north rule: every partition emits
+                # lineage AND metrics to the checkpoint store) — the
+                # distributed Performance counters (base.py:199-250)
+                mt = pa.table(
+                    {
+                        "batch_idx": pa.array([bidx], type=pa.int64()),
+                        "virtual_ts": pa.array([ts], type=pa.float64()),
+                        "pages": pa.array([n_urls], type=pa.int64()),
+                        "pages_visited_total": pa.array(
+                            [self.pages_visited], type=pa.int64()
+                        ),
+                        "frontier_size": pa.array([frontier_size], type=pa.int64()),
+                        "seen_size": pa.array([seen_size], type=pa.int64()),
+                    }
+                )
+                pq.write_table(mt, self.run_dir / "metrics" / f"batch-{bidx:08d}.parquet")
+                if self.before_next_page_actions is not None:
+                    # batch-wise before_next_page_actions (base.py:812-816):
+                    # the window is fully visited and ingested, the politeness
+                    # wait has (virtually) expired, the next window not yet
+                    # selected — the hook sees the just-visited url list
+                    # (pipeline_ok is False whenever this hook is set, so
+                    # the next window really is not selected yet)
+                    self.before_next_page_actions(batch["url"].to_pylist())
+                if will_ckpt:
+                    # overlapped: state captured here, IO rides under the
+                    # next window's compute
+                    self.checkpoint(overlap=True)
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
         self.checkpoint_join()
         return self.metrics()
 
@@ -642,6 +722,10 @@ class RayCrawler:
                 _ray.put(self.hooks),
             )
         ol_ref, vcfg_ref, hooks_ref = self._cfg_refs
+        # the in-actor ingest's anti-join must observe every driver-path
+        # addition made by gated local windows (cross-submitter ordering
+        # is not guaranteed, so this waits); no-op when nothing is buffered
+        self.seen.push_pending()
         refs = [
             self._stage_task.remote(
                 s, self.corpus_dir, ol_ref, vcfg_ref,
@@ -659,6 +743,7 @@ class RayCrawler:
             urls.extend(f["url"])
             hosts.extend(f["host"])
             depths.extend(f["depth"])
+            self.seen.note_flushed(f["hash"])
         if urls:
             self.sched.add(urls, hosts, depths)
         return _empty_validated()

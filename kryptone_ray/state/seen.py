@@ -105,6 +105,19 @@ class SeenShardLocal:
             )
         return self.filter.contains_batch(h)
 
+    def add_seen(self, hashes: np.ndarray, urls: list[str] | None = None) -> int:
+        """Unconditionally mark ``hashes`` seen (driver-overlay push: the
+        driver already did the anti-join; this just lands the authority
+        and the snapshot urls in the shard)."""
+        h = hashes.astype(np.uint64, copy=False)
+        if self.mode == "exact":
+            self.exact.update(int(x) for x in h)
+        else:
+            self.filter.insert_batch(h)
+        if urls is not None:
+            self._record_urls(h, urls)
+        return len(h)
+
     # --- windowed (pipelined) ingest ----------------------------------
     # The exact, order-free frontier update for a politeness window
     # processed by concurrent slices: every slice streams its validated
@@ -158,7 +171,8 @@ class SeenShardLocal:
         pend = getattr(self, "_pending", None)
         if not pend:
             self._pending = {}
-            return {"url": [], "host": [], "depth": []}
+            return {"url": [], "host": [], "depth": [],
+                    "hash": np.empty(0, dtype=np.uint64)}
         keys = np.fromiter(pend.keys(), dtype=np.uint64, count=len(pend))
         if self.mode == "exact":
             self.exact.update(int(x) for x in keys)
@@ -174,7 +188,10 @@ class SeenShardLocal:
                 depths_out.append(depth)
         self._record_urls(keys, all_urls)
         self._pending = {}
-        return {"url": urls_out, "host": hosts_out, "depth": depths_out}
+        # 'hash': every hash this window committed — the driver overlay's
+        # mirror update (SeenSet.note_flushed) in mixed regimes
+        return {"url": urls_out, "host": hosts_out, "depth": depths_out,
+                "hash": keys}
 
     def size(self) -> int:
         return len(self.exact) if self.mode == "exact" else self.filter.count
@@ -241,7 +258,24 @@ SeenShard = ray.remote(SeenShardLocal)
 
 
 class SeenSet:
-    """Driver-side handle over the shard actor pool."""
+    """Driver-side handle over the shard actor pool.
+
+    DRIVER OVERLAY (exact mode): the politeness regime routes ~98% of
+    windows through the driver (small-window gate), and each window's
+    anti-join + metrics ``size()`` paid a blocking actor round-trip —
+    measured ~20 s of a 60k-page politeness crawl. In exact mode the
+    driver keeps a COMPLETE hash mirror: ``check_and_add``/``contains``/
+    ``size`` answer locally with zero RPCs; (hash, url) additions are
+    buffered and pushed to the shard actors only when shard state must
+    be authoritative — before a distributed window's in-actor ingest,
+    before any snapshot, and before ``sorted_urls``. Distributed
+    windows report their newly committed hashes back via
+    ``flush_window``'s ``hash`` field (``note_flushed``), which keeps
+    the mirror complete in mixed regimes. Cuckoo mode keeps the RPC
+    path: its filter is the single approximate authority, and a 10^10-
+    key driver mirror is exactly the memory blow-up cuckoo mode exists
+    to avoid (at that scale the bulk regime never touches the driver
+    path anyway)."""
 
     def __init__(self, num_shards: int = 4, capacity_per_shard: int = 1 << 22,
                  mode: str = "exact", delta_dir: str | None = None):
@@ -253,6 +287,11 @@ class SeenSet:
             )
             for i in range(num_shards)
         ]
+        self._overlay = mode == "exact"
+        self._mirror: set[int] = set()
+        # buffered driver-path additions not yet in the shard actors:
+        # list of (hashes ndarray, urls list | None)
+        self._push_buf: list[tuple[np.ndarray, list[str] | None]] = []
 
     def _split(self, hashes: np.ndarray):
         shard_of = hashes % np.uint64(self.num_shards)
@@ -261,6 +300,24 @@ class SeenSet:
     def check_and_add(self, hashes: np.ndarray, urls: list[str] | None = None) -> np.ndarray:
         """Batched anti-join across shards; preserves input order."""
         h = hashes.astype(np.uint64, copy=False)
+        if self._overlay:
+            mirror = self._mirror
+            is_new = np.fromiter(
+                (int(x) not in mirror for x in h), count=len(h), dtype=bool
+            )
+            # first-occurrence-only within the batch
+            _, first_idx = np.unique(h, return_index=True)
+            first_mask = np.zeros(len(h), dtype=bool)
+            first_mask[first_idx] = True
+            is_new &= first_mask
+            if is_new.any():
+                idx = np.flatnonzero(is_new)
+                fresh = h[idx]
+                mirror.update(int(x) for x in fresh)
+                self._push_buf.append(
+                    (fresh, [urls[i] for i in idx] if urls is not None else None)
+                )
+            return is_new
         shard_of = self._split(h)
         out = np.zeros(len(h), dtype=bool)
         refs, idxs = [], []
@@ -275,8 +332,42 @@ class SeenSet:
             out[idx] = res
         return out
 
+    def push_pending(self) -> None:
+        """Ship buffered driver-path additions to the shard actors and
+        WAIT — callers need cross-submitter visibility (a slice task's
+        ``ingest_window`` must observe them). Rare by construction: once
+        per distributed window / snapshot, not per window."""
+        if not self._push_buf:
+            return
+        buf, self._push_buf = self._push_buf, []
+        h = np.concatenate([b[0] for b in buf])
+        have_urls = all(b[1] is not None for b in buf)
+        urls: list[str] | None = None
+        if have_urls:
+            urls = [u for b in buf for u in b[1]]
+        shard_of = self._split(h)
+        refs = []
+        for s in range(self.num_shards):
+            idx = np.flatnonzero(shard_of == np.uint64(s))
+            if len(idx) == 0:
+                continue
+            sub_urls = [urls[i] for i in idx] if urls is not None else None
+            refs.append(self.shards[s].add_seen.remote(h[idx], sub_urls))
+        ray.get(refs)
+
+    def note_flushed(self, hashes) -> None:
+        """Fold a distributed window's newly committed hashes (the
+        ``hash`` field of ``flush_window``) into the driver mirror."""
+        if self._overlay and len(hashes):
+            self._mirror.update(int(x) for x in np.asarray(hashes))
+
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64, copy=False)
+        if self._overlay:
+            mirror = self._mirror
+            return np.fromiter(
+                (int(x) in mirror for x in h), count=len(h), dtype=bool
+            )
         shard_of = self._split(h)
         out = np.zeros(len(h), dtype=bool)
         refs, idxs = [], []
@@ -291,6 +382,8 @@ class SeenSet:
         return out
 
     def size(self) -> int:
+        if self._overlay:
+            return len(self._mirror)
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     def snapshot(self, directory: str) -> int:
@@ -302,7 +395,11 @@ class SeenSet:
         submission order, so a snapshot submitted at a window boundary
         captures exactly the boundary state even if the caller then
         pipelines the next window's ``check_and_add`` calls behind it —
-        the overlapped-checkpoint contract (engine/crawl.checkpoint)."""
+        the overlapped-checkpoint contract (engine/crawl.checkpoint).
+        Buffered overlay additions are pushed first (synchronously), so
+        the snapshot captures exactly the boundary state; driver
+        ``check_and_add`` calls made after this return only buffer."""
+        self.push_pending()
         d = pathlib.Path(directory)
         d.mkdir(parents=True, exist_ok=True)
         return [
@@ -312,7 +409,7 @@ class SeenSet:
 
     def restore(self, directory: str) -> int:
         d = pathlib.Path(directory)
-        return sum(
+        n = sum(
             ray.get(
                 [
                     s.restore.remote(str(d / f"seen-{i:03d}.parquet"))
@@ -320,11 +417,17 @@ class SeenSet:
                 ]
             )
         )
+        if self._overlay:
+            for f in sorted(d.glob("seen-*.parquet")):
+                h = pq.read_table(f, columns=["url_hash"])["url_hash"].to_numpy()
+                self._mirror.update(int(x) for x in h)
+        return n
 
     def sorted_urls(self) -> list[str]:
         """All seen URLs in lexicographic order — reproduces the
         ``seen_urls.csv`` ordering contract (base.py:577-588)."""
         import itertools
 
+        self.push_pending()
         all_urls = ray.get([s.snapshot_urls.remote() for s in self.shards])
         return sorted(itertools.chain.from_iterable(all_urls))
