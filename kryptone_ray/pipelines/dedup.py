@@ -755,11 +755,416 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
         out = pd.concat(ray.get(refs), ignore_index=True)
         return out.sort_values("source").reset_index(drop=True)
 
+    # per-source counts (metadata-sized: partial counts per block, tiny
+    # driver combine) decide which sources outgrow a single map_groups
+    # task — a 10^8-doc source can't run as ONE in-task scan, however
+    # sub-quadratic; those take the distributed exact census instead.
     ds = T(sf_dir, "documents", columns=["doc_id", "source", "text"])
-    out = ds.groupby("source").map_groups(
-        lambda g: _ngram_census_group(g, threshold),
-        batch_format="pandas").to_pandas()
+    cnt = ds.map_batches(
+        lambda df: df.groupby("source", sort=False).size()
+        .rename("n").reset_index(),
+        batch_format="pandas", batch_size=None).to_pandas() \
+        .groupby("source")["n"].sum()
+    hot_sources = frozenset(cnt[cnt > NGRAM_DISTRIBUTED_MIN_DOCS].index)
+
+    parts: list[pd.DataFrame] = []
+    if len(hot_sources) < len(cnt):
+        small = ds.map_batches(
+            lambda df: df[~df["source"].isin(hot_sources)],
+            batch_format="pandas", batch_size=None)
+        parts.append(small.groupby("source").map_groups(
+            lambda g: _ngram_census_group(g, threshold),
+            batch_format="pandas").to_pandas())
+    if hot_sources:
+        parts.append(_ngram_census_distributed(
+            sf_dir, threshold, hot_sources,
+            {s: int(cnt[s]) for s in hot_sources}))
+    out = pd.concat(parts, ignore_index=True)
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------
+# Distributed EXACT n-gram census (Vernica, Carey & Li 2010, "Efficient
+# Parallel Set-Similarity Joins Using MapReduce", SIGMOD — the
+# prefix-token groupby formulation of the same AllPairs/PPJoin family
+# the in-task scan uses). A source past NGRAM_DISTRIBUTED_MIN_DOCS
+# stops being one map_groups task and fans out:
+#
+#   docs → gram-set hashes (vectorized byte-packing, one map_batches)
+#        → class collapse on set-hash        (J=1 families → ONE row)
+#        → heavy-hitter gram census          (ordering heuristic only)
+#        → symmetric-prefix emission         (hot grams demoted last)
+#        → per-bucket candidates ∪ overflow-bucket in-task scans
+#        → distributed two-join exact verify → idempotent dup flags
+#        → per-source Σ n_members over flagged classes.
+#
+# EXACTNESS: with prefix length |x| − ⌈t/(1+t)·|x|⌉ + 1 under ANY fixed
+# total gram order, J(A,B) ≥ t forces a common gram in BOTH prefixes
+# (each common gram outside prefix(A)∩prefix(B) lies in one of the two
+# suffixes, so o ≤ k_A + k_B < t/(1+t)·(|A|+|B|) ≤ o — contradiction).
+# Every qualifying pair therefore co-occurs in ≥ 1 bucket, and dup
+# FLAGS are idempotent, so no lowest-common-gram dedup is needed; the
+# hot-gram demotion and the overflow-bucket path change only WHERE a
+# pair is found, never whether. Census output is identical to
+# _ngram_per_source (equality-tested on forced gates).
+# ---------------------------------------------------------------------
+
+# a source past this doc count runs the distributed census; below it
+# the in-task prefix-filter scan wins (no shuffle). Tests force the
+# distributed path by patching to 0.
+NGRAM_DISTRIBUTED_MIN_DOCS = 150_000
+# grams with (approximate) document frequency past this are demoted to
+# the END of the prefix ordering so buckets stay rare-gram-sized;
+# affects bucket sizes only, never the census result.
+NGRAM_HH_DF = 256
+# prefix buckets larger than this skip pair emission (CAP² pair rows
+# per bucket otherwise) and are re-scanned in-task instead — the same
+# exact scan, one bounded task per degenerate bucket.
+NGRAM_BUCKET_CAP = 1024
+
+_GRAM_POW = np.uint64(256) ** np.arange(4, -1, -1, dtype=np.uint64)
+
+
+def _pack_gram(g: str) -> int:
+    b = g.encode("latin-1")
+    h = int((np.frombuffer(b, np.uint8).astype(np.uint64)
+             * _GRAM_POW[5 - len(b):]).sum()) if b else 0
+    return h | (len(b) << 40)
+
+
+def _gram_hashes(text: str) -> np.ndarray:
+    """Sorted unique uint64 encodings of the char-5-grams of
+    ``text.lower()`` — the distributed census's shuffle currency.
+    Latin-1 grams byte-pack INJECTIVELY into bits 0-42 (5 bytes +
+    length tag), so equality of encodings is equality of grams — the
+    collapse/verify stages stay exact. Grams containing chars > U+00FF
+    fall back to XXH64 with bit 63 set (disjoint keyspace; 64-bit
+    collisions are the documented residual for non-latin-1 text)."""
+    t = text.lower()
+    try:
+        b = np.frombuffer(t.encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        grams = {t[i: i + 5] for i in range(max(1, len(t) - 4))}
+        return np.unique(np.fromiter(
+            ((np.uint64(xxh64(g)) | np.uint64(1 << 63))
+             if any(ord(c) > 255 for c in g) else np.uint64(_pack_gram(g))
+             for g in grams), dtype=np.uint64, count=len(grams)))
+    n = len(b)
+    if n < 5:
+        return np.array([_pack_gram(t)], dtype=np.uint64)
+    w = np.lib.stride_tricks.sliding_window_view(b, 5).astype(np.uint64)
+    h = (w * _GRAM_POW).sum(axis=1) | np.uint64(5 << 40)
+    return np.unique(h)
+
+
+def _hashed_prefix_census(arrs: list[np.ndarray], threshold: float) -> np.ndarray:
+    """In-task exact census over hashed gram-set arrays (sorted unique
+    uint64): the probe-prefix AllPairs scan of _ngram_per_source_fast,
+    array-native (numpy intersections, not python set churn) so a
+    degenerate 10^5-member bucket is bounded work. Index is FULL and
+    probes use the short |x| − ⌈t·|x|⌉ + 1 prefix: for sz_A ≤ sz_B,
+    o ≥ t·|A∪B| ≥ t·sz_B, so the overlap cannot hide in B's suffix —
+    exact. Both-flagged skip amortizes dense cliques."""
+    import math
+    from collections import defaultdict
+
+    n = len(arrs)
+    dup = np.zeros(n, dtype=bool)
+    if n < 2:
+        return dup
+    uniq, cnts = np.unique(np.concatenate(arrs), return_counts=True)
+    sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+    index: dict[int, list[int]] = defaultdict(list)
+    for ci in np.argsort(sizes, kind="stable"):
+        a = arrs[ci]
+        sz = int(sizes[ci])
+        p = sz - math.ceil(threshold * sz) + 1
+        dfs = cnts[np.searchsorted(uniq, a)]
+        cand: set[int] = set()
+        for g in a[np.lexsort((a, dfs))][:p]:
+            cand.update(index[int(g)])
+        for cj in cand:
+            if dup[ci] and dup[cj]:
+                continue
+            if sizes[cj] < threshold * sz or sizes[cj] > sz / threshold:
+                continue
+            inter = np.intersect1d(a, arrs[cj], assume_unique=True).size
+            if inter and inter / (sz + sizes[cj] - inter) >= threshold:
+                dup[ci] = dup[cj] = True
+        for g in a:
+            index[int(g)].append(int(ci))
+    return dup
+
+
+def _ngram_census_distributed(sf_dir: str, threshold: float,
+                              hot_sources: frozenset,
+                              src_counts: dict) -> pd.DataFrame:
+    """Exact near-dup census for sources too large for one in-task
+    scan — see the section comment above for the plan and the
+    exactness argument. Strings leave the read stage as uint64 gram
+    arrays (bytes-packed, ~8B/gram); the widest shuffle is the prefix
+    emission at ~0.56·|grams| rows/class of (source, gram, id, sz)."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from kryptone_ray.pipelines.common import (hash_shuffle,
+                                               join_partitions)
+
+    n_total = sum(src_counts.values())
+    npart = join_partitions(n_total)
+    sym = threshold / (1.0 + threshold)
+
+    def gram_batch(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, dids, szs, shs, blobs = [], [], [], [], []
+        for src, did, text in zip(df["source"], df["doc_id"], df["text"]):
+            if src not in hot_sources:
+                continue
+            h = _gram_hashes(text)
+            srcs.append(src)
+            dids.append(int(did))
+            szs.append(len(h))
+            shs.append(xxh64(h.tobytes()))
+            blobs.append(h.tobytes())
+        return pd.DataFrame({
+            "source": pd.Series(srcs, dtype="object"),
+            "doc_id": pd.array(dids, dtype="int64"),
+            "sz": pd.array(szs, dtype="int64"),
+            "set_hash": np.array(shs, dtype=np.uint64),
+            "grams": pd.Series(blobs, dtype="object")})
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "set_hash"], sort=False)
+        out = g.agg(class_id=("doc_id", "min"),
+                    n_members=("doc_id", "size"),
+                    sz=("sz", "first"),
+                    grams=("grams", "first")).reset_index()
+        return out[["source", "class_id", "n_members", "sz", "grams"]]
+
+    def hh_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"gram": pd.array([], dtype="uint64"),
+                                 "n": pd.array([], dtype="int64")})
+        cat = np.concatenate(
+            [np.frombuffer(b, np.uint64) for b in df["grams"]])
+        g, c = np.unique(cat, return_counts=True)
+        m = c >= 2  # locally-unique grams can't be heavy; ordering-only
+        return pd.DataFrame({"gram": g[m], "n": c[m]})
+
+    def hh_combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("gram", sort=False)["n"].sum()
+        return s[s >= NGRAM_HH_DF].reset_index()[["gram"]]
+
+    with hash_shuffle():
+        ds = T(sf_dir, "documents", columns=["doc_id", "source", "text"],
+               rows_per_block=4096)
+        classes = ds.map_batches(gram_batch, batch_format="pandas",
+                                 batch_size=2048) \
+            .repartition(num_blocks=npart, keys=["source", "set_hash"]) \
+            .map_batches(collapse, batch_format="pandas",
+                         batch_size=None).materialize()
+
+        hh = classes.map_batches(hh_partial, batch_format="pandas",
+                                 batch_size=None) \
+            .repartition(num_blocks=npart, keys=["gram"]) \
+            .map_batches(hh_combine, batch_format="pandas",
+                         batch_size=None).to_pandas()
+        hot_arr = np.sort(hh["gram"].to_numpy(dtype=np.uint64)) \
+            if "gram" in hh.columns else np.empty(0, np.uint64)
+        hot_ref = ray.put(hot_arr)
+
+        def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
+            hot = ray.get(hot_ref)
+            pres, keys = [], []
+            for src, cid, sz, b in zip(df["source"], df["class_id"],
+                                       df["sz"], df["grams"]):
+                arr = np.frombuffer(b, np.uint64)
+                p = int(sz) - math.ceil(sym * int(sz)) + 1
+                if len(arr) > p:
+                    if len(hot):
+                        ix = np.searchsorted(hot, arr)
+                        ishot = (ix < len(hot)) & \
+                            (hot[np.minimum(ix, len(hot) - 1)] == arr)
+                    else:
+                        ishot = np.zeros(len(arr), dtype=bool)
+                    arr = arr[np.lexsort((arr, ishot))][:p]  # cold first
+                pres.append(arr)
+                keys.append((src, cid, sz, len(arr)))
+            if not pres:
+                return pd.DataFrame({
+                    "source": [], "gram": pd.array([], dtype="uint64"),
+                    "class_id": pd.array([], dtype="int64"),
+                    "sz": pd.array([], dtype="int64")})
+            reps = np.array([k[3] for k in keys])
+            return pd.DataFrame({
+                "source": np.repeat([k[0] for k in keys], reps),
+                "gram": np.concatenate(pres),
+                "class_id": np.repeat([k[1] for k in keys], reps),
+                "sz": np.repeat([k[2] for k in keys], reps)})
+
+        prefix_ds = classes.map_batches(
+            prefix_emit, batch_format="pandas",
+            batch_size=None).materialize()
+
+        # bucket census (the minhash hot-bucket pattern): per-block
+        # partial counts → combine per hash partition → the driver
+        # receives ONLY buckets past the cap (≤ rows/CAP entries)
+        def bkt_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["source", "gram"], sort=False).size() \
+                .rename("n").reset_index()
+
+        def bkt_hot(df: pd.DataFrame) -> pd.DataFrame:
+            s = df.groupby(["source", "gram"], sort=False)["n"].sum()
+            return s[s > NGRAM_BUCKET_CAP].reset_index()[["source", "gram"]]
+
+        hotb = prefix_ds.map_batches(bkt_partial, batch_format="pandas",
+                                     batch_size=None) \
+            .repartition(num_blocks=npart, keys=["source", "gram"]) \
+            .map_batches(bkt_hot, batch_format="pandas",
+                         batch_size=None).to_pandas()
+        if "gram" not in hotb.columns:
+            hotb = pd.DataFrame({"source": [], "gram": []})
+        hotb_ref = ray.put(frozenset(
+            zip(hotb["source"], hotb["gram"].astype(np.uint64))))
+
+        def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            over = ray.get(hotb_ref)
+            a_out, b_out, s_out = [], [], []
+            for (src, g), grp in df.groupby(["source", "gram"],
+                                            sort=False):
+                if len(grp) < 2 or (src, np.uint64(g)) in over:
+                    continue
+                szs = grp["sz"].to_numpy()
+                ids = grp["class_id"].to_numpy()
+                o = np.argsort(szs, kind="stable")
+                szs, ids = szs[o], ids[o]
+                for k in range(len(ids) - 1):
+                    lim = szs[k] / threshold
+                    j = k + 1
+                    while j < len(ids) and szs[j] <= lim:
+                        a, b = ids[k], ids[j]
+                        s_out.append(src)
+                        a_out.append(min(a, b))
+                        b_out.append(max(a, b))
+                        j += 1
+            return pd.DataFrame({
+                "source": s_out,
+                "ca": pd.array(a_out, dtype="int64"),
+                "cb": pd.array(b_out, dtype="int64")})
+
+        cand = prefix_ds.repartition(num_blocks=npart,
+                                     keys=["source", "gram"]) \
+            .map_batches(bucket_pairs, batch_format="pandas",
+                         batch_size=None) \
+            .repartition(num_blocks=npart, keys=["source", "ca", "cb"]) \
+            .map_batches(lambda df: df.drop_duplicates(),
+                         batch_format="pandas", batch_size=None)
+
+        # exact verify: attach both gram arrays via two hash joins
+        # (the minhash distributed-verify shape), J per pair per block
+        view_a = classes.map_batches(
+            lambda df: df.rename(columns={
+                "source": "src_a", "class_id": "cid_a",
+                "grams": "grams_a", "sz": "sz_a", "n_members": "nm_a"}),
+            batch_format="pandas", batch_size=None)
+        view_b = classes.map_batches(
+            lambda df: df.rename(columns={
+                "source": "src_b", "class_id": "cid_b",
+                "grams": "grams_b", "sz": "sz_b", "n_members": "nm_b"}),
+            batch_format="pandas", batch_size=None)
+        j1 = cand.join(view_a, "inner", num_partitions=npart,
+                       on=("source", "ca"), right_on=("src_a", "cid_a"))
+        j2 = j1.join(view_b, "inner", num_partitions=npart,
+                     on=("source", "cb"), right_on=("src_b", "cid_b"))
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            src_o, cid_o, nm_o = [], [], []
+            for (src, ca, cb, ga, gb, sa, sb, na, nb) in zip(
+                    df["source"], df["ca"], df["cb"], df["grams_a"],
+                    df["grams_b"], df["sz_a"], df["sz_b"], df["nm_a"],
+                    df["nm_b"]):
+                a = np.frombuffer(ga, np.uint64)
+                b = np.frombuffer(gb, np.uint64)
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                if inter and inter / (sa + sb - inter) >= threshold:
+                    src_o += [src, src]
+                    cid_o += [int(ca), int(cb)]
+                    nm_o += [int(na), int(nb)]
+            return pd.DataFrame({
+                "source": src_o,
+                "class_id": pd.array(cid_o, dtype="int64"),
+                "n_members": pd.array(nm_o, dtype="int64")})
+
+        flags = j2.map_batches(verify, batch_format="pandas",
+                               batch_size=4096)
+
+        # J=1 families: any class with ≥ 2 members is dup wholesale
+        flags = flags.union(classes.map_batches(
+            lambda df: df.loc[df["n_members"] >= 2,
+                              ["source", "class_id", "n_members"]],
+            batch_format="pandas", batch_size=None))
+
+        if len(hotb):
+            # overflow buckets: pull JUST their members (with grams)
+            # back together and run the bounded in-task exact scan —
+            # one task per degenerate bucket, flags identical
+            def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
+                over = ray.get(hotb_ref)
+                m = np.fromiter(
+                    ((s, np.uint64(g)) in over
+                     for s, g in zip(df["source"], df["gram"])),
+                    dtype=bool, count=len(df))
+                return df.loc[m, ["source", "gram", "class_id"]]
+
+            over_rows = prefix_ds.map_batches(
+                keep_hot, batch_format="pandas", batch_size=None)
+            over_j = over_rows.join(
+                view_a, "inner", num_partitions=npart,
+                on=("source", "class_id"), right_on=("src_a", "cid_a"))
+
+            def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
+                src_o, cid_o, nm_o = [], [], []
+                for (src, g), grp in df.groupby(["source", "gram"],
+                                                sort=False):
+                    arrs = [np.frombuffer(b, np.uint64)
+                            for b in grp["grams_a"]]
+                    dup = _hashed_prefix_census(arrs, threshold)
+                    for cid, nm, d in zip(grp["class_id"], grp["nm_a"],
+                                          dup):
+                        if d:
+                            src_o.append(src)
+                            cid_o.append(int(cid))
+                            nm_o.append(int(nm))
+                return pd.DataFrame({
+                    "source": src_o,
+                    "class_id": pd.array(cid_o, dtype="int64"),
+                    "n_members": pd.array(nm_o, dtype="int64")})
+
+            flags = flags.union(over_j.repartition(
+                num_blocks=npart, keys=["source", "gram"]) \
+                .map_batches(bucket_scan, batch_format="pandas",
+                             batch_size=None))
+
+        # distinct flags → per-source partial sums → tiny driver combine
+        sums = flags.repartition(num_blocks=npart,
+                                 keys=["source", "class_id"]) \
+            .map_batches(lambda df: df.drop_duplicates(
+                subset=["source", "class_id"]),
+                batch_format="pandas", batch_size=None) \
+            .map_batches(lambda df: df.groupby("source", sort=False)
+                         ["n_members"].sum().rename("n_near_dup")
+                         .reset_index(),
+                         batch_format="pandas", batch_size=None) \
+            .to_pandas()
+
+    agg = sums.groupby("source")["n_near_dup"].sum() if len(sums) \
+        else pd.Series(dtype="int64")
+    return pd.DataFrame({
+        "source": sorted(hot_sources),
+        "n_docs": [src_counts[s] for s in sorted(hot_sources)],
+        "n_near_dup": [int(agg.get(s, 0)) for s in sorted(hot_sources)],
+    })
 
 
 def q_embedding_near_dups(sf_dir: str, threshold: float = 0.35) -> pd.DataFrame:

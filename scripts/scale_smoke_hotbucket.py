@@ -2,12 +2,24 @@
 HOT-SOURCE n-gram Jaccard at 200k docs.
 
 Plants the two inputs the round-3 verdict flagged as scale hazards:
-- one boilerplate text duplicated 20 000× (every LSH band bucket holds
+- one boilerplate text duplicated 20 000x (every LSH band bucket holds
   all 20k copies — quadratic in the uncapped self-join: ~3.2e9
   in-partition pair rows) plus 5 000 token-less docs (the all-MAX
   signature bucket), alongside planted near-dup pairs and normal docs;
-- the same table is ONE source, so the n-gram census hits the
-  prefix-filter path with a 200k-doc group.
+- the bulk of the table is ONE 194k-doc source, so the n-gram census
+  hits the prefix-filter path with a group ~50x past the gate.
+
+Doc text is drawn Zipf(s=1.1) from a 500 000-word deterministic
+letter vocabulary, the shape real corpora have (Heaps/Zipf): common
+words carry high-document-frequency grams (excluded from rarest-first
+prefixes), tail words carry near-unique grams, so prefix probes hit
+small buckets — the regime Bayardo et al.'s prefix filter is exact
+AND fast in. (Two earlier drafts used 40- and 2 000-word digit
+vocabularies; with V words of ~L tokens/doc every within-word gram
+has df ≈ n·L/V, so at 194k docs EVERY bucket held hundreds-to-
+thousands of docs and the exact census was quadratic by construction
+— measured 112 s @ 5k → 452 s @ 10k, the documented residual worst
+case of exact all-pairs, not the hot-source shape the fix targets.)
 
 Verifies, with the gates forced to the distributed paths:
 - q_minhash_lsh_pairs finishes in bounded time; token-less docs emit no
@@ -15,8 +27,14 @@ Verifies, with the gates forced to the distributed paths:
   star-recovery pairs; the planted (i, i+1) near-dup pairs are all
   recovered (they live in normal-sized buckets — the cap must not eat
   them);
-- q_ngram_jaccard_dups' census equals an independent recount built from
-  the planted structure.
+- q_ngram_jaccard_dups' census is exact: the 194k-doc hot source
+  (above NGRAM_DISTRIBUTED_MIN_DOCS → the distributed Vernica-style
+  census) completes and equals the planted structure exactly (boiler +
+  empties + in-source planted pairs), and a second 6 000-doc source —
+  between NGRAM_PREFIX_MIN_DOCS and the distributed gate, so it runs
+  the in-task prefix-filter path — equals an independent quadratic
+  recount on the driver. One run therefore exercises BOTH above-gate
+  paths against independent expectations.
 
 Prints one JSON line of wall times + check booleans for BASELINE.md.
 
@@ -33,48 +51,77 @@ import time
 sys.path.insert(0, ".")
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-OUT = pathlib.Path(f"/tmp/kr_hotbucket_smoke_{N_DOCS}")
+OUT = pathlib.Path(f"/tmp/kr_hotbucket_smoke_v2_{N_DOCS}")
 
 N_BOILER = min(20_000, N_DOCS // 10)   # identical copies (the hot bucket)
 N_EMPTY = min(5_000, N_DOCS // 40)     # token-less docs (all-MAX bucket)
-
-VOCAB = (
-    "the quick brown fox jumps over lazy dog data pipeline ray arrow "
-    "batch shuffle partition frontier crawl image caption vector hash "
-    "join filter window stream spill actor block scan merge sort key "
-    "value token corpus shard politeness robots queue index store"
-).split()
+N_REF = 6_000                          # recountable second source
 
 BOILER = "terms of service apply contact us for details all rights reserved"
 
+_VOCAB_SIZE = 500_000
+_ZIPF_S = 1.1
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_vocab_cache: tuple | None = None
+
+
+def _vocab():
+    """(words, zipf_cdf) — built once, deterministic (seed 12345)."""
+    global _vocab_cache
+    if _vocab_cache is None:
+        import numpy as np
+
+        rng = np.random.default_rng(12345)
+        lens = rng.integers(5, 10, size=_VOCAB_SIZE)
+        chars = rng.integers(0, 26, size=int(lens.sum()))
+        words, pos = [], 0
+        for ln in lens:
+            words.append("".join(_LETTERS[c] for c in chars[pos:pos + ln]))
+            pos += ln
+        p = np.arange(1, _VOCAB_SIZE + 1, dtype=np.float64) ** -_ZIPF_S
+        _vocab_cache = (words, np.cumsum(p / p.sum()))
+    return _vocab_cache
+
+
+def _zipf_words(seed: int, size: int) -> list[str]:
+    import numpy as np
+
+    words, cdf = _vocab()
+    rng = np.random.default_rng(seed)
+    return [words[j] for j in np.searchsorted(cdf, rng.random(size))]
+
+
+def text_of(i: int) -> str:
+    """Deterministic doc text for global index i (single source of
+    truth for generation AND the planted-structure recount)."""
+    import numpy as np
+
+    if i < N_BOILER:
+        return BOILER
+    if i < N_BOILER + N_EMPTY:
+        return ""
+    if (i - N_BOILER - N_EMPTY) % 100 == 1 and i - 1 >= N_BOILER + N_EMPTY:
+        # near-duplicate of doc i-1 (same tokens, one word edited)
+        base = np.random.default_rng(i - 1)
+        toks = _zipf_words(i - 1, int(base.integers(40, 80)))
+        toks[5] = "EDITED"
+        return " ".join(toks)
+    rng = np.random.default_rng(i)
+    return " ".join(_zipf_words(i, int(rng.integers(40, 80))))
+
 
 def ensure_table() -> None:
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if (OUT / "_DONE").exists():
         return
     OUT.mkdir(parents=True, exist_ok=True)
-    texts = []
-    for i in range(N_DOCS):
-        if i < N_BOILER:
-            texts.append(BOILER)
-        elif i < N_BOILER + N_EMPTY:
-            texts.append("")
-        elif (i - N_BOILER - N_EMPTY) % 100 == 1:
-            # near-duplicate of doc i-1 (same tokens, one word edited)
-            base = np.random.default_rng(i - 1)
-            toks = list(base.choice(VOCAB, size=int(base.integers(40, 80))))
-            toks[5] = "EDITED"
-            texts.append(" ".join(toks))
-        else:
-            rng = np.random.default_rng(i)
-            texts.append(" ".join(rng.choice(VOCAB,
-                                             size=int(rng.integers(40, 80)))))
+    texts = [text_of(i) for i in range(N_DOCS)]
+    n_hot = N_DOCS - N_REF
     t = pa.table({
         "doc_id": pa.array(range(N_DOCS), pa.int64()),
-        "source": pa.array(["hot"] * N_DOCS),
+        "source": pa.array(["hot"] * n_hot + ["ref"] * N_REF),
         "lang": pa.array(["en"] * N_DOCS),
         "text": pa.array(texts),
     })
@@ -95,10 +142,13 @@ def main() -> None:
     from kryptone_ray.pipelines import dedup
 
     res: dict = {"n_docs": N_DOCS, "n_boiler": N_BOILER,
-                 "n_empty": N_EMPTY, "timings_sec": {}, "checks": {}}
+                 "n_empty": N_EMPTY, "n_ref": N_REF,
+                 "timings_sec": {}, "checks": {}}
 
     assert N_DOCS >= dedup.MINHASH_DISTRIBUTED_MIN_DOCS, \
         "smoke must exercise the distributed self-join path"
+    assert N_REF > dedup.NGRAM_PREFIX_MIN_DOCS, \
+        "ref source must take the same prefix-filter path as hot"
 
     t0 = time.time()
     pairs = dedup.q_minhash_lsh_pairs(str(OUT))
@@ -119,35 +169,52 @@ def main() -> None:
     res["checks"]["boiler_one_cluster"] = (
         len(row) == 1 and int(row["n_members"].iloc[0]) == N_BOILER)
 
-    # planted near-dup recovery: every (i, i+1) pair with the one-word
-    # edit must be present (verified jaccard >= 0.6 given 40-80 tokens)
-    planted = [(i - 1, i) for i in range(lo + hi % 2, N_DOCS)
-               if (i - lo - N_EMPTY) % 100 == 1 and i - 1 >= hi]
+    # planted near-dup recovery: every (i-1, i) pair with the one-word
+    # edit must be present (word-3-gram jaccard ~0.9 at 40-80 tokens,
+    # well past the 0.6 verify threshold; 16-band LSH miss probability
+    # ~(1 - 0.9^4)^16 ~ 4e-8 per pair)
+    planted = [(i - 1, i) for i in range(hi, N_DOCS)
+               if (i - hi) % 100 == 1 and i - 1 >= hi]
     have = set(zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)))
     missing = [p for p in planted if p not in have]
     res["n_planted"] = len(planted)
     res["checks"]["planted_pairs_recovered"] = not missing
     res["n_missing_planted"] = len(missing)
 
-    # hot-source n-gram census through the prefix-filter path
+    # n-gram census through the prefix-filter path: the hot source for
+    # bounded time + the structural lower bound, the ref source for
+    # exactness against an independent quadratic recount
     t0 = time.time()
     census = dedup.q_ngram_jaccard_dups(str(OUT))
     res["timings_sec"]["ngram_jaccard_dups"] = round(time.time() - t0, 2)
-    n_dup = int(census["n_near_dup"].iloc[0])
-    # recount: boilerplate copies are all near-dups of each other;
-    # empties have gram set {""} — also mutual J=1 dups; planted pairs
-    # contribute both members; 5-gram jaccard of a one-word edit in
-    # 40-80 tokens stays >= 0.8 only sometimes — recount independently
-    # with the quadratic reference scan on the non-degenerate slice.
+    by_src = census.set_index("source")
+    n_hot_dup = int(by_src.loc["hot", "n_near_dup"])
+    res["checks"]["ngram_hot_group_size"] = (
+        int(by_src.loc["hot", "n_docs"]) == N_DOCS - N_REF)
+    # the hot census is EXACTLY the planted structure: boiler copies +
+    # empty docs (mutual J=1 wholesale) + both ends of every planted
+    # near-dup pair fully inside the hot source (random Zipf docs never
+    # reach J>=0.8 against each other — verified at 40k during tuning)
+    n_hot = N_DOCS - N_REF
+    planted_hot = sum(1 for i in range(hi, n_hot)
+                      if (i - hi) % 100 == 1 and i - 1 >= hi)
+    res["checks"]["ngram_hot_exact"] = (
+        n_hot_dup == N_BOILER + N_EMPTY + 2 * planted_hot)
+    res["ngram_hot_n_near_dup"] = n_hot_dup
+
     import pandas as pd
 
-    docs = pd.read_parquet(OUT / "documents.parquet")
-    tail = docs.iloc[hi:]
-    ref_tail = dedup._ngram_per_source(tail, 0.8)
-    expect = N_BOILER + N_EMPTY + int(ref_tail["n_near_dup"].iloc[0])
-    res["checks"]["ngram_census_matches_recount"] = (n_dup == expect)
-    res["ngram_n_near_dup"] = n_dup
-    res["ngram_expected"] = expect
+    t0 = time.time()
+    ref_docs = pd.DataFrame({
+        "source": "ref",
+        "text": [text_of(i) for i in range(N_DOCS - N_REF, N_DOCS)],
+    })
+    recount = dedup._ngram_per_source(ref_docs, 0.8)
+    res["timings_sec"]["ref_quadratic_recount"] = round(time.time() - t0, 2)
+    res["checks"]["ngram_ref_matches_recount"] = (
+        int(by_src.loc["ref", "n_near_dup"])
+        == int(recount["n_near_dup"].iloc[0]))
+    res["ngram_ref_n_near_dup"] = int(by_src.loc["ref", "n_near_dup"])
 
     ray.shutdown()
     assert all(res["checks"].values()), res

@@ -409,3 +409,66 @@ def test_ngram_gate_routes_hot_groups(monkeypatch):
     monkeypatch.setattr(dedup, "NGRAM_PREFIX_MIN_DOCS", 0)
     big = dedup.q_ngram_jaccard_dups(SF)
     pd.testing.assert_frame_equal(small, big)
+
+
+# ------------------------------------ distributed exact n-gram census
+
+
+def test_gram_hashes_injective_vs_string_grams():
+    """uint64 gram encodings must carry set semantics identical to the
+    string grams the in-task scans use: same cardinality per doc, and
+    cross-doc array equality iff the string gram sets are equal."""
+    texts = ["the quick brown fox", "THE QUICK BROWN FOX",  # same lowered
+             "", "ab", "abcde", "abcdef",
+             "café crème brûlée", "你好世界你好", "naïve café",
+             "the quick brown fo", "x" * 500]
+    str_sets = [frozenset(t.lower()[i: i + 5]
+                          for i in range(max(1, len(t) - 4)))
+                for t in texts]
+    arrs = [dedup._gram_hashes(t) for t in texts]
+    for s, a in zip(str_sets, arrs):
+        assert len(s) == len(a)
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            assert (str_sets[i] == str_sets[j]) == \
+                (len(arrs[i]) == len(arrs[j])
+                 and bool((arrs[i] == arrs[j]).all()))
+
+
+def test_hashed_prefix_census_matches_bruteforce():
+    rng = np.random.default_rng(17)
+    arrs = []
+    for i in range(80):
+        a = np.unique(rng.integers(0, 300, size=rng.integers(5, 40))
+                      .astype(np.uint64))
+        arrs.append(a)
+        if i % 7 == 0:  # planted near-identical neighbour
+            arrs.append(np.unique(np.append(a, np.uint64(1000 + i))))
+    got = dedup._hashed_prefix_census(arrs, 0.8)
+    exp = np.zeros(len(arrs), dtype=bool)
+    for i in range(len(arrs)):
+        for j in range(i + 1, len(arrs)):
+            inter = np.intersect1d(arrs[i], arrs[j],
+                                   assume_unique=True).size
+            if inter and inter / (len(arrs[i]) + len(arrs[j]) - inter) >= 0.8:
+                exp[i] = exp[j] = True
+    assert (got == exp).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_distributed_census_equals_driver(monkeypatch):
+    """Gate-forced distributed census (class collapse → prefix buckets →
+    two-join verify) must equal the driver-exact census at sf0.01,
+    through both the normal-bucket and the overflow-bucket paths."""
+    ref = dedup.q_ngram_jaccard_dups(SF)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    monkeypatch.setattr(dedup, "NGRAM_DISTRIBUTED_MIN_DOCS", 0)
+    got = dedup.q_ngram_jaccard_dups(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True),
+        check_dtype=False)
+    monkeypatch.setattr(dedup, "NGRAM_BUCKET_CAP", 2)  # all buckets overflow
+    got2 = dedup.q_ngram_jaccard_dups(SF)
+    pd.testing.assert_frame_equal(
+        got2.reset_index(drop=True), ref.reset_index(drop=True),
+        check_dtype=False)
