@@ -1030,7 +1030,7 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
 
         def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
             over = ray.get(hotb_ref)
-            a_out, b_out, s_out = [], [], []
+            outs: list[pd.DataFrame] = []
             for (src, g), grp in df.groupby(["source", "gram"],
                                             sort=False):
                 if len(grp) < 2 or (src, np.uint64(g)) in over:
@@ -1039,19 +1039,30 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 ids = grp["class_id"].to_numpy()
                 o = np.argsort(szs, kind="stable")
                 szs, ids = szs[o], ids[o]
-                for k in range(len(ids) - 1):
-                    lim = szs[k] / threshold
-                    j = k + 1
-                    while j < len(ids) and szs[j] <= lim:
-                        a, b = ids[k], ids[j]
-                        s_out.append(src)
-                        a_out.append(min(a, b))
-                        b_out.append(max(a, b))
-                        j += 1
-            return pd.DataFrame({
-                "source": s_out,
-                "ca": pd.array(a_out, dtype="int64"),
-                "cb": pd.array(b_out, dtype="int64")})
+                n = len(ids)
+                # pair (k, j) survives the size prune iff
+                # szs[j] <= szs[k]/threshold for j > k; szs is sorted,
+                # so the survivors per k are the contiguous run
+                # (k, hi[k]) found by one searchsorted over the array
+                hi = np.searchsorted(szs, szs / threshold, side="right")
+                counts = np.maximum(hi - np.arange(n) - 1, 0)
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                a_rep = np.repeat(np.arange(n), counts)
+                starts = np.cumsum(counts) - counts
+                b_rep = np.arange(total) - starts[a_rep] + a_rep + 1
+                ia, ib = ids[a_rep], ids[b_rep]
+                outs.append(pd.DataFrame({
+                    "source": src,
+                    "ca": np.minimum(ia, ib).astype(np.int64),
+                    "cb": np.maximum(ia, ib).astype(np.int64)}))
+            if not outs:
+                return pd.DataFrame({
+                    "source": pd.array([], dtype="object"),
+                    "ca": pd.array([], dtype="int64"),
+                    "cb": pd.array([], dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
 
         cand = prefix_ds.repartition(num_blocks=npart,
                                      keys=["source", "gram"]) \
