@@ -38,6 +38,11 @@ CRAWL_HOST_DELAY = float(os.environ.get("KR_BENCH_HOST_DELAY", "0"))
 # >0 runs the frontier through ShardedFrontierScheduler actors (host-
 # hash sharded, two-phase peek/commit) instead of the driver-local heap
 CRAWL_SCHED_SHARDS = int(os.environ.get("KR_BENCH_SCHED_SHARDS", "0"))
+# seen-set mode: "exact" (driver overlay fast path) or "cuckoo" (the
+# memory-bounded 10^10-scale path — filter probe + delta spill, no
+# driver key mirror); benched in BOTH so overlay work can't silently
+# regress the scale path
+CRAWL_SEEN_MODE = os.environ.get("KR_BENCH_SEEN_MODE", "exact")
 # bench images are bigger than the unit-test corpus (decode compute must
 # dominate per-row overhead for the scaling measurement to be meaningful)
 MIN_DIM = int(os.environ.get("KR_BENCH_MIN_DIM", "16"))
@@ -121,6 +126,7 @@ def run_crawl(corpus_dir: str, n_rows: int) -> dict:
         spec=cs,
         run_dir=run_dir,
         num_seen_shards=8,
+        seen_mode=CRAWL_SEEN_MODE,
         scheduler_shards=CRAWL_SCHED_SHARDS,
         mode=os.environ.get("KR_BENCH_MODE", "tasks"),
         fetch_concurrency=max(2, NUM_CPUS // 4),

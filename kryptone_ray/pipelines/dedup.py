@@ -223,9 +223,30 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
        joins, per-block Jaccard filter) — pairs and texts never
        materialize on the driver above the switch.
 
+    SEMANTICS above the cap: output is CLUSTER-PRESERVING, not
+    pair-complete — members of a bucket past ``MINHASH_HOT_BUCKET_CAP``
+    (e.g. 10^4 identical boilerplate copies, whose true pair set is
+    quadratic in the copy count by definition) are star-paired to the
+    bucket's min doc_id, so every member still reaches its cluster
+    representative through a verified pair but the member×member middle
+    pairs are not emitted. Pairs found through normal-sized buckets are
+    complete. Downstream clustering (``q_neardup_clusters``) is
+    unaffected — connectivity is all it consumes.
+
     Rows-only (LSH not SQL-expressible); deterministic given the pinned
     permutation seed and pinned against
     tests/golden/dedup_minhash_lsh_pairs_sf001.json."""
+    out = _minhash_pairs(sf_dir, bands, threshold, as_dataset=False)
+    return out
+
+
+def _minhash_pairs(sf_dir: str, bands: int, threshold: float,
+                   as_dataset: bool):
+    """Implementation of ``q_minhash_lsh_pairs``. With
+    ``as_dataset=True`` the distributed-verify regime returns the
+    verified pair DATASET (doc_a, doc_b, jaccard) instead of landing it
+    on the driver — the clustering path consumes it without the pair
+    list ever becoming a driver frame (VERDICT r4 #2)."""
     import ray
     import ray.data as rd
 
@@ -265,8 +286,11 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
     else:
         with hash_shuffle():
             pairs = _minhash_candidates_distributed(
-                sf_dir, bands, threshold, n_docs, sig_batch, emit_pairs)
-            if isinstance(pairs, pd.DataFrame) and "jaccard" in pairs.columns:
+                sf_dir, bands, threshold, n_docs, sig_batch, emit_pairs,
+                as_dataset=as_dataset)
+            if not isinstance(pairs, pd.DataFrame):
+                return pairs  # verified pair DATASET (as_dataset=True)
+            if "jaccard" in pairs.columns:
                 return pairs  # distributed verify already ran
     if pairs.empty:
         return pd.DataFrame(columns=["doc_a", "doc_b", "jaccard"])
@@ -304,12 +328,14 @@ def q_minhash_lsh_pairs(sf_dir: str, bands: int = 16, threshold: float = 0.6) ->
 
 def _minhash_candidates_distributed(sf_dir: str, bands: int,
                                     threshold: float, n_docs: int,
-                                    sig_batch, emit_pairs):
+                                    sig_batch, emit_pairs,
+                                    as_dataset: bool = False):
     """Distributed candidate generation (+ verify above the pair
     switch). Runs under ``hash_shuffle()`` (the repartition-distinct
     needs the strategy bound at dataset creation). Returns either a
-    pairs DataFrame (caller verifies) or a verified (doc_a, doc_b,
-    jaccard) DataFrame when the distributed verify ran."""
+    pairs DataFrame (caller verifies) or, when the distributed verify
+    ran, a verified (doc_a, doc_b, jaccard) DataFrame — or Dataset with
+    ``as_dataset=True``, so clustering never lands the pair list."""
     from kryptone_ray.pipelines.common import join_partitions
 
     ds = T(sf_dir, "documents", columns=["doc_id", "text"],
@@ -415,8 +441,13 @@ def _minhash_candidates_distributed(sf_dir: str, bands: int,
         return _jaccard_verify_rows(df["doc_a"], df["doc_b"],
                                     df["text_a"], df["text_b"], threshold)
 
-    out = j2.map_batches(verify_block, batch_format="pandas",
-                         batch_size=None).to_pandas().drop_duplicates()
+    out_ds = j2.map_batches(verify_block, batch_format="pandas",
+                            batch_size=None)
+    if as_dataset:
+        # pairs were already made DISTINCT before the text joins, so
+        # each verified pair appears exactly once — stream it onward
+        return out_ds.materialize()
+    out = out_ds.to_pandas().drop_duplicates()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -913,7 +944,15 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                                                join_partitions)
 
     n_total = sum(src_counts.values())
+    # metadata-sized shuffles (flags, bucket-census combines) size from
+    # doc count; the BLOB shuffle (classes carry ~8·sz-byte gram blobs)
+    # and the WIDE shuffles (prefix emission is ~0.56·|grams| rows per
+    # class, ~100-200x docs) size from their OWN estimated volume — the
+    # common.py sizing invariant (rows_per_partition × row-width under
+    # target_max_block_size) applied per relation, not per input.
     npart = join_partitions(n_total)
+    npart_blob = join_partitions(n_total, rows_per_partition=32_768,
+                                 hi=512)
     sym = threshold / (1.0 + threshold)
 
     def gram_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -935,7 +974,17 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             "grams": pd.Series(blobs, dtype="object")})
 
     def collapse(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["source", "set_hash"], sort=False)
+        # a 64-bit set_hash collision would merge two DISTINCT gram
+        # sets into one J=1 class — confirm each blob equals its
+        # group's first (bytes memcmp, cheap next to the hashing) and
+        # sub-split on the actual blob when any clash is found, so the
+        # collapse is exact on gram SETS, not on their hashes.
+        keys = ["source", "set_hash"]
+        if len(df) and df.groupby(keys, sort=False)["grams"] \
+                .transform("first").ne(df["grams"]).any():
+            df = df.assign(_sub=pd.factorize(df["grams"])[0])
+            keys = keys + ["_sub"]
+        g = df.groupby(keys, sort=False)
         out = g.agg(class_id=("doc_id", "min"),
                     n_members=("doc_id", "size"),
                     sz=("sz", "first"),
@@ -949,7 +998,11 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
         cat = np.concatenate(
             [np.frombuffer(b, np.uint64) for b in df["grams"]])
         g, c = np.unique(cat, return_counts=True)
-        m = c >= 2  # locally-unique grams can't be heavy; ordering-only
+        # deliberately LOSSY prefilter: a gram appearing once per block
+        # can still be globally heavy when spread across many blocks —
+        # missing it only means its prefix bucket may grow past the cap
+        # and fall to the (bounded, exact) overflow scan. Ordering-only.
+        m = c >= 2
         return pd.DataFrame({"gram": g[m], "n": c[m]})
 
     def hh_combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -961,13 +1014,28 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                rows_per_block=4096)
         classes = ds.map_batches(gram_batch, batch_format="pandas",
                                  batch_size=2048) \
-            .repartition(num_blocks=npart, keys=["source", "set_hash"]) \
+            .repartition(num_blocks=npart_blob,
+                         keys=["source", "set_hash"]) \
             .map_batches(collapse, batch_format="pandas",
                          batch_size=None).materialize()
 
+        # prefix-row estimate (metadata-sized pass over classes) sizes
+        # the wide shuffles below — at 100-200 prefix rows per doc the
+        # doc-count npart would hand each pair-emission task a
+        # multi-million-row block
+        szst = classes.map_batches(
+            lambda df: pd.DataFrame({"pr": [int(np.maximum(
+                df["sz"].to_numpy()
+                - np.ceil(sym * df["sz"].to_numpy()) + 1, 1).sum())]}),
+            batch_format="pandas", batch_size=None).to_pandas()
+        prefix_rows = int(szst["pr"].sum()) if len(szst) else 1
+        npart_wide = join_partitions(prefix_rows,
+                                     rows_per_partition=1_000_000,
+                                     hi=512)
+
         hh = classes.map_batches(hh_partial, batch_format="pandas",
                                  batch_size=None) \
-            .repartition(num_blocks=npart, keys=["gram"]) \
+            .repartition(num_blocks=npart_wide, keys=["gram"]) \
             .map_batches(hh_combine, batch_format="pandas",
                          batch_size=None).to_pandas()
         hot_arr = np.sort(hh["gram"].to_numpy(dtype=np.uint64)) \
@@ -993,7 +1061,8 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 keys.append((src, cid, sz, len(arr)))
             if not pres:
                 return pd.DataFrame({
-                    "source": [], "gram": pd.array([], dtype="uint64"),
+                    "source": pd.Series([], dtype="object"),
+                    "gram": pd.array([], dtype="uint64"),
                     "class_id": pd.array([], dtype="int64"),
                     "sz": pd.array([], dtype="int64")})
             reps = np.array([k[3] for k in keys])
@@ -1020,60 +1089,100 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
 
         hotb = prefix_ds.map_batches(bkt_partial, batch_format="pandas",
                                      batch_size=None) \
-            .repartition(num_blocks=npart, keys=["source", "gram"]) \
+            .repartition(num_blocks=npart_wide, keys=["source", "gram"]) \
             .map_batches(bkt_hot, batch_format="pandas",
                          batch_size=None).to_pandas()
         if "gram" not in hotb.columns:
-            hotb = pd.DataFrame({"source": [], "gram": []})
-        hotb_ref = ray.put(frozenset(
-            zip(hotb["source"], hotb["gram"].astype(np.uint64))))
+            hotb = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                                 "gram": pd.array([], dtype="uint64")})
+        # {source -> sorted gram array}: membership tests below are one
+        # searchsorted per source, never a per-row Python tuple lookup
+        hotb_ref = ray.put({
+            s: np.sort(grp["gram"].to_numpy(dtype=np.uint64))
+            for s, grp in hotb.groupby("source", sort=False)})
 
         def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            # ONE packed-key sorted-segment pass over the whole block
+            # (VERDICT r4 #1): rows lexsort by (source, gram, sz) so
+            # each (source, gram) bucket is a contiguous SEGMENT; the
+            # per-bucket size prune — pair (k, j) survives iff
+            # szs[j] <= szs[k]/threshold for j > k within the bucket —
+            # collapses into one searchsorted over a (segment << 32 | sz)
+            # packed key. Zero per-group pandas/Python dispatch (the
+            # old groupby(["source","gram"]) iteration over millions of
+            # tiny buckets cost tens of CPU-minutes per task at the
+            # 200k hot-source smoke).
+            empty = pd.DataFrame({
+                "source": pd.Series([], dtype="object"),
+                "ca": pd.array([], dtype="int64"),
+                "cb": pd.array([], dtype="int64")})
+            if not len(df):
+                return empty
             over = ray.get(hotb_ref)
-            outs: list[pd.DataFrame] = []
-            for (src, g), grp in df.groupby(["source", "gram"],
-                                            sort=False):
-                if len(grp) < 2 or (src, np.uint64(g)) in over:
+            src_codes, src_uniq = pd.factorize(df["source"])
+            grams_a = df["gram"].to_numpy(dtype=np.uint64)
+            szs_a = df["sz"].to_numpy(dtype=np.int64)
+            ids_a = df["class_id"].to_numpy(dtype=np.int64)
+            order = np.lexsort((szs_a, grams_a, src_codes))
+            sc, ga = src_codes[order], grams_a[order]
+            szs, ids = szs_a[order], ids_a[order]
+            n = len(ids)
+            newseg = np.empty(n, dtype=bool)
+            newseg[0] = True
+            newseg[1:] = (sc[1:] != sc[:-1]) | (ga[1:] != ga[:-1])
+            seg = np.cumsum(newseg) - 1
+            # hot-bucket (overflow) exclusion, checked once per SEGMENT
+            seg_start = np.flatnonzero(newseg)
+            seg_hot = np.zeros(len(seg_start), dtype=bool)
+            for code, src in enumerate(src_uniq):
+                hot_g = over.get(src)
+                if hot_g is None or not len(hot_g):
                     continue
-                szs = grp["sz"].to_numpy()
-                ids = grp["class_id"].to_numpy()
-                o = np.argsort(szs, kind="stable")
-                szs, ids = szs[o], ids[o]
-                n = len(ids)
-                # pair (k, j) survives the size prune iff
-                # szs[j] <= szs[k]/threshold for j > k; szs is sorted,
-                # so the survivors per k are the contiguous run
-                # (k, hi[k]) found by one searchsorted over the array
-                hi = np.searchsorted(szs, szs / threshold, side="right")
-                counts = np.maximum(hi - np.arange(n) - 1, 0)
-                total = int(counts.sum())
-                if total == 0:
-                    continue
-                a_rep = np.repeat(np.arange(n), counts)
-                starts = np.cumsum(counts) - counts
-                b_rep = np.arange(total) - starts[a_rep] + a_rep + 1
-                ia, ib = ids[a_rep], ids[b_rep]
-                outs.append(pd.DataFrame({
-                    "source": src,
-                    "ca": np.minimum(ia, ib).astype(np.int64),
-                    "cb": np.maximum(ia, ib).astype(np.int64)}))
-            if not outs:
-                return pd.DataFrame({
-                    "source": pd.array([], dtype="object"),
-                    "ca": pd.array([], dtype="int64"),
-                    "cb": pd.array([], dtype="int64")})
-            return pd.concat(outs, ignore_index=True)
+                m = sc[seg_start] == code
+                gm = ga[seg_start][m]
+                ix = np.searchsorted(hot_g, gm)
+                seg_hot[m] = (ix < len(hot_g)) & \
+                    (hot_g[np.minimum(ix, len(hot_g) - 1)] == gm)
+            # per-segment searchsorted via the packed key: rows are
+            # sorted by (seg, sz), and the query shares the seg bits,
+            # so side="right" stops exactly at the segment boundary
+            key = (seg.astype(np.uint64) << np.uint64(32)) \
+                | szs.astype(np.uint64)
+            qsz = np.minimum(np.floor(szs / threshold),
+                             float(2**32 - 1)).astype(np.uint64)
+            q = (seg.astype(np.uint64) << np.uint64(32)) | qsz
+            hi = np.searchsorted(key, q, side="right")
+            counts = np.maximum(hi - np.arange(n) - 1, 0)
+            counts[seg_hot[seg]] = 0
+            total = int(counts.sum())
+            if total == 0:
+                return empty
+            a_rep = np.repeat(np.arange(n), counts)
+            starts = np.cumsum(counts) - counts
+            b_rep = np.arange(total) - starts[a_rep] + a_rep + 1
+            ia, ib = ids[a_rep], ids[b_rep]
+            return pd.DataFrame({
+                "source": pd.Series(src_uniq[sc[a_rep]], dtype="object"),
+                "ca": np.minimum(ia, ib).astype(np.int64),
+                "cb": np.maximum(ia, ib).astype(np.int64)})
 
-        cand = prefix_ds.repartition(num_blocks=npart,
+        cand = prefix_ds.repartition(num_blocks=npart_wide,
                                      keys=["source", "gram"]) \
             .map_batches(bucket_pairs, batch_format="pandas",
                          batch_size=None) \
-            .repartition(num_blocks=npart, keys=["source", "ca", "cb"]) \
+            .repartition(num_blocks=npart_wide,
+                         keys=["source", "ca", "cb"]) \
             .map_batches(lambda df: df.drop_duplicates(),
-                         batch_format="pandas", batch_size=None)
+                         batch_format="pandas", batch_size=None) \
+            .materialize()
 
         # exact verify: attach both gram arrays via two hash joins
-        # (the minhash distributed-verify shape), J per pair per block
+        # (the minhash distributed-verify shape), J per pair per block.
+        # Join partitions size from the CANDIDATE count at ~8·sz-byte
+        # blob-attached row width, not from doc count.
+        n_cand = cand.count()
+        npart_ver = join_partitions(max(n_cand, 1),
+                                    rows_per_partition=25_000)
         view_a = classes.map_batches(
             lambda df: df.rename(columns={
                 "source": "src_a", "class_id": "cid_a",
@@ -1084,9 +1193,9 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 "source": "src_b", "class_id": "cid_b",
                 "grams": "grams_b", "sz": "sz_b", "n_members": "nm_b"}),
             batch_format="pandas", batch_size=None)
-        j1 = cand.join(view_a, "inner", num_partitions=npart,
+        j1 = cand.join(view_a, "inner", num_partitions=npart_ver,
                        on=("source", "ca"), right_on=("src_a", "cid_a"))
-        j2 = j1.join(view_b, "inner", num_partitions=npart,
+        j2 = j1.join(view_b, "inner", num_partitions=npart_ver,
                      on=("source", "cb"), right_on=("src_b", "cid_b"))
 
         def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -1122,16 +1231,23 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             # one task per degenerate bucket, flags identical
             def keep_hot(df: pd.DataFrame) -> pd.DataFrame:
                 over = ray.get(hotb_ref)
-                m = np.fromiter(
-                    ((s, np.uint64(g)) in over
-                     for s, g in zip(df["source"], df["gram"])),
-                    dtype=bool, count=len(df))
+                m = np.zeros(len(df), dtype=bool)
+                g = df["gram"].to_numpy(dtype=np.uint64)
+                src = df["source"].to_numpy()
+                for s, hot_g in over.items():
+                    sm = src == s
+                    if not sm.any():
+                        continue
+                    gm = g[sm]
+                    ix = np.searchsorted(hot_g, gm)
+                    m[sm] = (ix < len(hot_g)) & \
+                        (hot_g[np.minimum(ix, len(hot_g) - 1)] == gm)
                 return df.loc[m, ["source", "gram", "class_id"]]
 
             over_rows = prefix_ds.map_batches(
                 keep_hot, batch_format="pandas", batch_size=None)
             over_j = over_rows.join(
-                view_a, "inner", num_partitions=npart,
+                view_a, "inner", num_partitions=npart_blob,
                 on=("source", "class_id"), right_on=("src_a", "cid_a"))
 
             def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
@@ -1153,7 +1269,7 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                     "n_members": pd.array(nm_o, dtype="int64")})
 
             flags = flags.union(over_j.repartition(
-                num_blocks=npart, keys=["source", "gram"]) \
+                num_blocks=npart_blob, keys=["source", "gram"]) \
                 .map_batches(bucket_scan, batch_format="pandas",
                              batch_size=None))
 
@@ -1452,8 +1568,16 @@ def q_neardup_clusters(sf_dir: str, bands: int = 16,
     Rows-only (minhash is not SQL-expressible); deterministic given the
     pinned permutation seed; transitivity property-tested (a→b→c chains
     collapse into one cluster)."""
-    pairs = q_minhash_lsh_pairs(sf_dir, bands=bands, threshold=threshold)
-    return _cluster_pairs(pairs, "doc_a", "doc_b")
+    pairs = _minhash_pairs(sf_dir, bands, threshold, as_dataset=True)
+    if isinstance(pairs, pd.DataFrame):
+        return _cluster_pairs(pairs, "doc_a", "doc_b")
+    # the distributed verify ran and the pair list stayed a DATASET —
+    # count() is metadata on the materialized set; only past the
+    # union-find gate does label propagation consume it block-by-block,
+    # so no pair frame ever lands on the driver above the gate
+    if pairs.count() <= UNIONFIND_MAX_PAIRS:
+        return _union_find_clusters(pairs.to_pandas(), "doc_a", "doc_b")
+    return _label_prop_clusters(pairs, "doc_a", "doc_b")
 
 
 # pair lists past this size cluster via distributed min-label
@@ -1471,8 +1595,7 @@ def _cluster_pairs(pairs: pd.DataFrame, col_a: str,
     return _label_prop_clusters(pairs, col_a, col_b)
 
 
-def _label_prop_clusters(pairs: pd.DataFrame, col_a: str,
-                         col_b: str) -> pd.DataFrame:
+def _label_prop_clusters(pairs, col_a: str, col_b: str) -> pd.DataFrame:
     """Distributed connected components over an int64 pair list by
     min-label propagation to a DETECTED fixed point — the
     graph._cc_distributed shape applied to a pair Dataset: each round
@@ -1482,14 +1605,34 @@ def _label_prop_clusters(pairs: pd.DataFrame, col_a: str,
     convergence = unchanged label sum (summed in Python ints per block:
     an int64 per-block sum can wrap at 10^10-scale node ids).
     Output is identical to ``_union_find_clusters``: component label =
-    min node id, so (representative, n_members) rows match exactly."""
+    min node id, so (representative, n_members) rows match exactly.
+
+    ``pairs`` may be a pandas frame OR a Dataset (the minhash verified
+    pair stream) — with a Dataset, the pair list never touches the
+    driver (VERDICT r4 #2)."""
+    labels, npart = _label_prop_labels(pairs, col_a, col_b)
+    return _label_census(labels, npart)
+
+
+def _label_prop_labels(pairs, col_a: str, col_b: str):
+    """Min-label propagation to the detected fixed point; returns the
+    converged (pr_v=node, lab=component-min-node) label DATASET plus
+    the partition count — callers that need per-cluster aggregates
+    beyond the census (e.g. the image path's min-string representative)
+    join against it instead of landing labels on the driver."""
     import ray.data as rd
 
     from kryptone_ray.pipelines.common import hash_shuffle, join_partitions
 
-    edges_df = pd.DataFrame({"a": pairs[col_a].astype("int64"),
-                             "b": pairs[col_b].astype("int64")})
-    npart = join_partitions(len(edges_df))
+    if isinstance(pairs, pd.DataFrame):
+        n_edges = len(pairs)
+    else:
+        n_edges = pairs.count()  # metadata on a materialized Dataset
+    npart = join_partitions(n_edges)
+
+    def to_ab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"a": df[col_a].astype("int64"),
+                             "b": df[col_b].astype("int64")})
 
     def node_rows(df: pd.DataFrame) -> pd.DataFrame:
         v = np.unique(np.concatenate([df["a"].to_numpy(),
@@ -1520,7 +1663,11 @@ def _label_prop_clusters(pairs: pd.DataFrame, col_a: str,
         return pd.DataFrame({"s": [str(int(df["lab"].astype(object).sum()))]})
 
     with hash_shuffle():
-        edges = rd.from_pandas(edges_df).materialize()
+        if isinstance(pairs, pd.DataFrame):
+            edges = rd.from_pandas(to_ab(pairs)).materialize()
+        else:
+            edges = pairs.map_batches(to_ab, batch_format="pandas",
+                                      batch_size=None).materialize()
         labels = edges.map_batches(node_rows, batch_format="pandas",
                                    batch_size=None) \
             .repartition(num_blocks=npart, keys=["pr_v"]) \
@@ -1555,6 +1702,11 @@ def _label_prop_clusters(pairs: pd.DataFrame, col_a: str,
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels, npart
+
+
+def _label_census(labels, npart: int) -> pd.DataFrame:
+    from kryptone_ray.pipelines.common import hash_shuffle
 
     # per-component census: per-block (lab, n) partials → hash-partition
     # by lab → combine; only the (representative, n_members) table —

@@ -200,6 +200,14 @@ class ImagePHashActor:
                          "ahash": pa.array(hashes, type=pa.int64())})
 
 
+# above this hashed-row count the aHash candidate/verify stage runs
+# distributed (chunk-key hash-repartition + per-block pair emission +
+# inline hamming verify) instead of the driver bucket scan; the
+# fixture corpus sits far below it, tests force the distributed path
+# by patching to 0.
+IMAGE_PHASH_DISTRIBUTED_MIN_ROWS = 100_000
+
+
 def q_image_phash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     """Image near-duplicate detection over DECODED PIXELS: the corpus
     plus deterministically perturbed copies (a few ±2 pixel edits — the
@@ -207,7 +215,20 @@ def q_image_phash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     stage; candidates come from 16-bit hash-chunk bucketing (pigeonhole:
     hamming ≤ 6 pairs share at least one of 4 chunks... not guaranteed —
     ≤3 is; 4 chunks catch most ≤6 pairs and the perturbations used stay
-    ≤3 bits) and a vectorized hamming verify. Rows-only; deterministic."""
+    ≤3 bits) and a vectorized hamming verify. Above
+    ``IMAGE_PHASH_DISTRIBUTED_MIN_ROWS`` the bucketing and the verify
+    run distributed (the hash travels with the chunk row, so the verify
+    is in-block — no join needed). Rows-only; deterministic."""
+    out = _image_phash_pairs(sf_dir, max_hamming, as_dataset=False)
+    return out
+
+
+def _image_phash_pairs(sf_dir: str, max_hamming: int = 6,
+                       as_dataset: bool = False):
+    """Implementation of ``q_image_phash_near_dups``; with
+    ``as_dataset=True`` the distributed regime returns the verified
+    pair DATASET so clustering never lands the pair list on the driver
+    (VERDICT r4 #2, image twin)."""
     from kryptone_ray.pipelines.dedup import hamming64
 
     spec = CorpusSpec(n_rows=_MM_ROWS, n_hosts=8, seed=_MM_SEED)
@@ -252,12 +273,22 @@ def q_image_phash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
                  for k, i in enumerate(ids)], type=pa.string()),
         })
 
-    ds = rd.range(_MM_ROWS + n_dup).map_batches(
-        synth_plus, batch_format="pyarrow", batch_size=64
-    ).map_batches(ImagePHashActor, batch_format="pyarrow", batch_size=64,
-                  concurrency=2)
+    def hash_ds() -> "rd.Dataset":
+        return rd.range(_MM_ROWS + n_dup).map_batches(
+            synth_plus, batch_format="pyarrow", batch_size=64
+        ).map_batches(ImagePHashActor, batch_format="pyarrow",
+                      batch_size=64, concurrency=2)
 
-    hashed = ds.to_pandas()  # (image_id, ahash) — metadata-sized
+    if _MM_ROWS + n_dup >= IMAGE_PHASH_DISTRIBUTED_MIN_ROWS:
+        from kryptone_ray.pipelines.common import hash_shuffle
+
+        # the shuffle strategy is captured at dataset CREATION — the
+        # whole distributed pipeline builds inside the context
+        with hash_shuffle():
+            return _image_phash_pairs_distributed(hash_ds(), max_hamming,
+                                                  as_dataset)
+
+    hashed = hash_ds().to_pandas()  # (image_id, ahash) — metadata-sized
     hv = hashed["ahash"].to_numpy().astype(np.uint64)
     ids = hashed["image_id"].to_numpy()
     # 16-bit chunk bucketing + vectorized hamming verify (the simhash
@@ -282,6 +313,106 @@ def q_image_phash_near_dups(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             rows.append((a, b, int(dd)))
     return pd.DataFrame(sorted(set(rows)),
                         columns=["image_a", "image_b", "hamming"])
+
+
+# chunk buckets past this star-pair to the bucket's min image_id
+# instead of emitting member×member pairs (the minhash hot-bucket cap:
+# a degenerate bucket — e.g. one logo duplicated 10^6 times — is
+# quadratic by definition; star pairs keep cluster connectivity for
+# hamming-0 clones and stay linear). Cluster-preserving for buckets
+# whose members are mutual near-dups (the degenerate case that makes a
+# bucket hot); never pair-complete above the cap.
+IMAGE_PHASH_BUCKET_CAP = 1024
+
+
+def _image_phash_pairs_distributed(hashed_ds, max_hamming: int,
+                                   as_dataset: bool):
+    """Distributed aHash near-dup: each (image_id, ahash) row explodes
+    to four (chunk, key) rows; rows hash-repartition by (chunk, key);
+    pairs form per block with the packed sorted-segment pass (the
+    n-gram census's ``bucket_pairs`` shape) and hamming-verify IN the
+    block — the 64-bit hash travels with the row, so no join attaches
+    payloads. A pair sharing several chunks surfaces once per chunk; a
+    final hash-partition distinct collapses it. With ``as_dataset``
+    the verified pair Dataset streams onward (clustering input)."""
+    from kryptone_ray.pipelines.common import hash_shuffle, join_partitions
+    from kryptone_ray.pipelines.dedup import hamming64
+
+    with hash_shuffle():
+        hashed = hashed_ds.materialize()
+        n_rows = hashed.count()
+        npart = join_partitions(n_rows * 4,
+                                rows_per_partition=1_000_000, hi=512)
+
+        def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
+            hv = df["ahash"].to_numpy().astype(np.uint64)
+            ids = df["image_id"].to_numpy()
+            return pd.DataFrame({
+                "chunk": np.repeat(np.arange(4, dtype=np.int64), len(df)),
+                "key": np.concatenate([
+                    ((hv >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+                    .astype(np.int64) for c in range(4)]),
+                "image_id": pd.Series(np.tile(ids, 4), dtype="object"),
+                "ahash": np.tile(hv, 4)})
+
+        def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({
+                "image_a": pd.Series([], dtype="object"),
+                "image_b": pd.Series([], dtype="object"),
+                "hamming": pd.array([], dtype="int64")})
+            if not len(df):
+                return empty
+            ck = df["chunk"].to_numpy(dtype=np.int64)
+            ky = df["key"].to_numpy(dtype=np.int64)
+            ids = df["image_id"].to_numpy()
+            hv = df["ahash"].to_numpy().astype(np.uint64)
+            # ids inside the lexsort: within a segment rows sort by
+            # image_id, so emitted pairs are already (min, max)-ordered
+            # and a capped segment's FIRST row is its min image_id
+            order = np.lexsort((ids, ky, ck))
+            ck, ky, ids, hv = ck[order], ky[order], ids[order], hv[order]
+            n = len(ids)
+            newseg = np.empty(n, dtype=bool)
+            newseg[0] = True
+            newseg[1:] = (ck[1:] != ck[:-1]) | (ky[1:] != ky[:-1])
+            seg = np.cumsum(newseg) - 1
+            bounds = np.append(np.flatnonzero(newseg), n)
+            seg_size = bounds[1:] - bounds[:-1]
+            big = seg_size > IMAGE_PHASH_BUCKET_CAP
+            idx = np.arange(n)
+            counts = np.where(big[seg], 0, bounds[seg + 1] - idx - 1)
+            pa_i = np.repeat(idx, counts)
+            starts = np.cumsum(counts) - counts
+            pb_i = (np.arange(int(counts.sum())) - starts[pa_i]
+                    + pa_i + 1) if counts.sum() else np.empty(0, np.int64)
+            if big.any():
+                # star recovery: member → segment-min pairs, verified
+                sb = np.flatnonzero(big[seg] & (idx != bounds[seg]))
+                pa_i = np.concatenate([pa_i, bounds[seg[sb]]])
+                pb_i = np.concatenate([pb_i, sb])
+            if not len(pa_i):
+                return empty
+            d = hamming64(hv[pa_i], hv[pb_i])
+            keep = d <= max_hamming
+            return pd.DataFrame({
+                "image_a": pd.Series(ids[pa_i[keep]], dtype="object"),
+                "image_b": pd.Series(ids[pb_i[keep]], dtype="object"),
+                "hamming": d[keep].astype("int64")})
+
+        pairs = hashed.map_batches(chunk_rows, batch_format="pandas",
+                                   batch_size=None) \
+            .repartition(num_blocks=npart, keys=["chunk", "key"]) \
+            .map_batches(bucket_pairs, batch_format="pandas",
+                         batch_size=None) \
+            .repartition(num_blocks=npart, keys=["image_a", "image_b"]) \
+            .map_batches(lambda df: df.drop_duplicates(),
+                         batch_format="pandas", batch_size=None) \
+            .materialize()
+    if as_dataset:
+        return pairs
+    out = pairs.to_pandas().drop_duplicates()
+    return out.sort_values(["image_a", "image_b", "hamming"]) \
+        .reset_index(drop=True)
 
 
 class ImageHistogramEmbedActor:
@@ -838,7 +969,7 @@ def q_image_wds_export(sf_dir: str, n_shards: int = _WDS_SHARDS) -> pd.DataFrame
 
 def image_wds_export_oracle_sql() -> str:
     snap = _wds_src_dir()
-    return f"""
+    return rf"""
 WITH x AS (
   SELECT CAST(regexp_extract(image_id, '/([0-9]+)(\.[a-z]+)?$', 1) AS BIGINT) AS idx,
          octet_length(bytes) AS pb, strlen(caption) AS cb
@@ -860,7 +991,17 @@ def q_image_neardup_clusters(sf_dir: str) -> pd.DataFrame:
     keyed by its lexicographically-smallest image_id. Rows-only (pixel
     codecs aren't SQL-expressible); the planted-duplicate structure is
     pinned in tests."""
-    pairs = q_image_phash_near_dups(sf_dir)
+    from kryptone_ray.pipelines import dedup as _dedup
+
+    pairs = _image_phash_pairs(sf_dir, as_dataset=True)
+    if not isinstance(pairs, pd.DataFrame):
+        # distributed pair Dataset: cluster without landing the pair
+        # list on the driver — unless it is union-find-sized anyway
+        if pairs.count() > _dedup.UNIONFIND_MAX_PAIRS:
+            return _image_clusters_distributed(pairs)
+        pairs = pairs.to_pandas().drop_duplicates() \
+            .sort_values(["image_a", "image_b", "hamming"]) \
+            .reset_index(drop=True)
     if pairs.empty:
         return pd.DataFrame({"representative": pd.Series([], dtype=str),
                              "n_members": pd.Series([], dtype="int64")})
@@ -905,6 +1046,67 @@ def q_image_neardup_clusters(sf_dir: str) -> pd.DataFrame:
                        columns=["representative", "n_members"])
     out["n_members"] = out["n_members"].astype("int64")
     return out
+
+
+def _image_clusters_distributed(pairs_ds) -> pd.DataFrame:
+    """Dataset-native image near-dup clustering: string image_ids code
+    to int64 via XXH64 (no global rank table — a sorted-rank coding
+    would itself need a driver-sized unique pass), labels propagate
+    with ``dedup._label_prop_labels``, and the per-cluster census joins
+    the converged labels back to the (hash, image_id) node names so the
+    representative is the MIN IMAGE_ID STRING per cluster — identical
+    to the union-find output. The 64-bit id-hash collision probability
+    (~n²/2⁶⁵) is the documented residual, the same one the n-gram
+    census accepts for non-latin-1 grams."""
+    from kryptone_ray.pipelines import dedup as _dedup
+    from kryptone_ray.pipelines.common import hash_shuffle
+    from kryptone_ray.utils.xxh64 import xxh64_batch
+
+    def code_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": xxh64_batch(df["image_a"].tolist()).astype("int64"),
+            "b": xxh64_batch(df["image_b"].tolist()).astype("int64")})
+
+    with hash_shuffle():
+        edges = pairs_ds.map_batches(code_edges, batch_format="pandas",
+                                     batch_size=None)
+        labels, npart = _dedup._label_prop_labels(edges, "a", "b")
+
+        def node_names(df: pd.DataFrame) -> pd.DataFrame:
+            ids = pd.concat([df["image_a"], df["image_b"]],
+                            ignore_index=True).drop_duplicates()
+            return pd.DataFrame({
+                "nh": xxh64_batch(ids.tolist()).astype("int64"),
+                "image_id": pd.Series(ids.to_numpy(), dtype="object")})
+
+        names = pairs_ds.map_batches(node_names, batch_format="pandas",
+                                     batch_size=None) \
+            .repartition(num_blocks=npart, keys=["nh"]) \
+            .map_batches(lambda df: df.drop_duplicates(),
+                         batch_format="pandas", batch_size=None)
+        j = labels.join(names, "inner", num_partitions=npart,
+                        on=("pr_v",), right_on=("nh",))
+
+        # per-cluster partials: min image_id (string min is associative)
+        # + node count; only the cluster-count-bounded table lands
+        def census_partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("lab", sort=False)["image_id"]
+            return pd.DataFrame({"rep": g.min(),
+                                 "n": g.size()}).reset_index()
+
+        def census_combine(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("lab", sort=False)
+            return pd.DataFrame({
+                "representative": g["rep"].min(),
+                "n_members": g["n"].sum().astype("int64")
+            }).reset_index(drop=True)
+
+        out = j.map_batches(census_partial, batch_format="pandas",
+                            batch_size=None) \
+            .repartition(num_blocks=npart, keys=["lab"]) \
+            .map_batches(census_combine, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    return out.sort_values("representative").reset_index(drop=True)
 
 
 _SCAN_ROWS = 2000

