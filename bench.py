@@ -35,9 +35,11 @@ CRAWL_BATCH = int(os.environ.get("KR_BENCH_BATCH", "65536"))
 # clock) — the reference-faithful mode; default off for the headline
 # throughput measurement
 CRAWL_HOST_DELAY = float(os.environ.get("KR_BENCH_HOST_DELAY", "0"))
-# >0 runs the frontier through ShardedFrontierScheduler actors (host-
-# hash sharded, two-phase peek/commit) instead of the driver-local heap
-CRAWL_SCHED_SHARDS = int(os.environ.get("KR_BENCH_SCHED_SHARDS", "0"))
+# "" = auto (sharded ShardedFrontierScheduler actors at >=16 cluster
+# CPUs, driver-local heap below — engine/crawl.py SCHED_AUTO_*);
+# explicit int forces that shard count (0 = driver-local heap)
+_sched_env = os.environ.get("KR_BENCH_SCHED_SHARDS", "")
+CRAWL_SCHED_SHARDS = None if _sched_env == "" else int(_sched_env)
 # seen-set mode: "exact" (driver overlay fast path) or "cuckoo" (the
 # memory-bounded 10^10-scale path — filter probe + delta spill, no
 # driver key mirror); benched in BOTH so overlay work can't silently

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from kryptone_ray.pipelines.common import T
 from kryptone_ray.utils.xxh64 import xxh64, xxh64_batch, xxh64_padded
@@ -146,23 +147,29 @@ def minhash_signatures_batch(texts) -> np.ndarray:
     return sigs
 
 
-def band_buckets_batch(doc_ids: np.ndarray, sigs: np.ndarray,
-                       bands: int) -> pd.DataFrame:
-    """Explode (n_docs, K) signatures into (doc_id, band, bucket) rows.
-    Bucket = XXH64 of the band's 4 uint64 lanes — computed for ALL
-    bands of the batch in one fixed-width vectorized hash pass,
-    bit-identical to ``xxh64(sig[b*r:(b+1)*r].tobytes())``."""
+def band_buckets_arrays(doc_ids: np.ndarray, sigs: np.ndarray,
+                        bands: int):
+    """Explode (n_docs, K) signatures into parallel (doc_id, band,
+    bucket) arrays. Bucket = XXH64 of the band's 4 uint64 lanes —
+    computed for ALL bands of the batch in one fixed-width vectorized
+    hash pass, bit-identical to ``xxh64(sig[b*r:(b+1)*r].tobytes())``."""
     n = len(doc_ids)
     rows_per_band = _MINHASH_PERMS // bands
     width = rows_per_band * 8
     buf = np.frombuffer(np.ascontiguousarray(sigs).tobytes(),
                         dtype=np.uint8).reshape(n * bands, width)
     buckets = xxh64_padded(buf, np.full(n * bands, width, dtype=np.int64))
-    return pd.DataFrame(
-        {"doc_id": np.repeat(doc_ids, bands),
-         "band": np.tile(np.arange(bands, dtype=np.int32), n),
-         "bucket": buckets.astype("int64")}
-    )
+    return (np.repeat(doc_ids, bands),
+            np.tile(np.arange(bands, dtype=np.int32), n),
+            buckets.astype("int64"))
+
+
+def band_buckets_batch(doc_ids: np.ndarray, sigs: np.ndarray,
+                       bands: int) -> pd.DataFrame:
+    """Pandas wrapper over ``band_buckets_arrays`` (driver small path
+    + tests)."""
+    d, b, k = band_buckets_arrays(doc_ids, sigs, bands)
+    return pd.DataFrame({"doc_id": d, "band": b, "bucket": k})
 
 
 # corpora below this doc count generate candidate pairs with a driver
@@ -267,11 +274,6 @@ def _minhash_pairs(sf_dir: str, bands: int, threshold: float,
         return band_buckets_batch(df["doc_id"].to_numpy()[nonempty],
                                   sigs[nonempty], bands)
 
-    def emit_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[df["doc_id"] < df["doc_id_r"]]
-        out = pd.DataFrame({"doc_a": sub["doc_id"], "doc_b": sub["doc_id_r"]})
-        return out.drop_duplicates()
-
     if n_docs < MINHASH_DISTRIBUTED_MIN_DOCS:
         # small blocks: map tasks dispatch PER BLOCK, so a one-file
         # table read at the default block size runs the signature
@@ -282,11 +284,14 @@ def _minhash_pairs(sf_dir: str, bands: int, threshold: float,
                              batch_size=512).to_pandas()
         m = bkt.merge(bkt.rename(columns={"doc_id": "doc_id_r"}),
                       on=["band", "bucket"])
-        pairs = emit_pairs(m).drop_duplicates().reset_index(drop=True)
+        sub = m[m["doc_id"] < m["doc_id_r"]]
+        pairs = pd.DataFrame({"doc_a": sub["doc_id"],
+                              "doc_b": sub["doc_id_r"]}) \
+            .drop_duplicates().reset_index(drop=True)
     else:
         with hash_shuffle():
             pairs = _minhash_candidates_distributed(
-                sf_dir, bands, threshold, n_docs, sig_batch, emit_pairs,
+                sf_dir, bands, threshold, n_docs,
                 as_dataset=as_dataset)
             if not isinstance(pairs, pd.DataFrame):
                 return pairs  # verified pair DATASET (as_dataset=True)
@@ -328,19 +333,44 @@ def _minhash_pairs(sf_dir: str, bands: int, threshold: float,
 
 def _minhash_candidates_distributed(sf_dir: str, bands: int,
                                     threshold: float, n_docs: int,
-                                    sig_batch, emit_pairs,
                                     as_dataset: bool = False):
     """Distributed candidate generation (+ verify above the pair
     switch). Runs under ``hash_shuffle()`` (the repartition-distinct
     needs the strategy bound at dataset creation). Returns either a
     pairs DataFrame (caller verifies) or, when the distributed verify
     ran, a verified (doc_a, doc_b, jaccard) DataFrame — or Dataset with
-    ``as_dataset=True``, so clustering never lands the pair list."""
+    ``as_dataset=True``, so clustering never lands the pair list.
+
+    Every row-oriented stage here runs ``batch_format="pyarrow"``
+    (VERDICT r4 #4): blocks come zero-copy from the object store,
+    distincts are Acero hash group-bys, and the hot-bucket membership
+    tests are per-band searchsorted over a broadcast sorted array —
+    the pandas conversion tax on the widest shuffles (the exploded
+    (doc_id, band, bucket) relation and the candidate pair stream) is
+    gone. Only the Jaccard text verify stays pandas (string payloads)."""
+    import pyarrow.compute as pc
+
     from kryptone_ray.pipelines.common import join_partitions
+
+    def sig_batch_pa(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        sigs = minhash_signatures_batch(texts)
+        # empty-signature guard: token-less docs never verify (empty
+        # shingle set), so bucketing them only builds a degenerate
+        # all-MAX bucket — drop before the explode
+        nonempty = np.fromiter((bool(s.split()) for s in texts),
+                               dtype=bool, count=len(texts))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[nonempty]
+        d, b, k = band_buckets_arrays(ids, sigs[nonempty], bands)
+        return pa.table({"doc_id": pa.array(d), "band": pa.array(b),
+                         "bucket": pa.array(k)})
+
+    def distinct_pa(t: pa.Table) -> pa.Table:
+        return t.group_by(t.column_names).aggregate([])
 
     ds = T(sf_dir, "documents", columns=["doc_id", "text"],
            rows_per_block=512)
-    buckets = ds.map_batches(sig_batch, batch_format="pandas",
+    buckets = ds.map_batches(sig_batch_pa, batch_format="pyarrow",
                              batch_size=512).materialize()
     npart = join_partitions(n_docs * bands)
 
@@ -349,63 +379,93 @@ def _minhash_candidates_distributed(sf_dir: str, bands: int,
     # only buckets past the cap, so the driver receives at most
     # rows/cap entries — never the (unbounded, unlike simhash's 4×2^16)
     # full (band, bucket) key table.
-    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["band", "bucket"], sort=False).size()
-        return g.rename("n").reset_index()
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band", "bucket"]).aggregate([("doc_id", "count")])
+        return g.rename_columns(["band", "bucket", "n"])
 
-    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["band", "bucket"], sort=False)["n"].sum()
-        g = g[g > MINHASH_HOT_BUCKET_CAP]
-        return g.rename("n").reset_index()
+    def hot_only(t: pa.Table) -> pa.Table:
+        g = t.group_by(["band", "bucket"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["band", "bucket", "n"])
+        return g.filter(pc.greater(g["n"], MINHASH_HOT_BUCKET_CAP))
 
-    hot = buckets.map_batches(bucket_partial, batch_format="pandas",
+    hot = buckets.map_batches(bucket_partial, batch_format="pyarrow",
                               batch_size=None) \
         .repartition(num_blocks=npart, keys=["band", "bucket"]) \
-        .map_batches(hot_only, batch_format="pandas",
+        .map_batches(hot_only, batch_format="pyarrow",
                      batch_size=None).to_pandas()
 
     star_pairs = None
     if len(hot):
         import ray as _ray
 
-        hot_ref = _ray.put(frozenset(zip(hot["band"].astype(int),
-                                         hot["bucket"].astype(int))))
+        # {band -> sorted bucket keys}: membership below is one
+        # searchsorted per band (≤ bands loop iterations), never a
+        # per-row Python tuple probe
+        hot_ref = _ray.put({
+            int(b): np.sort(grp["bucket"].to_numpy(dtype=np.int64))
+            for b, grp in hot.groupby("band", sort=False)})
 
-        def split(df: pd.DataFrame, keep_hot: bool) -> pd.DataFrame:
+        def hot_mask(t: pa.Table) -> np.ndarray:
             hk = _ray.get(hot_ref)
-            mask = np.fromiter(
-                ((int(b), int(k)) in hk
-                 for b, k in zip(df["band"], df["bucket"])),
-                dtype=bool, count=len(df))
-            return df[mask] if keep_hot else df[~mask]
+            band = t["band"].to_numpy(zero_copy_only=False)
+            bkt = t["bucket"].to_numpy(zero_copy_only=False)
+            m = np.zeros(len(band), dtype=bool)
+            for b, arr in hk.items():
+                sm = band == b
+                if not sm.any():
+                    continue
+                kx = bkt[sm]
+                ix = np.searchsorted(arr, kx)
+                m[sm] = (ix < len(arr)) & \
+                    (arr[np.minimum(ix, len(arr) - 1)] == kx)
+            return m
+
+        def split(t: pa.Table, keep_hot: bool) -> pa.Table:
+            m = hot_mask(t)
+            return t.filter(pa.array(m if keep_hot else ~m))
 
         # star recovery: each hot bucket's members pair with the
         # bucket's min doc_id — O(members) output, connectivity kept
-        def star(df: pd.DataFrame) -> pd.DataFrame:
-            rep = df.groupby(["band", "bucket"], sort=False)["doc_id"] \
-                .transform("min")
-            sub = df[df["doc_id"] > rep]
-            return pd.DataFrame({"doc_a": rep[df["doc_id"] > rep],
-                                 "doc_b": sub["doc_id"]}).drop_duplicates()
+        def star(t: pa.Table) -> pa.Table:
+            if not t.num_rows:
+                return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                                 "doc_b": pa.array([], type=pa.int64())})
+            band = t["band"].to_numpy(zero_copy_only=False)
+            bkt = t["bucket"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, bkt, band))
+            band, bkt, ids = band[order], bkt[order], ids[order]
+            newseg = np.empty(len(ids), dtype=bool)
+            newseg[0] = True
+            newseg[1:] = (band[1:] != band[:-1]) | (bkt[1:] != bkt[:-1])
+            seg = np.cumsum(newseg) - 1
+            rep = ids[np.flatnonzero(newseg)][seg]  # segment min id
+            sub = ids > rep
+            out = pa.table({"doc_a": pa.array(rep[sub]),
+                            "doc_b": pa.array(ids[sub])})
+            return distinct_pa(out)
 
         star_pairs = buckets.map_batches(
-            lambda df: split(df, True), batch_format="pandas",
+            lambda t: split(t, True), batch_format="pyarrow",
             batch_size=None) \
             .repartition(num_blocks=npart, keys=["band", "bucket"]) \
-            .map_batches(star, batch_format="pandas", batch_size=None)
+            .map_batches(star, batch_format="pyarrow", batch_size=None)
         buckets = buckets.map_batches(
-            lambda df: split(df, False), batch_format="pandas",
+            lambda t: split(t, False), batch_format="pyarrow",
             batch_size=None).materialize()
 
-    def rename_right(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"doc_id": "doc_id_r", "band": "band_r",
-                                  "bucket": "bucket_r"})
-
-    right = buckets.map_batches(rename_right, batch_format="pandas",
-                                batch_size=None)
+    right = buckets.map_batches(
+        lambda t: t.rename_columns(["doc_id_r", "band_r", "bucket_r"]),
+        batch_format="pyarrow", batch_size=None)
     cand = buckets.join(right, "inner", num_partitions=npart,
                         on=("band", "bucket"), right_on=("band_r", "bucket_r"))
-    pairs_ds = cand.map_batches(emit_pairs, batch_format="pandas",
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["doc_id"], t["doc_id_r"]))
+        out = pa.table({"doc_a": sub["doc_id"], "doc_b": sub["doc_id_r"]})
+        return distinct_pa(out)
+
+    pairs_ds = cand.map_batches(emit_pairs, batch_format="pyarrow",
                                 batch_size=None)
     if star_pairs is not None:
         pairs_ds = pairs_ds.union(star_pairs)
@@ -421,8 +481,8 @@ def _minhash_candidates_distributed(sf_dir: str, bands: int,
     # VERIFIED pairs (true near-dup density) reach the driver.
     pairs_ds = pairs_ds.repartition(num_blocks=max(4, npart),
                                     keys=["doc_a", "doc_b"]) \
-        .map_batches(lambda df: df.drop_duplicates(),
-                     batch_format="pandas", batch_size=None) \
+        .map_batches(distinct_pa, batch_format="pyarrow",
+                     batch_size=None) \
         .materialize()
     docs_a = T(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(lambda df: df.rename(columns={"text": "text_a"}),

@@ -50,6 +50,14 @@ import time
 
 sys.path.insert(0, ".")
 
+
+def _progress(msg: str) -> None:
+    """Unbuffered stderr phase marker — the smoke runs for tens of
+    minutes under background harnesses; per-phase timestamps make a
+    partial run diagnosable instead of a silent timeout."""
+    print(f"[smoke {time.strftime('%H:%M:%S')}] {msg}",
+          file=sys.stderr, flush=True)
+
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 OUT = pathlib.Path(f"/tmp/kr_hotbucket_smoke_v2_{N_DOCS}")
 
@@ -137,7 +145,9 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _progress('corpus ready')
     ensure_table()
+    _progress('table ensured')
 
     from kryptone_ray.pipelines import dedup
 
@@ -151,7 +161,9 @@ def main() -> None:
         "ref source must take the same prefix-filter path as hot"
 
     t0 = time.time()
+    _progress('minhash start')
     pairs = dedup.q_minhash_lsh_pairs(str(OUT))
+    _progress('minhash done')
     res["timings_sec"]["minhash_lsh_pairs"] = round(time.time() - t0, 2)
     res["n_pairs"] = len(pairs)
 
@@ -164,6 +176,7 @@ def main() -> None:
     # cluster rooted at doc 0
     t0 = time.time()
     clusters = dedup._union_find_clusters(pairs, "doc_a", "doc_b")
+    _progress('clusters done')
     res["timings_sec"]["cluster_pairs"] = round(time.time() - t0, 2)
     row = clusters[clusters["representative"] == 0]
     res["checks"]["boiler_one_cluster"] = (
@@ -185,7 +198,9 @@ def main() -> None:
     # bounded time + the structural lower bound, the ref source for
     # exactness against an independent quadratic recount
     t0 = time.time()
+    _progress('ngram census start')
     census = dedup.q_ngram_jaccard_dups(str(OUT))
+    _progress('ngram census done')
     res["timings_sec"]["ngram_jaccard_dups"] = round(time.time() - t0, 2)
     by_src = census.set_index("source")
     n_hot_dup = int(by_src.loc["hot", "n_near_dup"])
@@ -209,7 +224,9 @@ def main() -> None:
         "source": "ref",
         "text": [text_of(i) for i in range(N_DOCS - N_REF, N_DOCS)],
     })
+    _progress('ref recount start')
     recount = dedup._ngram_per_source(ref_docs, 0.8)
+    _progress('ref recount done')
     res["timings_sec"]["ref_quadratic_recount"] = round(time.time() - t0, 2)
     res["checks"]["ngram_ref_matches_recount"] = (
         int(by_src.loc["ref", "n_near_dup"])
