@@ -84,17 +84,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # ---- driver window (first 50 entries) ------------------------
         # The driver's CORRECTNESS check evaluates only the FIRST 50
-        # entries of this dict, so the ordering rotates per round: round
-        # 4 fronts the 43 entries that have never received a driver-side
-        # row (rounds 1-3 windows covered the rest), plus 7 regression
-        # sentinels for code touched this round (minhash/ngram/knn/
-        # sessions/q5/bucketed_join) and q1 as the stable canary.
+        # entries of this dict, so the ordering rotates per round so no
+        # query's latest driver evidence ages past two rounds. Round 5
+        # fronts (a) the 23 entries whose latest driver check was round
+        # 2 (the oldest evidence: crawlops family, image decode/resize/
+        # phash, dedup_exact, embedding near-dups, knn_ivf, simhash,
+        # early events), (b) 5 regression sentinels for code touched
+        # this round (minhash Arrow stages, Dataset-native neardup/
+        # image-neardup clustering, the n-gram census segment pass, the
+        # sessionize rewrite), (c) q1 as the stable canary, and (d) 21
+        # round-3-latest entries, oldest first.
+        # -- (a) oldest driver evidence (round 2) --
+        "crawl_visits": crawlops.q_crawl_visits,
+        # lineage audit: seed -> frontier shard -> fetch batch chains
+        "link_verdicts": crawlops.q_link_verdicts,
+        "url_predicates": crawlops.q_url_predicates,
+        "caption_prices": crawlops.q_caption_prices,
+        "caption_emails": crawlops.q_caption_emails,
+        "frontier_reorder": crawlops.q_frontier_reorder,
+        "extract_urls": crawlops.q_extract_urls,
+        "filter_cache": crawlops.q_filter_cache,
+        "images_by_extension": crawlops.q_images_by_extension,
+        # multimodal (actor-pool decode/resize over binary columns)
+        "image_decode_stats": multimodal.q_image_decode_stats,
+        "image_resize_thumbs": multimodal.q_image_resize_thumbs,
+        "image_phash_near_dups": multimodal.q_image_phash_near_dups,
+        # dedup family (training-data ops)
+        "dedup_exact": dedup.q_dedup_exact,
+        "simhash_clusters": dedup.q_simhash_clusters,
+        "embedding_near_dups": dedup.q_embedding_near_dups,
+        "embedding_near_dups_lsh": dedup.q_embedding_near_dups_lsh,
+        # LSH sibling of knn_ivf — rows-only (recall<1 by design)
+        "knn_ivf": ann.q_knn_ivf,
+        # events / stream-shaped
+        "events_by_type": events.q_events_by_type,
+        "events_tumbling_1h": events.q_events_tumbling_1h,
+        "events_topk_users": events.q_events_topk_users,
+        "events_json_props": events.q_events_json_props,
+        "events_sliding_1h_30m": events.q_events_sliding_1h_30m,
+        "events_asof_orders": events.q_events_asof_orders,
+        # -- (b) round-5 regression sentinels (code touched this round) --
+        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "neardup_clusters": dedup.q_neardup_clusters,
+        "image_neardup_clusters": multimodal.q_image_neardup_clusters,
+        "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
+        "events_sessions": events.q_events_sessions,
+        # -- (c) stable canary --
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        # -- (d) round-3-latest entries, oldest evidence first --
+        "word_frequency": textops.q_word_frequency,
+        "tfidf_top_terms": textops.q_tfidf_top_terms,
+        "doc_quality": textops.q_doc_quality,
+        "lang_distribution": textops.q_lang_distribution,
+        "token_counts": textops.q_token_counts,
+        "filter_project": relational.q_filter_project,
+        "topk_orders": relational.q_topk_orders,
+        "distinct_segments": relational.q_distinct_segments,
+        "count_by_priority": relational.q_count_by_priority,
+        "customer_order_stats": relational.q_customer_order_stats,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        # TPC-H Q7 shape: nation-pair volume by year (multi-join)
+        "q7_nation_pair_volume": relational.q7_nation_pair_volume,
+        # GROUP BY CUBE: all four grouping sets from one scan
+        "orders_cube": relational.q_orders_cube,
+        "part_type_stats": relational.q_part_type_stats,
+        "orders_monthly": relational.q_orders_monthly,
+        "customer_balance_stats": relational.q_customer_balance_stats,
+        "top_orders_per_customer": relational.q_top_orders_per_customer,
+        "customers_no_urgent": relational.q_customers_no_urgent,
+        "orders_rollup": relational.q_orders_rollup,
+        "acctbal_quantiles": relational.q_acctbal_quantiles,
+        # INTERSECT/EXCEPT via distinct (key, side-bit) partials + bit-OR
+        "custkey_set_ops": relational.q_custkey_set_ops,
+        # ---- end driver window ---------------------------------------
         "pii_redaction": pii.q_pii_redaction,
         "shingle_dedup_census": textops.q_shingle_dedup_census,
         "docs_id_encode": textops.q_docs_id_encode,
-        "neardup_clusters": dedup.q_neardup_clusters,
         "name_edit1_pairs": dedup.q_name_edit1_pairs,
         "knn_lsh": ann.q_knn_lsh,
+        "knn_bruteforce": ann.q_knn_bruteforce,
         "events_asof_sortmerge": events.q_events_asof_orders_sortmerge,
         "hll_distinct_users": events.q_hll_distinct_users,
         "events_value_band_join": events.q_events_value_band_join,
@@ -116,7 +184,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_sketch": events.q_heavy_hitters_sketch,
         "events_partitioned_sink": events.q_events_partitioned_sink,
         "events_late_census": events.q_events_late_census,
-        "image_neardup_clusters": multimodal.q_image_neardup_clusters,
         "corpus_scan_stats": multimodal.q_corpus_scan_stats,
         "corpus_thumbs_roundtrip": multimodal.q_corpus_thumbs_roundtrip,
         "image_exact_dups": multimodal.q_image_exact_dups,
@@ -132,33 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": graph.q_graph_triangles,
         "crawl_seed_attribution": crawlops.q_crawl_seed_attribution,
         "page_audits": crawlops.q_page_audits,
-        # round-4 regression sentinels (code touched this round)
-        "minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
-        "ngram_jaccard_dups": dedup.q_ngram_jaccard_dups,
-        "knn_bruteforce": ann.q_knn_bruteforce,
-        "events_sessions": events.q_events_sessions,
         "q5_nation_volume": relational.q5_nation_volume,
         "bucketed_join": relational.q_bucketed_join,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        # ---- end driver window ---------------------------------------
         # relational (SURVEY §2 filters/aggregates/joins/top-k/distinct)
-        "filter_project": relational.q_filter_project,
-        "topk_orders": relational.q_topk_orders,
-        "distinct_segments": relational.q_distinct_segments,
-        "count_by_priority": relational.q_count_by_priority,
-        "customer_order_stats": relational.q_customer_order_stats,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        # TPC-H Q7 shape: nation-pair volume by year (multi-join)
-        "q7_nation_pair_volume": relational.q7_nation_pair_volume,
-        # GROUP BY CUBE: all four grouping sets from one scan
-        "orders_cube": relational.q_orders_cube,
-        "part_type_stats": relational.q_part_type_stats,
-        "orders_monthly": relational.q_orders_monthly,
-        "customer_balance_stats": relational.q_customer_balance_stats,
-        "top_orders_per_customer": relational.q_top_orders_per_customer,
-        "customers_no_urgent": relational.q_customers_no_urgent,
-        "orders_rollup": relational.q_orders_rollup,
-        "acctbal_quantiles": relational.q_acctbal_quantiles,
         "customer_running_spend": relational.q_customer_running_spend,
         "orders_with_returns": relational.q_orders_with_returns,
         "orders_with_returns_bloom": relational.q_orders_with_returns_bloom,
@@ -166,8 +209,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LEFT OUTER JOIN -> histogram (TPC-H Q13 shape; zero bucket from
         # the customer footer row count, no read of the outer side)
         "order_count_histogram": relational.q_order_count_histogram,
-        # INTERSECT/EXCEPT via distinct (key, side-bit) partials + bit-OR
-        "custkey_set_ops": relational.q_custkey_set_ops,
         # ordered-frame window (7-row trailing mean, exact cumsum diff)
         "orders_moving_avg": relational.q_orders_moving_avg,
         # percent_rank without sort/shuffle (bounded-domain histogram +
@@ -196,15 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Z-order (Morton) clustered export, proven by shard read-back
         "lineitem_zorder_export": relational.q_lineitem_zorder_export,
         # text analysis (SURVEY §2.3-2.4; training-data text ops)
-        "lang_distribution": textops.q_lang_distribution,
-        "token_counts": textops.q_token_counts,
         "token_counts_bpe": textops.q_token_counts_bpe,
         "stratified_sample": textops.q_stratified_sample,
         # order-statistics uniform k-sample (smallest md5(doc_id))
         "docs_hash_sample": textops.q_docs_hash_sample,
-        "word_frequency": textops.q_word_frequency,
-        "tfidf_top_terms": textops.q_tfidf_top_terms,
-        "doc_quality": textops.q_doc_quality,
         "lang_id_heuristic": textops.q_lang_id_heuristic,
         "doc_fingerprints": textops.q_doc_fingerprints,
         "repetition_stats": textops.q_repetition_stats,
@@ -212,67 +248,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": textops.q_docs_jsonl_roundtrip,
         # reproducible hash-shuffle shard export, proven by read-back
         "training_shard_export": textops.q_training_shard_export,
-        # PII scrub (deterministic doc_id-derived injection, see pii.py)
-        # exact k-gram substring-dedup census (128-bit hashed shingles)
-        # tokenizer fit (rank vocab) + id-encode, per-doc id summary
-        # dedup family (training-data ops)
-        "dedup_exact": dedup.q_dedup_exact,
-        "simhash_clusters": dedup.q_simhash_clusters,
-        "embedding_near_dups": dedup.q_embedding_near_dups,
-        "embedding_near_dups_lsh": dedup.q_embedding_near_dups_lsh,
-        # string-similarity join (edit distance 1, deletion neighborhoods)
-        # similarity search
-        # LSH sibling of knn_ivf — rows-only (recall<1 by design)
-        "knn_ivf": ann.q_knn_ivf,
-        # events / stream-shaped
-        "events_by_type": events.q_events_by_type,
-        "events_tumbling_1h": events.q_events_tumbling_1h,
-        "events_topk_users": events.q_events_topk_users,
-        "events_json_props": events.q_events_json_props,
-        "events_sliding_1h_30m": events.q_events_sliding_1h_30m,
-        "events_asof_orders": events.q_events_asof_orders,
-        # FULL OUTER JOIN of two grouped aggregates (coalesced nulls)
-        # arg-max reduce (max_by with deterministic total tie-break)
-        # exact grouped stddev from integer partials (HUGEINT-safe combine)
-        # running COUNT(DISTINCT) via per-user first-touch min + cumsum
-        # exact grouped COUNT(DISTINCT) via two-level pair partials
-        # exact grouped median/mode from a bounded cents histogram
-        # product-analytics ops: greedy funnel, cohort retention,
-        # time-weighted average (step-function semantics)
-        # MATCH_RECOGNIZE-lite adjacent-pair pattern within a gap
-        # closed-form linear regression from associative sums
-        # windowed dedup: first event per (user, tumbling hour)
-        # approximate by design — pytest-verified vs exact, rows-only
-        # multimodal (actor-pool decode/resize over binary columns)
-        "image_decode_stats": multimodal.q_image_decode_stats,
-        "image_resize_thumbs": multimodal.q_image_resize_thumbs,
-        "image_phash_near_dups": multimodal.q_image_phash_near_dups,
-        # union-find clusters over the verified aHash pair list
-        # full corpus scan through the Ray-native Datasource (blob
-        # sidecar stitching proven by the bytes_len oracle)
-        # store->actor-pool->store image pipeline, census by read-back
-        # byte-exact image dedup — the one image op with a SQL oracle
-        # (md5-over-hex digest convention shared with DuckDB)
-        # metadata census over the same snapshot (fmt/orientation/
-        # pixels/storage density) — fully SQL-oracle-able
-        # corrupt-input quarantine: decode-attempt triage vs byte-forensics
-        # oracle (planted truncation / bad-magic damage)
-        # multimodal dedup census: same caption, >1 distinct payload
-        # WebDataset-style tar shard export, verified by tar read-back
-        # link-graph analytics (crawl-side batch twin of expand lineage)
-        # multi-source BFS hop distance (crawl-depth twin)
-        # streaming watermark semantics: late-arrival census per window
-        # crawl-side operators (rows-only; deterministic pinned corpus)
-        "crawl_visits": crawlops.q_crawl_visits,
-        # lineage audit: seed -> frontier shard -> fetch batch chains
-        "link_verdicts": crawlops.q_link_verdicts,
-        "url_predicates": crawlops.q_url_predicates,
-        "caption_prices": crawlops.q_caption_prices,
-        "caption_emails": crawlops.q_caption_emails,
-        "frontier_reorder": crawlops.q_frontier_reorder,
-        "extract_urls": crawlops.q_extract_urls,
-        "filter_cache": crawlops.q_filter_cache,
-        "images_by_extension": crawlops.q_images_by_extension,
     }
 
 

@@ -35,8 +35,8 @@ CRAWL_BATCH = int(os.environ.get("KR_BENCH_BATCH", "65536"))
 # clock) — the reference-faithful mode; default off for the headline
 # throughput measurement
 CRAWL_HOST_DELAY = float(os.environ.get("KR_BENCH_HOST_DELAY", "0"))
-# "" = auto (sharded ShardedFrontierScheduler actors at >=16 cluster
-# CPUs, driver-local heap below — engine/crawl.py SCHED_AUTO_*);
+# "" = auto (driver-local heap — the sharded actor scheduler measured
+# slower in BOTH regimes on this box, see RayCrawler.__init__);
 # explicit int forces that shard count (0 = driver-local heap)
 _sched_env = os.environ.get("KR_BENCH_SCHED_SHARDS", "")
 CRAWL_SCHED_SHARDS = None if _sched_env == "" else int(_sched_env)

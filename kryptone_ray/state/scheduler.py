@@ -64,6 +64,14 @@ class FrontierSchedulerLocal:
         self.visit_counter = 0
         self.batch_counter = 0
         self.total = 0
+        # speculative-window journals (engine/crawl.py multi-window
+        # politeness dispatch): _journal records pop_batch windows when
+        # this instance is the driver-local scheduler; _commit_journal
+        # records commit_batch windows when this instance is a shard
+        # actor under ShardedFrontierScheduler. Either enables exact
+        # rollback of heaps/next_ok/total for not-yet-committed windows.
+        self._journal: list[dict] | None = None
+        self._commit_journal: dict[int, dict] | None = None
 
     # --- ingestion ----------------------------------------------------
     def add(self, urls: list[str], hosts: list[str], depths) -> int:
@@ -204,9 +212,25 @@ class FrontierSchedulerLocal:
         if self.total <= 0 or not self.heaps:
             return [], [], [], self.clock, self.batch_counter
 
+        jrec = None
+        if self._journal is not None:
+            # speculative pop: journal enough to undo this window exactly
+            # (entries back into heaps, next_ok restored, counters/clock
+            # rewound) plus the per-host selections the engine's
+            # violation check compares additions against.
+            jrec = {"popped": {}, "prev_next_ok": {}, "sel": {},
+                    "clock_before": self.clock, "n": 0, "k": k}
+
         if self.host_delay > 0 or self.delay_fn is not None:
             eligible = [h for h in self.heaps if self.next_ok.get(h, 0.0) <= self.clock]
             if not eligible:
+                if jrec is not None:
+                    # the clock-advance branch depends on WHICH hosts are
+                    # non-empty, which frontier additions can change — the
+                    # engine's speculation guard (delay <= wait_time, no
+                    # delay_fn) makes this unreachable; fail loud if not.
+                    raise RuntimeError(
+                        "speculative pop reached the clock-advance branch")
                 self.clock = max(
                     self.clock, min(self.next_ok.get(h, 0.0) for h in self.heaps)
                 )
@@ -229,14 +253,22 @@ class FrontierSchedulerLocal:
                     continue  # gated host: rest of its urls wait
                 heapq.heappop(self.heaps[h])
                 batch.append((depth, url))
+                if jrec is not None:
+                    jrec["popped"].setdefault(h, []).append((depth, url))
+                    jrec["sel"].setdefault(h, (depth, url))
                 d = self._delay_of(h)
                 if d > 0:
                     gated_chosen.add(h)
+                    if jrec is not None and h not in jrec["prev_next_ok"]:
+                        jrec["prev_next_ok"][h] = self.next_ok.get(h, 0.0)
                     self.next_ok[h] = self.clock + d
                 else:
                     nxt = self._host_head(h)
                     if nxt is not None:
                         heapq.heappush(heads, (nxt[0], nxt[1], h))
+        elif jrec is not None:
+            raise RuntimeError(
+                "speculative pop requires politeness gating (host_delay > 0)")
         elif k >= self.total:
             # whole-frontier wave (politeness off): one vectorized sort
             # instead of O(total) heap pops
@@ -284,7 +316,64 @@ class FrontierSchedulerLocal:
         bidx = self.batch_counter
         self.batch_counter += 1
         self.clock += self.wait_time
+        if jrec is not None:
+            jrec["n"] = len(batch)
+            self._journal.append(jrec)
         return urls, depths, idxs, ts, bidx
+
+    # --- speculative windows (engine/crawl.py multi-window politeness
+    # dispatch). begin_windows() arms the journal; every subsequent
+    # pop_batch is speculative until end_windows(). rollback_windows(keep)
+    # exactly undoes all journaled windows after the first ``keep``:
+    # popped entries rejoin their host heaps, next_ok reverts to its
+    # pre-window value (earliest wins across multiple rolled windows —
+    # journals are replayed newest-first), clock/visit/batch counters
+    # rewind. window_selections() exposes the per-window {host:
+    # (depth, url)} maps the engine validates frontier additions against.
+    def begin_windows(self) -> None:
+        assert self._journal is None, "speculation already active"
+        self._journal = []
+
+    def end_windows(self) -> None:
+        self._journal = None
+
+    def window_selections(self) -> list[dict]:
+        return [{"sel": r["sel"], "n": r["n"], "k": r["k"]}
+                for r in (self._journal or [])]
+
+    def rollback_windows(self, keep: int) -> None:
+        recs = self._journal[keep:]
+        for rec in reversed(recs):
+            for h, items in rec["popped"].items():
+                heap = self.heaps.setdefault(h, [])
+                for e in items:
+                    heapq.heappush(heap, e)
+                self.total += len(items)
+            self.next_ok.update(rec["prev_next_ok"])
+            self.clock = rec["clock_before"]
+            self.visit_counter -= rec["n"]
+            self.batch_counter -= 1
+        del self._journal[keep:]
+
+    # shard-side twins: under ShardedFrontierScheduler the coordinator
+    # owns clock/counters and journals window ordinals; each shard
+    # journals only its own committed entries + next_ok prev values.
+    def begin_commit_journal(self) -> None:
+        self._commit_journal = {}
+
+    def end_commit_journal(self) -> None:
+        self._commit_journal = None
+
+    def rollback_commits(self, keep_ord: int) -> None:
+        for o in sorted((o for o in self._commit_journal if o >= keep_ord),
+                        reverse=True):
+            rec = self._commit_journal.pop(o)
+            for h, items in rec["popped"].items():
+                heap = self.heaps.setdefault(h, [])
+                for e in items:
+                    heapq.heappush(heap, e)
+                self.total += len(items)
+            self.next_ok.update(rec["prev_next_ok"])
 
     # --- sharded operation (peek/commit two-phase pop) ----------------
     # Host-hash sharding puts every host's queue wholly inside one shard,
@@ -340,9 +429,16 @@ class FrontierSchedulerLocal:
         cands.sort()
         return cands[:k], min_next, self.total
 
-    def commit_batch(self, entries: list[tuple[int, str, str]], clock: float) -> None:
+    def commit_batch(self, entries: list[tuple[int, str, str]], clock: float,
+                     window_ord: int | None = None) -> None:
         """Pop the chosen (depth, url, host) entries (they are each
-        host's current smallest prefix) and apply politeness delays."""
+        host's current smallest prefix) and apply politeness delays.
+        ``window_ord`` tags the commit in the speculative journal when
+        the coordinator is running a multi-window dispatch."""
+        jrec = None
+        if self._commit_journal is not None and window_ord is not None:
+            jrec = self._commit_journal.setdefault(
+                window_ord, {"popped": {}, "prev_next_ok": {}})
         by_host: dict[str, list[tuple[int, str]]] = {}
         for d, u, h in entries:
             by_host.setdefault(h, []).append((d, u))
@@ -352,8 +448,12 @@ class FrontierSchedulerLocal:
             for d, u in items:
                 head = heapq.heappop(heap)
                 assert head == (d, u), f"commit mismatch on {h}: {head} != {(d, u)}"
+            if jrec is not None:
+                jrec["popped"].setdefault(h, []).extend(items)
             delay = self._delay_of(h)
             if delay > 0:
+                if jrec is not None and h not in jrec["prev_next_ok"]:
+                    jrec["prev_next_ok"][h] = self.next_ok.get(h, 0.0)
                 self.next_ok[h] = clock + delay
         self.total -= len(entries)
 
@@ -433,6 +533,7 @@ class ShardedFrontierScheduler:
         self.clock = 0.0
         self.visit_counter = 0
         self.batch_counter = 0
+        self._journal: list[dict] | None = None
 
     def _shard_of(self, host: str) -> int:
         return self._hash(host) % self.num_shards
@@ -469,6 +570,12 @@ class ShardedFrontierScheduler:
         total = sum(p[2] for p in peeks)
         cands = sorted(c for p in peeks for c in p[0])
         if not cands and total > 0:
+            if self._journal is not None:
+                # see FrontierSchedulerLocal.pop_batch: additions can
+                # change the advance amount — unreachable under the
+                # engine's speculation guard
+                raise RuntimeError(
+                    "speculative pop reached the clock-advance branch")
             next_oks = [p[1] for p in peeks if p[1] is not None and p[2] > 0]
             if next_oks:
                 self.clock = max(self.clock, min(next_oks))
@@ -479,12 +586,14 @@ class ShardedFrontierScheduler:
         if not cands:
             return [], [], [], self.clock, self.batch_counter
         chosen = cands[:k]
+        window_ord = len(self._journal) if self._journal is not None else None
         by_shard: dict[int, list] = {}
         for d, u, h in chosen:
             by_shard.setdefault(self._shard_of(h), []).append((d, u, h))
         ray.get(
             [
-                self.shards[s].commit_batch.remote(entries, self.clock)
+                self.shards[s].commit_batch.remote(entries, self.clock,
+                                                   window_ord)
                 for s, entries in by_shard.items()
             ]
         )
@@ -496,7 +605,39 @@ class ShardedFrontierScheduler:
         bidx = self.batch_counter
         self.batch_counter += 1
         self.clock += self.wait_time
+        if self._journal is not None:
+            sel: dict[str, tuple[int, str]] = {}
+            for d, u, h in chosen:
+                if h not in sel:
+                    sel[h] = (d, u)
+            self._journal.append(
+                {"sel": sel, "n": len(chosen), "k": k,
+                 "clock_before": ts})
+            # NB ts == clock value this window was popped at
         return urls, depths, idxs, ts, bidx
+
+    # --- speculative windows (coordinator side; see the local twin) ----
+    def begin_windows(self) -> None:
+        assert self._journal is None, "speculation already active"
+        self._journal = []
+        ray.get([sh.begin_commit_journal.remote() for sh in self.shards])
+
+    def end_windows(self) -> None:
+        self._journal = None
+        ray.get([sh.end_commit_journal.remote() for sh in self.shards])
+
+    def window_selections(self) -> list[dict]:
+        return [{"sel": r["sel"], "n": r["n"], "k": r["k"]}
+                for r in (self._journal or [])]
+
+    def rollback_windows(self, keep: int) -> None:
+        recs = self._journal[keep:]
+        ray.get([sh.rollback_commits.remote(keep) for sh in self.shards])
+        for rec in reversed(recs):
+            self.clock = rec["clock_before"]
+            self.visit_counter -= rec["n"]
+            self.batch_counter -= 1
+        del self._journal[keep:]
 
     def size(self) -> int:
         return sum(ray.get([sh.size.remote() for sh in self.shards]))
