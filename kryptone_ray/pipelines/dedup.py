@@ -877,41 +877,66 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 # ---------------------------------------------------------------------
 # Distributed EXACT n-gram census (Vernica, Carey & Li 2010, "Efficient
 # Parallel Set-Similarity Joins Using MapReduce", SIGMOD — the
-# prefix-token groupby formulation of the same AllPairs/PPJoin family
-# the in-task scan uses). A source past NGRAM_DISTRIBUTED_MIN_DOCS
-# stops being one map_groups task and fans out:
+# gram-bucket groupby formulation of the AllPairs/PPJoin family
+# (Bayardo, Ma & Srikant 2007 WWW; Xiao et al. 2008 WWW) the in-task
+# scan uses). A source past NGRAM_DISTRIBUTED_MIN_DOCS stops being one
+# map_groups task and fans out:
 #
 #   docs → gram-set hashes (vectorized byte-packing, one map_batches)
 #        → class collapse on set-hash        (J=1 families → ONE row)
 #        → heavy-hitter gram census          (ordering heuristic only)
-#        → symmetric-prefix emission         (hot grams demoted last)
-#        → per-bucket candidates ∪ overflow-bucket in-task scans
+#        → probe/index row emission          (hot grams demoted last)
+#        → per-bucket probe×index candidates (+ positional filter)
+#          ∪ overflow-bucket in-task scans
 #        → distributed two-join exact verify → idempotent dup flags
 #        → per-source Σ n_members over flagged classes.
 #
-# EXACTNESS: with prefix length |x| − ⌈t/(1+t)·|x|⌉ + 1 under ANY fixed
-# total gram order, J(A,B) ≥ t forces a common gram in BOTH prefixes
-# (each common gram outside prefix(A)∩prefix(B) lies in one of the two
-# suffixes, so o ≤ k_A + k_B < t/(1+t)·(|A|+|B|) ≤ o — contradiction).
-# Every qualifying pair therefore co-occurs in ≥ 1 bucket, and dup
-# FLAGS are idempotent, so no lowest-common-gram dedup is needed; the
-# hot-gram demotion and the overflow-bucket path change only WHERE a
-# pair is found, never whether. Census output is identical to
-# _ngram_per_source (equality-tested on forced gates).
+# EXACTNESS (AllPairs probe/index split): every class emits an INDEX
+# row for EVERY gram and a probe flag on its first
+# p = |x| − ⌈t·|x|⌉ + 1 grams under the fixed global (is_hot, gram)
+# order. For a qualifying pair J(A,B) ≥ t with |A| ≤ |B|:
+# o ≥ t·|A∪B| ≥ t·|B|, and if no common gram sat in B's first p_B
+# grams then all o common grams would sit in B's last
+# ⌈t·|B|⌉ − 1 < t·|B| ≤ o positions — contradiction (note the argument
+# holds under ANY order of B's grams). So some common gram g is in
+# B's short probe prefix, and A — having g anywhere — has an index row
+# in bucket g: the pair is emitted where B probes as the LARGER side
+# against index rows in the length-filter window [⌈t·|B|⌉, |B|].
+# The PPJoin-style positional filter is sound in EVERY bucket: with
+# i = rank of g in A, j = rank in B (same doc-independent key order),
+# a common gram c ≠ g is either < g (so among the first i of A AND
+# first j of B) or > g, hence o ≤ min(i,j) + 1 +
+# min(|A|−i−1, |B|−j−1); pruning pairs whose bound is below the
+# required ⌈t/(1+t)·(|A|+|B|)⌉ never drops a qualifying pair. Dup
+# FLAGS are idempotent, so multi-bucket emission needs no
+# lowest-common-gram dedup; the hot-gram demotion and the
+# overflow-bucket path change only WHERE a pair is found, never
+# whether. Census output is identical to _ngram_per_source
+# (equality-tested on forced gates).
 # ---------------------------------------------------------------------
 
 # a source past this doc count runs the distributed census; below it
 # the in-task prefix-filter scan wins (no shuffle). Tests force the
 # distributed path by patching to 0.
 NGRAM_DISTRIBUTED_MIN_DOCS = 150_000
-# grams with (approximate) document frequency past this are demoted to
-# the END of the prefix ordering so buckets stay rare-gram-sized;
-# affects bucket sizes only, never the census result.
-NGRAM_HH_DF = 256
-# prefix buckets larger than this skip pair emission (CAP² pair rows
-# per bucket otherwise) and are re-scanned in-task instead — the same
-# exact scan, one bounded task per degenerate bucket.
-NGRAM_BUCKET_CAP = 1024
+# grams with (approximate) class frequency past this are demoted to
+# the END of the gram ordering so probe prefixes are built from the
+# rarest grams; affects bucket sizes only, never the census result.
+NGRAM_HH_DF = 64
+# buckets whose probe_rows × index_rows candidate product exceeds this
+# skip pair emission and are re-scanned in-task instead — the same
+# exact scan, one bounded task per degenerate bucket. The product is a
+# window-free OVERestimate and emission is chunked (flat memory), so
+# the cap only guards per-bucket CPU; genuinely explosive buckets are
+# self-limiting (a high-probe gram needs high df, and high-df grams
+# are demoted out of probe prefixes), so the cap sits high.
+NGRAM_PAIR_CAP = 1 << 26
+# when one source's class blobs (Σ sz × 8 bytes) fit under this, the
+# exact verify broadcasts them once (ray.put, zero-copy numpy views in
+# every task) instead of shipping ~8·sz bytes per CANDIDATE through
+# two hash joins — the broadcast-small-side pattern. Above it the
+# two-join verify runs (blobs ship once per join partition).
+NGRAM_BCAST_VERIFY_BYTES = 1 << 30
 
 _GRAM_POW = np.uint64(256) ** np.arange(4, -1, -1, dtype=np.uint64)
 
@@ -993,8 +1018,9 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
     """Exact near-dup census for sources too large for one in-task
     scan — see the section comment above for the plan and the
     exactness argument. Strings leave the read stage as uint64 gram
-    arrays (bytes-packed, ~8B/gram); the widest shuffle is the prefix
-    emission at ~0.56·|grams| rows/class of (source, gram, id, sz)."""
+    arrays (bytes-packed, ~8B/gram); the widest shuffle is the
+    probe/index emission at |grams| rows/class of
+    (source, gram, id, sz, pos, probe)."""
     import math
 
     import ray
@@ -1006,8 +1032,8 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
     n_total = sum(src_counts.values())
     # metadata-sized shuffles (flags, bucket-census combines) size from
     # doc count; the BLOB shuffle (classes carry ~8·sz-byte gram blobs)
-    # and the WIDE shuffles (prefix emission is ~0.56·|grams| rows per
-    # class, ~100-200x docs) size from their OWN estimated volume — the
+    # and the WIDE shuffles (probe/index emission is |grams| rows per
+    # class, ~200-300x docs) size from their OWN estimated volume — the
     # common.py sizing invariant (rows_per_partition × row-width under
     # target_max_block_size) applied per relation, not per input.
     npart = join_partitions(n_total)
@@ -1079,14 +1105,13 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             .map_batches(collapse, batch_format="pandas",
                          batch_size=None).materialize()
 
-        # prefix-row estimate (metadata-sized pass over classes) sizes
-        # the wide shuffles below — at 100-200 prefix rows per doc the
-        # doc-count npart would hand each pair-emission task a
-        # multi-million-row block
+        # emitted-row estimate (metadata-sized pass over classes) sizes
+        # the wide shuffles below — the probe/index emission is one row
+        # per (class, gram), ~200-300x docs, so the doc-count npart
+        # would hand each pair-emission task a multi-million-row block
         szst = classes.map_batches(
-            lambda df: pd.DataFrame({"pr": [int(np.maximum(
-                df["sz"].to_numpy()
-                - np.ceil(sym * df["sz"].to_numpy()) + 1, 1).sum())]}),
+            lambda df: pd.DataFrame(
+                {"pr": [int(df["sz"].to_numpy().sum())]}),
             batch_format="pandas", batch_size=None).to_pandas()
         prefix_rows = int(szst["pr"].sum()) if len(szst) else 1
         npart_wide = join_partitions(prefix_rows,
@@ -1103,49 +1128,71 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
         hot_ref = ray.put(hot_arr)
 
         def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
+            # AllPairs probe/index emission (Bayardo et al. 2007): one
+            # INDEX row per (class, gram) — every gram — plus a probe
+            # flag on the first |x| − ⌈t·|x|⌉ + 1 grams under the
+            # global (is_hot, gram) order and the 0-based rank of each
+            # gram under that order (the positional-filter input).
             hot = ray.get(hot_ref)
-            pres, keys = [], []
+            pres, poss, probes, keys = [], [], [], []
             for src, cid, sz, b in zip(df["source"], df["class_id"],
                                        df["sz"], df["grams"]):
                 arr = np.frombuffer(b, np.uint64)
-                p = int(sz) - math.ceil(sym * int(sz)) + 1
-                if len(arr) > p:
-                    if len(hot):
-                        ix = np.searchsorted(hot, arr)
-                        ishot = (ix < len(hot)) & \
-                            (hot[np.minimum(ix, len(hot) - 1)] == arr)
-                    else:
-                        ishot = np.zeros(len(arr), dtype=bool)
-                    arr = arr[np.lexsort((arr, ishot))][:p]  # cold first
+                # the 1e-9 guard keeps an exactly-integer t·sz from
+                # ceiling one slot too high under float error (which
+                # would shorten the probe prefix below the exact bound)
+                p = int(sz) - math.ceil(threshold * int(sz) - 1e-9) + 1
+                if len(hot):
+                    ix = np.searchsorted(hot, arr)
+                    ishot = (ix < len(hot)) & \
+                        (hot[np.minimum(ix, len(hot) - 1)] == arr)
+                    arr = arr[np.lexsort((arr, ishot))]  # cold first
+                ranks = np.arange(len(arr), dtype=np.int32)
                 pres.append(arr)
+                poss.append(ranks)
+                probes.append(ranks < p)
                 keys.append((src, cid, sz, len(arr)))
             if not pres:
                 return pd.DataFrame({
                     "source": pd.Series([], dtype="object"),
                     "gram": pd.array([], dtype="uint64"),
                     "class_id": pd.array([], dtype="int64"),
-                    "sz": pd.array([], dtype="int64")})
+                    "sz": pd.array([], dtype="int64"),
+                    "pos": pd.array([], dtype="int32"),
+                    "probe": pd.array([], dtype="bool")})
             reps = np.array([k[3] for k in keys])
             return pd.DataFrame({
                 "source": np.repeat([k[0] for k in keys], reps),
                 "gram": np.concatenate(pres),
                 "class_id": np.repeat([k[1] for k in keys], reps),
-                "sz": np.repeat([k[2] for k in keys], reps)})
+                "sz": np.repeat([k[2] for k in keys], reps),
+                "pos": np.concatenate(poss),
+                "probe": np.concatenate(probes)})
 
         prefix_ds = classes.map_batches(
             prefix_emit, batch_format="pandas",
             batch_size=None).materialize()
 
         # bucket census (the minhash hot-bucket pattern): per-block
-        # partial counts → combine per hash partition → the driver
-        # receives ONLY buckets past the cap (≤ rows/CAP entries)
+        # partial probe/index counts → combine per hash partition →
+        # the driver receives ONLY buckets whose candidate product
+        # n_probe × n_index exceeds the pair cap
         def bkt_partial(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby(["source", "gram"], sort=False).size() \
-                .rename("n").reset_index()
+            if not len(df):
+                return pd.DataFrame({
+                    "source": pd.Series([], dtype="object"),
+                    "gram": pd.array([], dtype="uint64"),
+                    "n_i": pd.array([], dtype="int64"),
+                    "n_p": pd.array([], dtype="int64")})
+            return df.groupby(["source", "gram"], sort=False).agg(
+                n_i=("probe", "size"),
+                n_p=("probe", "sum")).reset_index()
 
         def bkt_hot(df: pd.DataFrame) -> pd.DataFrame:
-            s = df.groupby(["source", "gram"], sort=False)["n"].sum()
-            return s[s > NGRAM_BUCKET_CAP].reset_index()[["source", "gram"]]
+            s = df.groupby(["source", "gram"], sort=False).agg(
+                n_i=("n_i", "sum"), n_p=("n_p", "sum"))
+            s = s[s["n_p"] * s["n_i"] > NGRAM_PAIR_CAP]
+            return s.reset_index()[["source", "gram", "n_i"]]
 
         hotb = prefix_ds.map_batches(bkt_partial, batch_format="pandas",
                                      batch_size=None) \
@@ -1164,18 +1211,24 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
         def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
             # ONE packed-key sorted-segment pass over the whole block
             # (VERDICT r4 #1): rows lexsort by (source, gram, sz) so
-            # each (source, gram) bucket is a contiguous SEGMENT; the
-            # per-bucket size prune — pair (k, j) survives iff
-            # szs[j] <= szs[k]/threshold for j > k within the bucket —
-            # collapses into one searchsorted over a (segment << 32 | sz)
-            # packed key. Zero per-group pandas/Python dispatch (the
-            # old groupby(["source","gram"]) iteration over millions of
-            # tiny buckets cost tens of CPU-minutes per task at the
-            # 200k hot-source smoke).
-            empty = pd.DataFrame({
-                "source": pd.Series([], dtype="object"),
-                "ca": pd.array([], dtype="int64"),
-                "cb": pd.array([], dtype="int64")})
+            # each (source, gram) bucket is a contiguous SEGMENT.
+            # PROBE rows (gram in the short |x| − ⌈t·|x|⌉ + 1 prefix of
+            # x) pair as the LARGER side against the segment's INDEX
+            # rows inside the length-filter window ⌈t·|x|⌉ ≤ |y| ≤ |x|;
+            # both window edges collapse into searchsorteds over a
+            # (segment << 32 | sz) packed key. The PPJoin positional
+            # filter then prunes pairs whose rank-derived overlap
+            # ceiling min(i,j) + 1 + min(|y|−i−1, |x|−j−1) is below the
+            # required ⌈t/(1+t)·(|x|+|y|)⌉ — sound in every bucket (see
+            # the section comment). Zero per-group pandas/Python
+            # dispatch.
+            # empty blocks pin the Arrow schema explicitly — an empty
+            # pandas object column converts to Arrow null and poisons
+            # the verify join's key schema
+            empty = pa.table({
+                "source": pa.array([], pa.string()),
+                "ca": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int64())})
             if not len(df):
                 return empty
             over = ray.get(hotb_ref)
@@ -1183,9 +1236,12 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             grams_a = df["gram"].to_numpy(dtype=np.uint64)
             szs_a = df["sz"].to_numpy(dtype=np.int64)
             ids_a = df["class_id"].to_numpy(dtype=np.int64)
+            pos_a = df["pos"].to_numpy(dtype=np.int64)
+            pr_a = df["probe"].to_numpy(dtype=bool)
             order = np.lexsort((szs_a, grams_a, src_codes))
             sc, ga = src_codes[order], grams_a[order]
             szs, ids = szs_a[order], ids_a[order]
+            pos, pr = pos_a[order], pr_a[order]
             n = len(ids)
             newseg = np.empty(n, dtype=bool)
             newseg[0] = True
@@ -1203,28 +1259,72 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 ix = np.searchsorted(hot_g, gm)
                 seg_hot[m] = (ix < len(hot_g)) & \
                     (hot_g[np.minimum(ix, len(hot_g) - 1)] == gm)
-            # per-segment searchsorted via the packed key: rows are
-            # sorted by (seg, sz), and the query shares the seg bits,
-            # so side="right" stops exactly at the segment boundary
+            # per-probe length-filter window via the packed key: rows
+            # are sorted by (seg, sz) and the queries share the seg
+            # bits, so the searchsorteds stop at segment boundaries
             key = (seg.astype(np.uint64) << np.uint64(32)) \
                 | szs.astype(np.uint64)
-            qsz = np.minimum(np.floor(szs / threshold),
-                             float(2**32 - 1)).astype(np.uint64)
-            q = (seg.astype(np.uint64) << np.uint64(32)) | qsz
-            hi = np.searchsorted(key, q, side="right")
-            counts = np.maximum(hi - np.arange(n) - 1, 0)
-            counts[seg_hot[seg]] = 0
+            qlo = (seg.astype(np.uint64) << np.uint64(32)) \
+                | np.ceil(threshold * szs - 1e-9).astype(np.uint64)
+            lo = np.searchsorted(key, qlo, side="left")
+            hi = np.searchsorted(key, key, side="right")
+            counts = np.where(pr & ~seg_hot[seg],
+                              np.maximum(hi - lo, 0), 0)
             total = int(counts.sum())
             if total == 0:
                 return empty
-            a_rep = np.repeat(np.arange(n), counts)
-            starts = np.cumsum(counts) - counts
-            b_rep = np.arange(total) - starts[a_rep] + a_rep + 1
+            # chunked expansion: slice the probe rows so each expanded
+            # candidate batch stays ≤ ~8M rows — peak memory is flat
+            # no matter how many candidates a block generates; the
+            # positional filter runs per chunk so only survivors
+            # accumulate
+            csum = np.cumsum(counts)
+            cuts = [0]
+            while cuts[-1] < n:
+                done = csum[cuts[-1] - 1] if cuts[-1] else 0
+                nxt = int(np.searchsorted(csum, done + 8_000_000,
+                                          side="left")) + 1
+                cuts.append(min(max(nxt, cuts[-1] + 1), n))
+            a_parts, b_parts = [], []
+            for s0, s1 in zip(cuts[:-1], cuts[1:]):
+                cnt = counts[s0:s1]
+                tot = int(cnt.sum())
+                if not tot:
+                    continue
+                a_rep = np.repeat(np.arange(s0, s1), cnt)
+                starts = np.cumsum(cnt) - cnt
+                b_rep = np.arange(tot) - starts[a_rep - s0] + lo[a_rep]
+                keep = b_rep != a_rep
+                # positional filter (exact — see section comment)
+                i_r, j_r = pos[b_rep], pos[a_rep]
+                sy, sx = szs[b_rep], szs[a_rep]
+                bound = np.minimum(i_r, j_r) + 1 \
+                    + np.minimum(sy - i_r - 1, sx - j_r - 1)
+                keep &= bound >= np.ceil(sym * (sx + sy) - 1e-9)
+                a_parts.append(a_rep[keep])
+                b_parts.append(b_rep[keep])
+            if not a_parts:
+                return empty
+            a_rep = np.concatenate(a_parts)
+            b_rep = np.concatenate(b_parts)
+            if not len(a_rep):
+                return empty
             ia, ib = ids[a_rep], ids[b_rep]
+            ca = np.minimum(ia, ib).astype(np.int64)
+            cb = np.maximum(ia, ib).astype(np.int64)
+            scr = sc[a_rep]
+            # local pre-shuffle dedup: a pair found via several shared
+            # probe grams in this partition ships once
+            o2 = np.lexsort((cb, ca, scr))
+            ca, cb, scr = ca[o2], cb[o2], scr[o2]
+            first = np.empty(len(ca), dtype=bool)
+            first[0] = True
+            first[1:] = (scr[1:] != scr[:-1]) | (ca[1:] != ca[:-1]) \
+                | (cb[1:] != cb[:-1])
             return pd.DataFrame({
-                "source": pd.Series(src_uniq[sc[a_rep]], dtype="object"),
-                "ca": np.minimum(ia, ib).astype(np.int64),
-                "cb": np.maximum(ia, ib).astype(np.int64)})
+                "source": pd.Series(src_uniq[scr[first]], dtype="object"),
+                "ca": ca[first],
+                "cb": cb[first]})
 
         cand = prefix_ds.repartition(num_blocks=npart_wide,
                                      keys=["source", "gram"]) \
@@ -1232,58 +1332,140 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                          batch_size=None) \
             .repartition(num_blocks=npart_wide,
                          keys=["source", "ca", "cb"]) \
-            .map_batches(lambda df: df.drop_duplicates(),
-                         batch_format="pandas", batch_size=None) \
+            .map_batches(
+                lambda t: t.group_by(["source", "ca", "cb"]).aggregate([]),
+                batch_format="pyarrow", batch_size=None) \
             .materialize()
 
-        # exact verify: attach both gram arrays via two hash joins
-        # (the minhash distributed-verify shape), J per pair per block.
-        # Join partitions size from the CANDIDATE count at ~8·sz-byte
-        # blob-attached row width, not from doc count.
+        # exact verify. Two regimes on the same candidate Dataset:
+        #  - BROADCAST (class blobs ≤ NGRAM_BCAST_VERIFY_BYTES and
+        #    class ids fit 48 bits): ship all gram blobs ONCE as one
+        #    flat uint64 array (ray.put → zero-copy views in every
+        #    task) and verify inside map_batches over the skinny
+        #    candidate rows — no blob ever ships per candidate.
+        #  - JOIN (blobs too big to broadcast): attach both gram
+        #    arrays via two hash joins (the minhash distributed-verify
+        #    shape); partitions size from the CANDIDATE count at
+        #    ~8·sz-byte blob-attached row width, not from doc count.
         n_cand = cand.count()
-        npart_ver = join_partitions(max(n_cand, 1),
-                                    rows_per_partition=25_000)
+        # blob-attached view, shared by the join verify and the
+        # overflow-bucket scan (lazy — free unless consumed)
         view_a = classes.map_batches(
             lambda df: df.rename(columns={
                 "source": "src_a", "class_id": "cid_a",
-                "grams": "grams_a", "sz": "sz_a", "n_members": "nm_a"}),
+                "grams": "grams_a", "sz": "sz_a",
+                "n_members": "nm_a"}),
             batch_format="pandas", batch_size=None)
-        view_b = classes.map_batches(
-            lambda df: df.rename(columns={
-                "source": "src_b", "class_id": "cid_b",
-                "grams": "grams_b", "sz": "sz_b", "n_members": "nm_b"}),
-            batch_format="pandas", batch_size=None)
-        j1 = cand.join(view_a, "inner", num_partitions=npart_ver,
-                       on=("source", "ca"), right_on=("src_a", "cid_a"))
-        j2 = j1.join(view_b, "inner", num_partitions=npart_ver,
-                     on=("source", "cb"), right_on=("src_b", "cid_b"))
+        cid_max = classes.map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [int(df["class_id"].max()) if len(df) else 0]}),
+            batch_format="pandas", batch_size=None).to_pandas()
+        cid_fits = (int(cid_max["m"].max()) if len(cid_max) else 0) \
+            < (1 << 48)
+        blob_bytes = prefix_rows * 8
+        ver_flags = None
+        if n_cand and blob_bytes <= NGRAM_BCAST_VERIFY_BYTES \
+                and cid_fits:
+            cls_pd = classes.to_pandas()
+            codes, srcs_u = pd.factorize(cls_pd["source"])
+            cids = cls_pd["class_id"].to_numpy(np.int64)
+            szs_c = cls_pd["sz"].to_numpy(np.int64)
+            nms_c = cls_pd["n_members"].to_numpy(np.int64)
+            ordc = np.lexsort((cids, codes))
+            codes, cids = codes[ordc], cids[ordc]
+            szs_c, nms_c = szs_c[ordc], nms_c[ordc]
+            blobs = cls_pd["grams"].to_numpy()[ordc]
+            offs = np.zeros(len(cids) + 1, dtype=np.int64)
+            offs[1:] = np.cumsum(szs_c)
+            big = np.empty(int(offs[-1]), dtype=np.uint64)
+            for k, b in enumerate(blobs):
+                big[offs[k]:offs[k + 1]] = np.frombuffer(b, np.uint64)
+            key_sorted = (codes.astype(np.uint64) << np.uint64(48)) \
+                | cids.astype(np.uint64)
+            smap = {s: np.uint64(i) for i, s in enumerate(srcs_u)}
+            bref = ray.put((key_sorted, offs, big, szs_c, nms_c, smap))
+            del cls_pd, blobs, big
 
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            src_o, cid_o, nm_o = [], [], []
-            for (src, ca, cb, ga, gb, sa, sb, na, nb) in zip(
-                    df["source"], df["ca"], df["cb"], df["grams_a"],
-                    df["grams_b"], df["sz_a"], df["sz_b"], df["nm_a"],
-                    df["nm_b"]):
-                a = np.frombuffer(ga, np.uint64)
-                b = np.frombuffer(gb, np.uint64)
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                if inter and inter / (sa + sb - inter) >= threshold:
-                    src_o += [src, src]
-                    cid_o += [int(ca), int(cb)]
-                    nm_o += [int(na), int(nb)]
-            return pd.DataFrame({
-                "source": src_o,
-                "class_id": pd.array(cid_o, dtype="int64"),
-                "n_members": pd.array(nm_o, dtype="int64")})
+            def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+                keys, offs, big, szs_c, nms_c, smap = ray.get(bref)
+                src_o, cid_o, nm_o = [], [], []
+                if len(df):
+                    code = df["source"].map(smap) \
+                        .to_numpy(dtype=np.uint64)
+                    ka = (code << np.uint64(48)) \
+                        | df["ca"].to_numpy(np.uint64)
+                    kb = (code << np.uint64(48)) \
+                        | df["cb"].to_numpy(np.uint64)
+                    iaa = np.searchsorted(keys, ka)
+                    ibb = np.searchsorted(keys, kb)
+                    srcs_arr = df["source"].to_numpy()
+                    cas = df["ca"].to_numpy(np.int64)
+                    cbs = df["cb"].to_numpy(np.int64)
+                    for r in range(len(df)):
+                        pa_i, pb_i = iaa[r], ibb[r]
+                        a = big[offs[pa_i]:offs[pa_i + 1]]
+                        b = big[offs[pb_i]:offs[pb_i + 1]]
+                        inter = np.intersect1d(
+                            a, b, assume_unique=True).size
+                        sa, sb = int(szs_c[pa_i]), int(szs_c[pb_i])
+                        if inter and \
+                                inter / (sa + sb - inter) >= threshold:
+                            src_o += [srcs_arr[r], srcs_arr[r]]
+                            cid_o += [int(cas[r]), int(cbs[r])]
+                            nm_o += [int(nms_c[pa_i]),
+                                     int(nms_c[pb_i])]
+                return pd.DataFrame({
+                    "source": pd.Series(src_o, dtype="object"),
+                    "class_id": pd.array(cid_o, dtype="int64"),
+                    "n_members": pd.array(nm_o, dtype="int64")})
 
-        flags = j2.map_batches(verify, batch_format="pandas",
-                               batch_size=4096)
+            ver_flags = cand.map_batches(
+                verify_bcast, batch_format="pandas", batch_size=8192)
+        elif n_cand:
+            npart_ver = join_partitions(max(n_cand, 1),
+                                        rows_per_partition=25_000)
+            view_b = classes.map_batches(
+                lambda df: df.rename(columns={
+                    "source": "src_b", "class_id": "cid_b",
+                    "grams": "grams_b", "sz": "sz_b",
+                    "n_members": "nm_b"}),
+                batch_format="pandas", batch_size=None)
+            j1 = cand.join(view_a, "inner", num_partitions=npart_ver,
+                           on=("source", "ca"),
+                           right_on=("src_a", "cid_a"))
+            j2 = j1.join(view_b, "inner", num_partitions=npart_ver,
+                         on=("source", "cb"),
+                         right_on=("src_b", "cid_b"))
+
+            def verify(df: pd.DataFrame) -> pd.DataFrame:
+                src_o, cid_o, nm_o = [], [], []
+                for (src, ca, cb, ga, gb, sa, sb, na, nb) in zip(
+                        df["source"], df["ca"], df["cb"],
+                        df["grams_a"], df["grams_b"], df["sz_a"],
+                        df["sz_b"], df["nm_a"], df["nm_b"]):
+                    a = np.frombuffer(ga, np.uint64)
+                    b = np.frombuffer(gb, np.uint64)
+                    inter = np.intersect1d(
+                        a, b, assume_unique=True).size
+                    if inter and inter / (sa + sb - inter) >= threshold:
+                        src_o += [src, src]
+                        cid_o += [int(ca), int(cb)]
+                        nm_o += [int(na), int(nb)]
+                return pd.DataFrame({
+                    "source": pd.Series(src_o, dtype="object"),
+                    "class_id": pd.array(cid_o, dtype="int64"),
+                    "n_members": pd.array(nm_o, dtype="int64")})
+
+            ver_flags = j2.map_batches(
+                verify, batch_format="pandas", batch_size=4096)
 
         # J=1 families: any class with ≥ 2 members is dup wholesale
-        flags = flags.union(classes.map_batches(
+        flags = classes.map_batches(
             lambda df: df.loc[df["n_members"] >= 2,
                               ["source", "class_id", "n_members"]],
-            batch_format="pandas", batch_size=None))
+            batch_format="pandas", batch_size=None)
+        if ver_flags is not None:
+            flags = flags.union(ver_flags)
 
         if len(hotb):
             # overflow buckets: pull JUST their members (with grams)
@@ -1306,8 +1488,14 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
 
             over_rows = prefix_ds.map_batches(
                 keep_hot, batch_format="pandas", batch_size=None)
+            # overflow rows carry ~8·sz-byte blobs post-join: size the
+            # join from the hot buckets' total MEMBERSHIP (Σ n_i, known
+            # from the bucket census), not from doc count
+            npart_over = join_partitions(
+                int(hotb["n_i"].sum()) if "n_i" in hotb.columns else 1,
+                rows_per_partition=25_000, hi=512)
             over_j = over_rows.join(
-                view_a, "inner", num_partitions=npart_blob,
+                view_a, "inner", num_partitions=npart_over,
                 on=("source", "class_id"), right_on=("src_a", "cid_a"))
 
             def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
@@ -1329,7 +1517,7 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                     "n_members": pd.array(nm_o, dtype="int64")})
 
             flags = flags.union(over_j.repartition(
-                num_blocks=npart_blob, keys=["source", "gram"]) \
+                num_blocks=npart_over, keys=["source", "gram"]) \
                 .map_batches(bucket_scan, batch_format="pandas",
                              batch_size=None))
 

@@ -518,7 +518,16 @@ def test_ngram_distributed_census_equals_driver(monkeypatch):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), ref.reset_index(drop=True),
         check_dtype=False)
-    monkeypatch.setattr(dedup, "NGRAM_BUCKET_CAP", 2)  # all buckets overflow
+    # force the JOIN verify regime (blobs "too big" to broadcast)
+    monkeypatch.setattr(dedup, "NGRAM_BCAST_VERIFY_BYTES", 0)
+    got_j = dedup.q_ngram_jaccard_dups(SF)
+    pd.testing.assert_frame_equal(
+        got_j.reset_index(drop=True), ref.reset_index(drop=True),
+        check_dtype=False)
+    monkeypatch.undo()
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    monkeypatch.setattr(dedup, "NGRAM_DISTRIBUTED_MIN_DOCS", 0)
+    monkeypatch.setattr(dedup, "NGRAM_PAIR_CAP", 0)  # all buckets overflow
     got2 = dedup.q_ngram_jaccard_dups(SF)
     pd.testing.assert_frame_equal(
         got2.reset_index(drop=True), ref.reset_index(drop=True),
