@@ -893,7 +893,7 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 #
 # EXACTNESS (AllPairs probe/index split): every class emits an INDEX
 # row for EVERY gram and a probe flag on its first
-# p = |x| − ⌈t·|x|⌉ + 1 grams under the fixed global (is_hot, gram)
+# p = |x| − ⌈t·|x|⌉ + 1 grams under the fixed global (df_grade, gram)
 # order. For a qualifying pair J(A,B) ≥ t with |A| ≤ |B|:
 # o ≥ t·|A∪B| ≥ t·|B|, and if no common gram sat in B's first p_B
 # grams then all o common grams would sit in B's last
@@ -1093,7 +1093,7 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
 
     def hh_combine(df: pd.DataFrame) -> pd.DataFrame:
         s = df.groupby("gram", sort=False)["n"].sum()
-        return s[s >= NGRAM_HH_DF].reset_index()[["gram"]]
+        return s[s >= NGRAM_HH_DF].reset_index()[["gram", "n"]]
 
     with hash_shuffle():
         ds = T(sf_dir, "documents", columns=["doc_id", "source", "text"],
@@ -1123,17 +1123,30 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             .repartition(num_blocks=npart_wide, keys=["gram"]) \
             .map_batches(hh_combine, batch_format="pandas",
                          batch_size=None).to_pandas()
-        hot_arr = np.sort(hh["gram"].to_numpy(dtype=np.uint64)) \
-            if "gram" in hh.columns else np.empty(0, np.uint64)
-        hot_ref = ray.put(hot_arr)
+        if "gram" in hh.columns and len(hh):
+            _ho = np.argsort(hh["gram"].to_numpy(dtype=np.uint64))
+            hot_arr = hh["gram"].to_numpy(dtype=np.uint64)[_ho]
+            # df GRADE (1 + log2(df/NGRAM_HH_DF), cold = 0): probe
+            # prefixes prefer the LEAST heavy grams, so a df≈2·HH gram
+            # outranks a df≈10^5 one — without this, a cold-deficient
+            # doc probes monster buckets whose membership approaches
+            # the whole source and the overflow scan degenerates into
+            # the single-task census the fan-out exists to avoid
+            hot_lvl = (1 + np.floor(np.log2(
+                hh["n"].to_numpy(dtype=np.float64)[_ho]
+                / NGRAM_HH_DF))).astype(np.uint8)
+        else:
+            hot_arr = np.empty(0, np.uint64)
+            hot_lvl = np.empty(0, np.uint8)
+        hot_ref = ray.put((hot_arr, hot_lvl))
 
         def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
             # AllPairs probe/index emission (Bayardo et al. 2007): one
             # INDEX row per (class, gram) — every gram — plus a probe
             # flag on the first |x| − ⌈t·|x|⌉ + 1 grams under the
-            # global (is_hot, gram) order and the 0-based rank of each
-            # gram under that order (the positional-filter input).
-            hot = ray.get(hot_ref)
+            # global (df_grade, gram) order and the 0-based rank of
+            # each gram under that order (the positional-filter input).
+            hot, hlvl = ray.get(hot_ref)
             pres, poss, probes, keys = [], [], [], []
             for src, cid, sz, b in zip(df["source"], df["class_id"],
                                        df["sz"], df["grams"]):
@@ -1144,9 +1157,11 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 p = int(sz) - math.ceil(threshold * int(sz) - 1e-9) + 1
                 if len(hot):
                     ix = np.searchsorted(hot, arr)
-                    ishot = (ix < len(hot)) & \
+                    found = (ix < len(hot)) & \
                         (hot[np.minimum(ix, len(hot) - 1)] == arr)
-                    arr = arr[np.lexsort((arr, ishot))]  # cold first
+                    lvl = np.zeros(len(arr), dtype=np.uint8)
+                    lvl[found] = hlvl[ix[found]]
+                    arr = arr[np.lexsort((arr, lvl))]  # rarest first
                 ranks = np.arange(len(arr), dtype=np.int32)
                 pres.append(arr)
                 poss.append(ranks)
