@@ -917,7 +917,11 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 
 # a source past this doc count runs the distributed census; below it
 # the in-task prefix-filter scan wins (no shuffle). Tests force the
-# distributed path by patching to 0.
+# distributed path by patching to 0. Gate placement measured at the
+# boundary (194k-doc hot-source smoke table, identical input/output):
+# in-task scan 862.7 s in ONE task vs 143.7 s distributed at 32 CPUs —
+# the fan-out wins ~6x right above the gate, not only at 10^8 docs
+# (BASELINE.md round-5 measurements).
 NGRAM_DISTRIBUTED_MIN_DOCS = 150_000
 # grams with (approximate) class frequency past this are demoted to
 # the END of the gram ordering so probe prefixes are built from the

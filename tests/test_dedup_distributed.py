@@ -532,3 +532,49 @@ def test_ngram_distributed_census_equals_driver(monkeypatch):
     pd.testing.assert_frame_equal(
         got2.reset_index(drop=True), ref.reset_index(drop=True),
         check_dtype=False)
+
+
+def test_hashed_prefix_census_threshold_sweep_vs_bruteforce():
+    """The probe-prefix length p = |x| − ⌈t·|x|⌉ + 1 and the PPJoin
+    positional bound are both threshold-driven; sweep t across values
+    where t·sz lands EXACTLY on an integer (0.5, 0.75 with even sizes)
+    and where it doesn't, against an O(n²) recount. A ceil done one
+    slot high (the float-guard failure mode) drops qualifying pairs
+    only at specific (t, sz) combinations — one threshold can't see it."""
+    rng = np.random.default_rng(23)
+    arrs = []
+    for i in range(70):
+        # sizes forced through multiples of 2 and 4 so t·sz is integral
+        # for t ∈ {0.5, 0.75} on many docs
+        sz = int(rng.integers(4, 30)) * 2
+        a = np.unique(rng.integers(0, 260, size=sz).astype(np.uint64))
+        arrs.append(a)
+        if i % 5 == 0:  # planted near-identical neighbour
+            arrs.append(np.unique(np.append(a[1:], np.uint64(5000 + i))))
+    for t in (0.5, 0.6, 2.0 / 3.0, 0.75, 0.8, 0.9):
+        got = dedup._hashed_prefix_census(arrs, t)
+        exp = np.zeros(len(arrs), dtype=bool)
+        for i in range(len(arrs)):
+            for j in range(i + 1, len(arrs)):
+                inter = np.intersect1d(arrs[i], arrs[j],
+                                       assume_unique=True).size
+                if inter and inter / (len(arrs[i]) + len(arrs[j])
+                                      - inter) >= t:
+                    exp[i] = exp[j] = True
+        assert (got == exp).all(), f"threshold {t}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_distributed_census_threshold_sweep(monkeypatch):
+    """Gate-forced distributed census must equal the driver-exact census
+    at thresholds besides the default 0.8 — the AllPairs probe prefix,
+    the PPJoin positional bound AND the verify all re-derive from t."""
+    monkeypatch.setattr(dedup, "MINHASH_DISTRIBUTED_MIN_DOCS", 0)
+    for t in (0.5, 0.9):
+        monkeypatch.setattr(dedup, "NGRAM_DISTRIBUTED_MIN_DOCS", 10 ** 9)
+        ref = dedup.q_ngram_jaccard_dups(SF, threshold=t)
+        monkeypatch.setattr(dedup, "NGRAM_DISTRIBUTED_MIN_DOCS", 0)
+        got = dedup.q_ngram_jaccard_dups(SF, threshold=t)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), ref.reset_index(drop=True),
+            check_dtype=False)
