@@ -115,10 +115,20 @@ def decode_table(batch: pa.Table) -> pa.Table:
 
 
 class FetchActor:
-    """``map_batches`` actor: corpus handles opened once per actor."""
+    """``map_batches`` actor: corpus handles opened once per actor.
 
-    def __init__(self, corpus_dir: str):
+    Like the reference's browser launch (base.py:100 — one
+    ``RANDOM_USER_AGENT()`` per browser instance), each actor draws ONE
+    user agent at construction; ``user_agent_seed`` pins the draw for
+    reproducible pools (None = nondeterministic, reference behavior).
+    The synthetic corpus ignores request headers, so the agent is
+    politeness metadata only — outputs are agent-independent."""
+
+    def __init__(self, corpus_dir: str, user_agent_seed: int | None = None):
+        from kryptone_ray.utils.randomizers import random_user_agent
+
         self.reader = CorpusReader(corpus_dir)
+        self.user_agent = random_user_agent(seed=user_agent_seed)()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return fetch_table(self.reader, batch)

@@ -331,3 +331,22 @@ def capture(url: str, regex: str):
 def url_query(url: str) -> dict:
     """urls.py:299-311 — parse_qs of the query component."""
     return parse_qs(urlparse(url).query)
+
+
+def transform_string_urls(urls):
+    """base.py:881-884 — lifting generator. The reference lifts ``str``
+    → ``URL`` objects; this engine's URL value type IS the canonical
+    string (an Arrow string column at batch level), so the lift
+    direction inverts: any URL-like object (something exposing a url
+    string via ``str()``) passes through as its string, strings pass
+    unchanged. One generator, same lazy contract."""
+    for u in urls:
+        yield u if isinstance(u, str) else str(u)
+
+
+def normalize_urls(urls) -> list[str]:
+    """base.py:358-361 — URL→str projection of a list/set. Batch-level
+    equivalent: an Arrow string column is already the normalized form;
+    this scalar form exists for driver-side call sites (seed lists,
+    checkpoint manifests) that hold small Python collections."""
+    return [str(u) for u in urls]

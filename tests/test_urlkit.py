@@ -170,3 +170,69 @@ def test_parse_batch_fast_path_equals_stdlib_everywhere():
             exp = ("", "", "", "", "")
         got = (f.scheme[i], f.netloc[i], f.path[i], f.query[i], f.fragment[i])
         assert got == exp, (u, got, exp)
+
+
+def test_transform_string_urls_and_normalize_urls():
+    """base.py:881-884 / 358-361 — the str↔URL lifting pair. The
+    engine's URL value type is the string, so both directions resolve
+    to strings; non-str URL-likes pass through str()."""
+    from kryptone_ray.utils.urlkit import normalize_urls, transform_string_urls
+
+    class UrlLike:
+        def __init__(self, raw):
+            self.raw = raw
+
+        def __str__(self):
+            return self.raw
+
+    mixed = ["http://a.com/x", UrlLike("http://b.com/y"), "http://c.com"]
+    out = list(transform_string_urls(mixed))
+    assert out == ["http://a.com/x", "http://b.com/y", "http://c.com"]
+    assert all(isinstance(u, str) for u in out)
+    assert normalize_urls(mixed) == out
+    assert normalize_urls(set(["http://a.com"])) == ["http://a.com"]
+    assert list(transform_string_urls([])) == []
+
+
+def test_random_user_agent_seeded_and_batch():
+    """randomizers.py contract (reference randomizers.py:9-19): every
+    draw is a line of data/user_agents.txt; seeded draws reproduce;
+    the batch form matches per-call draws for the same seed."""
+    import numpy as np
+
+    from kryptone_ray.utils.randomizers import (
+        RANDOM_USER_AGENT,
+        load_user_agents,
+        random_user_agent,
+        user_agent_batch,
+    )
+
+    agents = set(load_user_agents())
+    assert len(agents) >= 20
+    assert RANDOM_USER_AGENT() in agents
+    a = random_user_agent(seed=7)
+    b = random_user_agent(seed=7)
+    seq_a = [a() for _ in range(10)]
+    assert seq_a == [b() for _ in range(10)]
+    assert set(seq_a) <= agents
+    batch = user_agent_batch(64, seed=11)
+    assert isinstance(batch, np.ndarray) and len(batch) == 64
+    assert set(batch) <= agents
+    assert list(batch) == list(user_agent_batch(64, seed=11))
+
+
+def test_fetch_actor_draws_seeded_user_agent(tmp_path):
+    """FetchActor mirrors the reference's one-agent-per-browser launch
+    (base.py:100): the agent is actor state drawn once in __init__ and
+    never alters fetch output."""
+    from kryptone_ray.corpus.store import write_corpus
+    from kryptone_ray.corpus.synth import CorpusSpec, make_corpus_table
+    from kryptone_ray.stages.fetch import FetchActor
+    from kryptone_ray.utils.randomizers import load_user_agents
+
+    spec = CorpusSpec(n_rows=8, n_hosts=2, seed=1)
+    write_corpus(make_corpus_table(spec), tmp_path / "c", num_shards=1)
+    a1 = FetchActor(str(tmp_path / "c"), user_agent_seed=3)
+    a2 = FetchActor(str(tmp_path / "c"), user_agent_seed=3)
+    assert a1.user_agent == a2.user_agent
+    assert a1.user_agent in set(load_user_agents())
