@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from kryptone_ray.pipelines.common import T
 from kryptone_ray.utils.xxh64 import xxh64, xxh64_batch, xxh64_padded
@@ -1172,21 +1173,26 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 probes.append(ranks < p)
                 keys.append((src, cid, sz, len(arr)))
             if not pres:
-                return pd.DataFrame({
-                    "source": pd.Series([], dtype="object"),
-                    "gram": pd.array([], dtype="uint64"),
-                    "class_id": pd.array([], dtype="int64"),
-                    "sz": pd.array([], dtype="int64"),
-                    "pos": pd.array([], dtype="int32"),
-                    "probe": pd.array([], dtype="bool")})
+                return pa.table({
+                    "source": pa.array([], pa.string()),
+                    "gram": pa.array([], pa.uint64()),
+                    "class_id": pa.array([], pa.int64()),
+                    "sz": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int32()),
+                    "probe": pa.array([], pa.bool_())})
+            # Arrow output straight from the numpy buffers (zero-copy
+            # for every numeric column; the wide prefix relation never
+            # round-trips through a pandas block)
             reps = np.array([k[3] for k in keys])
-            return pd.DataFrame({
-                "source": np.repeat([k[0] for k in keys], reps),
-                "gram": np.concatenate(pres),
-                "class_id": np.repeat([k[1] for k in keys], reps),
-                "sz": np.repeat([k[2] for k in keys], reps),
-                "pos": np.concatenate(poss),
-                "probe": np.concatenate(probes)})
+            return pa.table({
+                "source": pa.array(np.repeat([k[0] for k in keys], reps)),
+                "gram": pa.array(np.concatenate(pres)),
+                "class_id": pa.array(np.repeat(
+                    np.array([k[1] for k in keys], dtype=np.int64), reps)),
+                "sz": pa.array(np.repeat(
+                    np.array([k[2] for k in keys], dtype=np.int64), reps)),
+                "pos": pa.array(np.concatenate(poss)),
+                "probe": pa.array(np.concatenate(probes))})
 
         prefix_ds = classes.map_batches(
             prefix_emit, batch_format="pandas",
@@ -1196,27 +1202,27 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
         # partial probe/index counts → combine per hash partition →
         # the driver receives ONLY buckets whose candidate product
         # n_probe × n_index exceeds the pair cap
-        def bkt_partial(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({
-                    "source": pd.Series([], dtype="object"),
-                    "gram": pd.array([], dtype="uint64"),
-                    "n_i": pd.array([], dtype="int64"),
-                    "n_p": pd.array([], dtype="int64")})
-            return df.groupby(["source", "gram"], sort=False).agg(
-                n_i=("probe", "size"),
-                n_p=("probe", "sum")).reset_index()
+        def bkt_partial(t: pa.Table) -> pa.Table:
+            # Acero group-by over the wide prefix relation — no pandas
+            # conversion of the biggest intermediate in the census
+            g = t.group_by(["source", "gram"]).aggregate(
+                [("probe", "count"), ("probe", "sum")])
+            return g.rename_columns(["source", "gram", "n_i", "n_p"])
 
-        def bkt_hot(df: pd.DataFrame) -> pd.DataFrame:
-            s = df.groupby(["source", "gram"], sort=False).agg(
-                n_i=("n_i", "sum"), n_p=("n_p", "sum"))
-            s = s[s["n_p"] * s["n_i"] > NGRAM_PAIR_CAP]
-            return s.reset_index()[["source", "gram", "n_i"]]
+        def bkt_hot(t: pa.Table) -> pa.Table:
+            g = t.group_by(["source", "gram"]).aggregate(
+                [("n_i", "sum"), ("n_p", "sum")])
+            g = g.rename_columns(["source", "gram", "n_i", "n_p"])
+            g = g.filter(pc.greater(pc.multiply(
+                pc.cast(g["n_p"], pa.int64()),
+                pc.cast(g["n_i"], pa.int64())),
+                NGRAM_PAIR_CAP))
+            return g.select(["source", "gram", "n_i"])
 
-        hotb = prefix_ds.map_batches(bkt_partial, batch_format="pandas",
+        hotb = prefix_ds.map_batches(bkt_partial, batch_format="pyarrow",
                                      batch_size=None) \
             .repartition(num_blocks=npart_wide, keys=["source", "gram"]) \
-            .map_batches(bkt_hot, batch_format="pandas",
+            .map_batches(bkt_hot, batch_format="pyarrow",
                          batch_size=None).to_pandas()
         if "gram" not in hotb.columns:
             hotb = pd.DataFrame({"source": pd.Series([], dtype="object"),
@@ -1227,7 +1233,7 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             s: np.sort(grp["gram"].to_numpy(dtype=np.uint64))
             for s, grp in hotb.groupby("source", sort=False)})
 
-        def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        def bucket_pairs(t: pa.Table) -> pa.Table:
             # ONE packed-key sorted-segment pass over the whole block
             # (VERDICT r4 #1): rows lexsort by (source, gram, sz) so
             # each (source, gram) bucket is a contiguous SEGMENT.
@@ -1248,15 +1254,25 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 "source": pa.array([], pa.string()),
                 "ca": pa.array([], pa.int64()),
                 "cb": pa.array([], pa.int64())})
-            if not len(df):
+            if not t.num_rows:
                 return empty
             over = ray.get(hotb_ref)
-            src_codes, src_uniq = pd.factorize(df["source"])
-            grams_a = df["gram"].to_numpy(dtype=np.uint64)
-            szs_a = df["sz"].to_numpy(dtype=np.int64)
-            ids_a = df["class_id"].to_numpy(dtype=np.int64)
-            pos_a = df["pos"].to_numpy(dtype=np.int64)
-            pr_a = df["probe"].to_numpy(dtype=bool)
+            # dictionary-encode the source strings once (Acero kernel)
+            # and read every numeric column as a zero-copy numpy view
+            sd = pc.dictionary_encode(t["source"].combine_chunks())
+            src_codes = sd.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            src_uniq = np.asarray(sd.dictionary.to_pylist(), dtype=object)
+            grams_a = t["gram"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64, copy=False)
+            szs_a = t["sz"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            ids_a = t["class_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            pos_a = t["pos"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            pr_a = t["probe"].to_numpy(zero_copy_only=False) \
+                .astype(bool, copy=False)
             order = np.lexsort((szs_a, grams_a, src_codes))
             sc, ga = src_codes[order], grams_a[order]
             szs, ids = szs_a[order], ids_a[order]
@@ -1340,14 +1356,14 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             first[0] = True
             first[1:] = (scr[1:] != scr[:-1]) | (ca[1:] != ca[:-1]) \
                 | (cb[1:] != cb[:-1])
-            return pd.DataFrame({
-                "source": pd.Series(src_uniq[scr[first]], dtype="object"),
-                "ca": ca[first],
-                "cb": cb[first]})
+            return pa.table({
+                "source": pa.array(src_uniq[scr[first]], type=pa.string()),
+                "ca": pa.array(ca[first]),
+                "cb": pa.array(cb[first])})
 
         cand = prefix_ds.repartition(num_blocks=npart_wide,
                                      keys=["source", "gram"]) \
-            .map_batches(bucket_pairs, batch_format="pandas",
+            .map_batches(bucket_pairs, batch_format="pyarrow",
                          batch_size=None) \
             .repartition(num_blocks=npart_wide,
                          keys=["source", "ca", "cb"]) \
