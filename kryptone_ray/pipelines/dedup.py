@@ -892,17 +892,26 @@ def q_ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> pd.DataFrame:
 #        → distributed two-join exact verify → idempotent dup flags
 #        → per-source Σ n_members over flagged classes.
 #
-# EXACTNESS (AllPairs probe/index split): every class emits an INDEX
-# row for EVERY gram and a probe flag on its first
+# EXACTNESS (prefix-filter join, probe-by-the-larger-side): every
+# class emits rows ONLY for its t-prefix — the first
 # p = |x| − ⌈t·|x|⌉ + 1 grams under the fixed global (df_grade, gram)
-# order. For a qualifying pair J(A,B) ≥ t with |A| ≤ |B|:
-# o ≥ t·|A∪B| ≥ t·|B|, and if no common gram sat in B's first p_B
-# grams then all o common grams would sit in B's last
-# ⌈t·|B|⌉ − 1 < t·|B| ≤ o positions — contradiction (note the argument
-# holds under ANY order of B's grams). So some common gram g is in
-# B's short probe prefix, and A — having g anywhere — has an index row
-# in bucket g: the pair is emitted where B probes as the LARGER side
-# against index rows in the length-filter window [⌈t·|B|⌉, |B|].
+# order — and each emitted row serves as both probe and index. For a
+# qualifying pair J(A,B) ≥ t with |A| ≤ |B| the classic both-prefix
+# pigeonhole (Chaudhuri/Ganti/Kaushik 2006; Bayardo et al. 2007)
+# applies: with α = ⌈t/(1+t)·(|A|+|B|)⌉ common grams required, let a*
+# (resp. b*) be the largest gram of A's (B's) (|·| − α + 1)-prefix
+# under the global order, WLOG a* ≤ b*; a common gram inside A's
+# prefix is ≤ a* ≤ b*, so it cannot sit in B's suffix — if no common
+# gram lay in BOTH prefixes, every common gram would exceed a*,
+# leaving at most α − 1 of them. The t-prefix dominates the
+# (|·| − α + 1)-prefix on both sides inside the length-filter window:
+# |B| ≥ |A| gives α ≥ t/(1+t)(t|B|+|B|) = t·|B|, and |A| ≤ |B| gives
+# α ≥ 2t/(1+t)·|A| ≥ t·|A|. So some common gram g is in both emitted
+# prefixes, and the pair is generated where B probes as the LARGER
+# side against rows in the length-filter window [⌈t·|B|⌉, |B|].
+# (Emitting the FULL gram list as index rows — the round-5-early
+# AllPairs split — is also exact but ships ~1/(1−t)× the rows and
+# generates ~1/(1−t)× the candidates; measured 135 s → see BASELINE.)
 # The PPJoin-style positional filter is sound in EVERY bucket: with
 # i = rank of g in A, j = rank in B (same doc-independent key order),
 # a common gram c ≠ g is either < g (so among the first i of A AND
@@ -976,6 +985,16 @@ def _gram_hashes(text: str) -> np.ndarray:
     w = np.lib.stride_tricks.sliding_window_view(b, 5).astype(np.uint64)
     h = (w * _GRAM_POW).sum(axis=1) | np.uint64(5 << 40)
     return np.unique(h)
+
+
+# Verify-kernel note (measured, 55-element uint64 sets, 20k pairs):
+# np.intersect1d(assume_unique=True) = 3.0 µs/pair; a searchsorted
+# probe of the smaller side into the larger = 7.7 µs/pair (numpy
+# call-dispatch dominates at this size); a whole-batch gather+lexsort
+# merge-count = SLOWER at the census's ~10^7-candidate scale (one
+# cache-hostile 10^6-element sort vs many cache-hot 110-element ones).
+# The per-candidate intersect1d loop in the verify stages is therefore
+# the deliberate shape, not an oversight.
 
 
 def _hashed_prefix_census(arrs: list[np.ndarray], threshold: float) -> np.ndarray:
@@ -1146,11 +1165,14 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
         hot_ref = ray.put((hot_arr, hot_lvl))
 
         def prefix_emit(df: pd.DataFrame) -> pd.DataFrame:
-            # AllPairs probe/index emission (Bayardo et al. 2007): one
-            # INDEX row per (class, gram) — every gram — plus a probe
-            # flag on the first |x| − ⌈t·|x|⌉ + 1 grams under the
-            # global (df_grade, gram) order and the 0-based rank of
-            # each gram under that order (the positional-filter input).
+            # prefix-filter emission: one row per (class, gram) for the
+            # first |x| − ⌈t·|x|⌉ + 1 grams under the global
+            # (df_grade, gram) order — the t-prefix, which both sides
+            # of a qualifying pair must share a gram of (section
+            # comment). `pos` carries the 0-based FULL-array rank (the
+            # positional-filter input); `probe` is True on every
+            # emitted row (each row probes as the larger side and is
+            # indexed as the smaller).
             hot, hlvl = ray.get(hot_ref)
             pres, poss, probes, keys = [], [], [], []
             for src, cid, sz, b in zip(df["source"], df["class_id"],
@@ -1168,10 +1190,10 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                     lvl[found] = hlvl[ix[found]]
                     arr = arr[np.lexsort((arr, lvl))]  # rarest first
                 ranks = np.arange(len(arr), dtype=np.int32)
-                pres.append(arr)
-                poss.append(ranks)
-                probes.append(ranks < p)
-                keys.append((src, cid, sz, len(arr)))
+                pres.append(arr[:p])
+                poss.append(ranks[:p])
+                probes.append(np.ones(min(p, len(arr)), dtype=bool))
+                keys.append((src, cid, sz, min(p, len(arr))))
             if not pres:
                 return pa.table({
                     "source": pa.array([], pa.string()),
@@ -1421,38 +1443,49 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
             bref = ray.put((key_sorted, offs, big, szs_c, nms_c, smap))
             del cls_pd, blobs, big
 
-            def verify_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            def verify_bcast(df: pd.DataFrame) -> pa.Table:
+                empty = pa.table({
+                    "source": pa.array([], pa.string()),
+                    "class_id": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64())})
+                if not len(df):
+                    return empty
                 keys, offs, big, szs_c, nms_c, smap = ray.get(bref)
-                src_o, cid_o, nm_o = [], [], []
-                if len(df):
-                    code = df["source"].map(smap) \
-                        .to_numpy(dtype=np.uint64)
-                    ka = (code << np.uint64(48)) \
-                        | df["ca"].to_numpy(np.uint64)
-                    kb = (code << np.uint64(48)) \
-                        | df["cb"].to_numpy(np.uint64)
-                    iaa = np.searchsorted(keys, ka)
-                    ibb = np.searchsorted(keys, kb)
-                    srcs_arr = df["source"].to_numpy()
-                    cas = df["ca"].to_numpy(np.int64)
-                    cbs = df["cb"].to_numpy(np.int64)
-                    for r in range(len(df)):
-                        pa_i, pb_i = iaa[r], ibb[r]
-                        a = big[offs[pa_i]:offs[pa_i + 1]]
-                        b = big[offs[pb_i]:offs[pb_i + 1]]
-                        inter = np.intersect1d(
-                            a, b, assume_unique=True).size
-                        sa, sb = int(szs_c[pa_i]), int(szs_c[pb_i])
-                        if inter and \
-                                inter / (sa + sb - inter) >= threshold:
-                            src_o += [srcs_arr[r], srcs_arr[r]]
-                            cid_o += [int(cas[r]), int(cbs[r])]
-                            nm_o += [int(nms_c[pa_i]),
-                                     int(nms_c[pb_i])]
-                return pd.DataFrame({
-                    "source": pd.Series(src_o, dtype="object"),
-                    "class_id": pd.array(cid_o, dtype="int64"),
-                    "n_members": pd.array(nm_o, dtype="int64")})
+                code = df["source"].map(smap).to_numpy(dtype=np.uint64)
+                ka = (code << np.uint64(48)) \
+                    | df["ca"].to_numpy(np.uint64)
+                kb = (code << np.uint64(48)) \
+                    | df["cb"].to_numpy(np.uint64)
+                iaa = np.searchsorted(keys, ka)
+                ibb = np.searchsorted(keys, kb)
+                srcs_arr = df["source"].to_numpy()
+                cas = df["ca"].to_numpy(np.int64)
+                cbs = df["cb"].to_numpy(np.int64)
+                iv = np.empty(len(df), np.int64)
+                for r in range(len(df)):
+                    pa_i, pb_i = iaa[r], ibb[r]
+                    iv[r] = np.intersect1d(
+                        big[offs[pa_i]:offs[pa_i + 1]],
+                        big[offs[pb_i]:offs[pb_i + 1]],
+                        assume_unique=True).size
+                # same DIVISION form as the in-task scans — bit-equal
+                # accept/reject at the threshold boundary
+                un = np.maximum(szs_c[iaa] + szs_c[ibb] - iv, 1)
+                sel = np.flatnonzero((iv > 0) & (iv / un >= threshold))
+                if not len(sel):
+                    return empty
+                k = len(sel)
+                cid_o = np.empty(2 * k, np.int64)
+                cid_o[0::2] = cas[sel]
+                cid_o[1::2] = cbs[sel]
+                nm_o = np.empty(2 * k, np.int64)
+                nm_o[0::2] = nms_c[iaa[sel]]
+                nm_o[1::2] = nms_c[ibb[sel]]
+                return pa.table({
+                    "source": pa.array(np.repeat(srcs_arr[sel], 2),
+                                       type=pa.string()),
+                    "class_id": pa.array(cid_o),
+                    "n_members": pa.array(nm_o)})
 
             ver_flags = cand.map_batches(
                 verify_bcast, batch_format="pandas", batch_size=8192)
@@ -1472,33 +1505,63 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                          on=("source", "cb"),
                          right_on=("src_b", "cid_b"))
 
-            def verify(df: pd.DataFrame) -> pd.DataFrame:
-                src_o, cid_o, nm_o = [], [], []
-                for (src, ca, cb, ga, gb, sa, sb, na, nb) in zip(
-                        df["source"], df["ca"], df["cb"],
-                        df["grams_a"], df["grams_b"], df["sz_a"],
-                        df["sz_b"], df["nm_a"], df["nm_b"]):
-                    a = np.frombuffer(ga, np.uint64)
-                    b = np.frombuffer(gb, np.uint64)
-                    inter = np.intersect1d(
-                        a, b, assume_unique=True).size
-                    if inter and inter / (sa + sb - inter) >= threshold:
-                        src_o += [src, src]
-                        cid_o += [int(ca), int(cb)]
-                        nm_o += [int(na), int(nb)]
-                return pd.DataFrame({
-                    "source": pd.Series(src_o, dtype="object"),
-                    "class_id": pd.array(cid_o, dtype="int64"),
-                    "n_members": pd.array(nm_o, dtype="int64")})
+            def verify(df: pd.DataFrame) -> pa.Table:
+                empty = pa.table({
+                    "source": pa.array([], pa.string()),
+                    "class_id": pa.array([], pa.int64()),
+                    "n_members": pa.array([], pa.int64())})
+                if not len(df):
+                    return empty
+                # one flat copy per side (b"".join) instead of a
+                # per-row frombuffer, then the measured-fastest kernel
+                # per pair (see the verify-kernel note above)
+                cat_a = np.frombuffer(b"".join(df["grams_a"]), np.uint64)
+                cat_b = np.frombuffer(b"".join(df["grams_b"]), np.uint64)
+                la = df["sz_a"].to_numpy(np.int64)
+                lb = df["sz_b"].to_numpy(np.int64)
+                oa = np.cumsum(la) - la
+                ob = np.cumsum(lb) - lb
+                iv = np.empty(len(df), np.int64)
+                for r in range(len(df)):
+                    iv[r] = np.intersect1d(
+                        cat_a[oa[r]:oa[r] + la[r]],
+                        cat_b[ob[r]:ob[r] + lb[r]],
+                        assume_unique=True).size
+                un = np.maximum(la + lb - iv, 1)  # division form, as in-task
+                sel = np.flatnonzero((iv > 0) & (iv / un >= threshold))
+                if not len(sel):
+                    return empty
+                k = len(sel)
+                cid_o = np.empty(2 * k, np.int64)
+                cid_o[0::2] = df["ca"].to_numpy(np.int64)[sel]
+                cid_o[1::2] = df["cb"].to_numpy(np.int64)[sel]
+                nm_o = np.empty(2 * k, np.int64)
+                nm_o[0::2] = df["nm_a"].to_numpy(np.int64)[sel]
+                nm_o[1::2] = df["nm_b"].to_numpy(np.int64)[sel]
+                return pa.table({
+                    "source": pa.array(
+                        np.repeat(df["source"].to_numpy()[sel], 2),
+                        type=pa.string()),
+                    "class_id": pa.array(cid_o),
+                    "n_members": pa.array(nm_o)})
 
             ver_flags = j2.map_batches(
                 verify, batch_format="pandas", batch_size=4096)
 
         # J=1 families: any class with ≥ 2 members is dup wholesale
-        flags = classes.map_batches(
-            lambda df: df.loc[df["n_members"] >= 2,
-                              ["source", "class_id", "n_members"]],
-            batch_format="pandas", batch_size=None)
+        # (pinned-Arrow output so the union with the Arrow-emitting
+        # verify stages carries ONE schema through the flags shuffle)
+        def j1_flags(df: pd.DataFrame) -> pa.Table:
+            sub = df.loc[df["n_members"] >= 2]
+            return pa.table({
+                "source": pa.array(sub["source"].to_numpy(),
+                                   type=pa.string()),
+                "class_id": pa.array(sub["class_id"].to_numpy(np.int64)),
+                "n_members": pa.array(
+                    sub["n_members"].to_numpy(np.int64))})
+
+        flags = classes.map_batches(j1_flags, batch_format="pandas",
+                                    batch_size=None)
         if ver_flags is not None:
             flags = flags.union(ver_flags)
 
