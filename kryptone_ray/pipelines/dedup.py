@@ -1596,7 +1596,7 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                 view_a, "inner", num_partitions=npart_over,
                 on=("source", "class_id"), right_on=("src_a", "cid_a"))
 
-            def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
+            def bucket_scan(df: pd.DataFrame) -> pa.Table:
                 src_o, cid_o, nm_o = [], [], []
                 for (src, g), grp in df.groupby(["source", "gram"],
                                                 sort=False):
@@ -1609,10 +1609,12 @@ def _ngram_census_distributed(sf_dir: str, threshold: float,
                             src_o.append(src)
                             cid_o.append(int(cid))
                             nm_o.append(int(nm))
-                return pd.DataFrame({
-                    "source": src_o,
-                    "class_id": pd.array(cid_o, dtype="int64"),
-                    "n_members": pd.array(nm_o, dtype="int64")})
+                # pinned-Arrow output like j1_flags/verify: ONE schema
+                # through the flags union even on empty blocks
+                return pa.table({
+                    "source": pa.array(src_o, type=pa.string()),
+                    "class_id": pa.array(cid_o, type=pa.int64()),
+                    "n_members": pa.array(nm_o, type=pa.int64())})
 
             flags = flags.union(over_j.repartition(
                 num_blocks=npart_over, keys=["source", "gram"]) \
